@@ -1,0 +1,76 @@
+"""Loaders for the driver-generated synthetic star schema.
+
+Tables (one parquet file each, see /root/repo/TESTDATA.md):
+    region nation customer supplier part orders lineitem
+    events documents embeddings
+
+Parquet scans are the fast path: Catalyst pushes filters and prunes
+columns into the scan, so callers should select/filter on the returned
+DataFrame directly rather than materialising it first.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast when joined
+# against facts (region/nation/supplier are tiny at every SF; part and
+# customer grow with SF but stay far below any sane broadcast threshold
+# relative to lineitem/orders).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_of(sf_dir: str) -> float:
+    """Parse the scale factor out of a testdata dir name (best effort)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return float("nan")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown testdata table {name!r}; have {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read the raw int64 nanos and convert
+        # to a microsecond timestamp (matches DuckDB's ns->us truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table of the star schema as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for spark.sql() queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
