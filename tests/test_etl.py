@@ -1,0 +1,89 @@
+"""Engine-side ETL behavior tests (properties the DuckDB oracle can't
+express: calendar density, holiday computus, quality routing, CSV
+quarantine)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from business_intelligence_and_data_warehouse_spark.etl.dims import build_dim_time
+from business_intelligence_and_data_warehouse_spark.etl.quality import split_quality
+from business_intelligence_and_data_warehouse_spark.functions.holidays import (
+    brazilian_holidays,
+    easter_date,
+)
+from business_intelligence_and_data_warehouse_spark.sources.csv import (
+    read_csv,
+    split_corrupt,
+)
+
+
+def test_easter_computus_known_dates():
+    # public reference dates for Gregorian Easter
+    assert easter_date(2016) == dt.date(2016, 3, 27)
+    assert easter_date(2018) == dt.date(2018, 4, 1)
+    assert easter_date(2020) == dt.date(2020, 4, 12)
+    assert easter_date(2024) == dt.date(2024, 3, 31)
+
+
+def test_holiday_calendar_gating():
+    hol = dict(brazilian_holidays(2016, 2024))
+    assert hol[dt.date(2016, 3, 25)] == "Sexta-feira Santa"  # Good Friday 2016
+    assert dt.date(2023, 11, 20) not in hol  # national only from 2024
+    assert hol[dt.date(2024, 11, 20)] == "Consciencia Negra"
+
+
+def test_dim_time_dense_and_ordered(spark):
+    dim = build_dim_time(spark).cache()
+    n = dim.count()
+    assert n == 1827  # 2016-01-01..2020-12-31 incl. leap day
+    # dense contiguous keys in date order
+    agg = dim.agg(
+        F.min("time_key").alias("lo"),
+        F.max("time_key").alias("hi"),
+        F.countDistinct("time_key").alias("nk"),
+    ).first()
+    assert (agg.lo, agg.hi, agg.nk) == (1, n, n)
+    # key arithmetic == day distance (the reference's load-bearing quirk)
+    a, b = dim.filter(F.col("date").isin("2016-01-01", "2019-07-15")).collect()
+    assert abs(a.time_key - b.time_key) == abs((a.date - b.date).days)
+    # holidays flagged
+    jan1 = dim.filter(F.col("date") == "2018-01-01").first()
+    assert jan1.is_holiday and jan1.day_name == "Monday" and jan1.season == "Summer"
+
+
+def test_quality_split_routes_all_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 5.0), (3, "c", -1.0), (4, "", None)],
+        "id int, name string, bal double",
+    )
+    rules = {
+        "name_present": F.length(F.coalesce(F.col("name"), F.lit(""))) > 0,
+        "bal_positive": F.col("bal") > 0,
+    }
+    clean, bad = split_quality(df, rules)
+    assert clean.count() + bad.count() == 4
+    assert {r.id for r in clean.collect()} == {1}
+    viol = {r.id: list(r.violations) for r in bad.collect()}
+    assert viol[2] == ["name_present"]
+    assert viol[3] == ["bal_positive"]
+    assert viol[4] == ["name_present", "bal_positive"]
+
+
+def test_csv_declared_schema_and_quarantine(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,amount\n1,ok,10.5\n2,bad,notanumber\n3,fine,2.0\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    clean, bad = split_corrupt(read_csv(spark, str(p), schema))
+    assert {r.id for r in clean.collect()} == {1, 3}
+    assert bad.count() == 1
+    assert "notanumber" in bad.first()._corrupt_record
