@@ -1,0 +1,247 @@
+"""Slowly-changing-dimension operators (SCD Type 1 and Type 2).
+
+Spark has no built-in dimension-maintenance operator, and this engine's
+warehouse layer is plain parquet (no Delta MERGE in this environment),
+so both SCD classes are implemented as deterministic batch rewrites —
+the "pure-Spark rewrite" path of SURVEY §2.3-J4/J5.
+
+Reference semantics being reproduced:
+
+* SCD1 (`InsertUpdate` step, `ETL/etl for geolocation with scd1.ktr:
+  905-960`): upsert keyed on the natural key, attributes overwritten in
+  place; batch equivalent = last-wins dedup then overwrite.
+* SCD2 (`DimensionLookup` step, `ETL/etl for customer with scd2.ktr:
+  833-914` and the seller/product twins): natural key + validity window
+  (`effective_from`/`effective_to`) + `version`; a changed tracked
+  attribute closes the current version at load time and inserts
+  version+1; initial load seeds (2016-01-01, 2099-12-31, 1) via an
+  Add-constants step (:537-599).
+
+Scale notes: every step is expressed as joins/windows keyed on the
+natural key — the single shuffle key a 100 TB dimension build needs.
+Change detection is a null-safe column comparison (codegen'd), never a
+Python UDF. The `current` slice filter (`effective_to = open`) pushes
+down to the parquet scan of the existing dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+# Open-ended validity horizon (reference seeds effective_to=2099-12-31).
+HIGH_DATE = "2099-12-31"
+
+
+def _all_equal(left: DataFrame, right: DataFrame, cols: Sequence[str]) -> Column:
+    """Null-safe equality across a column list."""
+    return functools.reduce(
+        lambda a, b: a & b, [left[c].eqNullSafe(right[c]) for c in cols]
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 1
+# ---------------------------------------------------------------------------
+
+def scd1_upsert(
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Last-wins upsert: incoming beats existing; within incoming the
+    highest `order_col` (if given) wins, else an arbitrary-but-
+    deterministic tiebreak on all columns.
+
+    Returns the new dimension content (caller overwrites the table).
+    """
+    inc = incoming.withColumn("__priority", F.lit(1))
+    if existing is not None:
+        src = existing.withColumn("__priority", F.lit(0)).unionByName(inc)
+    else:
+        src = inc
+    order = [F.desc("__priority")]
+    if order_col is not None:
+        order.append(F.desc(order_col))
+    # total, deterministic order: break remaining ties on every column
+    order += [F.col(c) for c in src.columns if c not in (*key_cols, "__priority")]
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    return (
+        src.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2
+# ---------------------------------------------------------------------------
+
+def scd2_initial_load(
+    batch: DataFrame,
+    effective_from: str = "2016-01-01",
+) -> DataFrame:
+    """Seed a dimension: every row version 1, open validity window."""
+    return (
+        batch.withColumn("effective_from", F.to_date(F.lit(effective_from)))
+        .withColumn("effective_to", F.to_date(F.lit(HIGH_DATE)))
+        .withColumn("version", F.lit(1).cast("int"))
+    )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    batch: DataFrame,
+    nat_key: Sequence[str],
+    tracked: Sequence[str],
+    load_date: str,
+) -> DataFrame:
+    """One incremental SCD2 load: close changed versions, insert next
+    versions, add brand-new keys as version 1.
+
+    `dim` columns: nat_key + tracked + (effective_from, effective_to,
+    version). `batch` columns: nat_key + tracked (one row per key —
+    pre-dedupe with scd1_upsert if the extract can repeat keys).
+
+    Deterministic and idempotent: re-merging an identical batch is a
+    no-op because unchanged rows never match the change predicate.
+    """
+    nat_key = list(nat_key)
+    tracked = list(tracked)
+    load = F.to_date(F.lit(load_date))
+    high = F.to_date(F.lit(HIGH_DATE))
+
+    current = dim.filter(F.col("effective_to") == high)
+    history = dim.filter(F.col("effective_to") != high)
+
+    # classify batch rows against the current slice
+    join_cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"b.{k}") == F.col(f"c.{k}") for k in nat_key],
+    )
+    joined = batch.alias("b").join(current.alias("c"), join_cond, "left")
+    unchanged_pred = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"b.{t}").eqNullSafe(F.col(f"c.{t}")) for t in tracked],
+    )
+    changed = joined.filter(F.col("c.version").isNotNull()).filter(~unchanged_pred)
+    new_keys = joined.filter(F.col("c.version").isNull())
+
+    changed_keys = changed.select(*[F.col(f"b.{k}").alias(k) for k in nat_key])
+
+    # current rows whose key changed -> close the window at load date
+    closed = (
+        current.join(changed_keys, nat_key, "left_semi")
+        .withColumn("effective_to", load)
+    )
+    untouched_current = current.join(changed_keys, nat_key, "left_anti")
+
+    # next versions for changed keys
+    next_versions = changed.select(
+        *[F.col(f"b.{k}").alias(k) for k in nat_key],
+        *[F.col(f"b.{t}").alias(t) for t in tracked],
+        load.alias("effective_from"),
+        high.alias("effective_to"),
+        (F.col("c.version") + 1).cast("int").alias("version"),
+    )
+
+    # brand-new keys enter at version 1
+    first_versions = new_keys.select(
+        *[F.col(f"b.{k}").alias(k) for k in nat_key],
+        *[F.col(f"b.{t}").alias(t) for t in tracked],
+        load.alias("effective_from"),
+        high.alias("effective_to"),
+        F.lit(1).cast("int").alias("version"),
+    )
+
+    cols = [*nat_key, *tracked, "effective_from", "effective_to", "version"]
+    return (
+        history.select(*cols)
+        .unionByName(untouched_current.select(*cols))
+        .unionByName(closed.select(*cols))
+        .unionByName(next_versions)
+        .unionByName(first_versions)
+    )
+
+
+def scd2_asof_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    nat_key: Sequence[str],
+    event_date_col: str,
+    returned: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Validity-window key lookup (as-of join form of SURVEY §2.3-J):
+    equi-join on the natural key, then the non-equi window predicate
+    `effective_from <= event_date < effective_to`.
+
+    Catalyst executes this as a join keyed on `nat_key` with the range
+    predicate as a post-join filter — scalable because a key has only
+    O(versions) matches, so no row explosion.
+    """
+    cond = functools.reduce(
+        lambda a, b: a & b, [facts[k] == dim[k] for k in nat_key]
+    )
+    cond = (
+        cond
+        & (facts[event_date_col] >= dim["effective_from"])
+        & (facts[event_date_col] < dim["effective_to"])
+    )
+    picked = dim.select(*nat_key, "effective_from", "effective_to", *returned)
+    out = facts.join(picked, cond, how)
+    return out.drop(*[picked[k] for k in nat_key]).drop(
+        picked["effective_from"], picked["effective_to"]
+    )
+
+
+def scd2_rebuild_from_snapshots(
+    snapshots: DataFrame,
+    nat_key: Sequence[str],
+    tracked: Sequence[str],
+    snapshot_date_col: str,
+    initial_from: str = "2016-01-01",
+) -> DataFrame:
+    """Rebuild a full SCD2 dimension from periodic snapshots.
+
+    Window rewrite (no iterative merging): per key ordered by snapshot
+    date, keep rows where any tracked attribute differs from the
+    previous snapshot (change points), then derive validity windows
+    with lead() and number versions with row_number(). One shuffle on
+    the natural key total — the batch-friendly way to bootstrap a
+    dimension from history at scale.
+    """
+    nat_key = list(nat_key)
+    tracked = list(tracked)
+    w = W.partitionBy(*nat_key).orderBy(snapshot_date_col)
+    change_flags = [
+        ~F.col(t).eqNullSafe(F.lag(t).over(w)) for t in tracked
+    ]
+    is_first = F.row_number().over(w) == 1
+    changed = functools.reduce(lambda a, b: a | b, change_flags)
+    points = snapshots.withColumn(
+        "__is_change", is_first | changed
+    ).filter("__is_change")
+    w2 = W.partitionBy(*nat_key).orderBy(snapshot_date_col)
+    return (
+        points.withColumn(
+            "effective_from",
+            F.when(
+                F.row_number().over(w2) == 1, F.to_date(F.lit(initial_from))
+            ).otherwise(F.to_date(snapshot_date_col)),
+        )
+        .withColumn(
+            "effective_to",
+            F.coalesce(
+                F.to_date(F.lead(snapshot_date_col).over(w2)),
+                F.to_date(F.lit(HIGH_DATE)),
+            ),
+        )
+        .withColumn("version", F.row_number().over(w2).cast("int"))
+        .select(*nat_key, *tracked, "effective_from", "effective_to", "version")
+    )

@@ -1,4 +1,5 @@
 from .queries import ORACLES, QUERIES, query_fn
 from . import etl_queries  # noqa: F401  (registers ETL operator queries)
+from . import scd_queries  # noqa: F401  (registers SCD operator queries)
 
 __all__ = ["ORACLES", "QUERIES", "query_fn"]

@@ -1,0 +1,112 @@
+"""Property tests for the SCD machinery (SURVEY §7.3: idempotent
+reloads; version chains with no overlaps or gaps; as-of boundary
+semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from business_intelligence_and_data_warehouse_spark.operators.scd import (
+    HIGH_DATE,
+    scd1_upsert,
+    scd2_asof_lookup,
+    scd2_initial_load,
+    scd2_merge,
+)
+
+
+@pytest.fixture()
+def dim0(spark):
+    base = spark.createDataFrame(
+        [(1, "A", "x"), (2, "B", "y"), (3, "C", "z")],
+        "k int, seg string, attr string",
+    )
+    return scd2_initial_load(base, "2016-01-01")
+
+
+def _chain_violations(dim):
+    """Count gaps/overlaps: within each key ordered by version,
+    next.effective_from must equal prev.effective_to."""
+    w = W.partitionBy("k").orderBy("version")
+    chained = dim.withColumn("next_from", F.lead("effective_from").over(w))
+    return chained.filter(
+        F.col("next_from").isNotNull()
+        & (F.col("next_from") != F.col("effective_to"))
+    ).count()
+
+
+def test_scd2_merge_change_new_and_idempotency(spark, dim0):
+    batch = spark.createDataFrame(
+        [(1, "A2", "x"), (2, "B", "y"), (4, "D", "w")],
+        "k int, seg string, attr string",
+    )
+    merged = scd2_merge(dim0, batch, ["k"], ["seg", "attr"], "2020-06-01").cache()
+
+    rows = {(r.k, r.version): r for r in merged.collect()}
+    assert len(rows) == 5  # 3 originals + 1 new version + 1 new key
+    assert str(rows[(1, 1)].effective_to) == "2020-06-01"  # closed
+    assert rows[(1, 2)].seg == "A2"
+    assert str(rows[(1, 2)].effective_to) == HIGH_DATE
+    assert str(rows[(2, 1)].effective_to) == HIGH_DATE  # untouched
+    assert rows[(4, 1)].version == 1  # new key
+    assert _chain_violations(merged) == 0
+
+    # exactly one open version per key
+    open_per_key = (
+        merged.filter(F.col("effective_to") == F.to_date(F.lit(HIGH_DATE)))
+        .groupBy("k")
+        .count()
+        .filter("count != 1")
+        .count()
+    )
+    assert open_per_key == 0
+
+    # idempotency: merging the same batch again changes nothing
+    again = scd2_merge(merged, batch, ["k"], ["seg", "attr"], "2021-01-01")
+    assert again.exceptAll(merged).count() == 0
+    assert merged.exceptAll(again).count() == 0
+
+
+def test_scd2_merge_null_attribute_changes(spark, dim0):
+    # NULL -> value and value -> NULL must both count as changes
+    batch = spark.createDataFrame(
+        [(1, None, "x"), (2, "B", None)], "k int, seg string, attr string"
+    )
+    merged = scd2_merge(dim0, batch, ["k"], ["seg", "attr"], "2020-06-01")
+    v2 = {r.k: r for r in merged.filter("version = 2").collect()}
+    assert v2[1].seg is None
+    assert v2[2].attr is None
+    # and NULL -> NULL is NOT a change
+    again = scd2_merge(merged, batch, ["k"], ["seg", "attr"], "2021-01-01")
+    assert again.count() == merged.count()
+
+
+def test_scd2_asof_boundary(spark, dim0):
+    merged = scd2_merge(
+        dim0,
+        spark.createDataFrame([(1, "A2", "x")], "k int, seg string, attr string"),
+        ["k"],
+        ["seg", "attr"],
+        "2020-06-01",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, "2020-05-31"), (101, 1, "2020-06-01"), (102, 1, "2024-01-01")],
+        "fid int, k int, d string",
+    ).withColumn("d", F.to_date("d"))
+    out = scd2_asof_lookup(facts, merged, ["k"], "d", ["seg", "version"])
+    got = {r.fid: (r.seg, r.version) for r in out.collect()}
+    assert got[100] == ("A", 1)  # day before the load
+    assert got[101] == ("A2", 2)  # boundary day belongs to the new version
+    assert got[102] == ("A2", 2)
+
+
+def test_scd1_upsert_last_wins_and_dedup(spark):
+    existing = spark.createDataFrame([(1, "old"), (2, "keep")], "k int, v string")
+    incoming = spark.createDataFrame(
+        [(1, "new"), (3, "add"), (3, "add2")], "k int, v string"
+    )
+    out = scd1_upsert(existing, incoming, ["k"], order_col="v")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "new", 2: "keep", 3: "add2"}  # incoming wins; max v wins
