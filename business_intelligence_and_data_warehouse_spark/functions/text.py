@@ -1,0 +1,102 @@
+"""Text-analysis column functions for large-scale document pipelines.
+
+All pure Catalyst expressions (split/regexp/slice/md5) — no Python in
+the row path, so every operator here runs inside whole-stage codegen
+and scales linearly with document bytes.
+
+Engine-parity note: hashing uses md5 (identical hex output in Spark
+and DuckDB) instead of xxhash64/murmur (engine-specific), so the dedup
+and fingerprint operators built on these are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic (public common-word lists, truncated).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a", "for"),
+    "pt": ("de", "que", "e", "o", "os", "do", "da", "um"),
+    "es": ("el", "la", "los", "que", "y", "en", "un", "por"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est", "que"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens_ws(col: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count_ws(col: Column) -> Column:
+    return F.size(tokens_ws(col))
+
+
+# word-ish / number / single punctuation — a BPE-style pre-tokenizer
+# upper bound on token count
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
+def word_shingles(col: Column, k: int) -> Column:
+    """Array of k-word shingles (space-joined); empty if < k tokens."""
+    toks = tokens_ws(col)
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(col: Column, n: int, max_chars: int | None = None) -> Column:
+    """Array of character n-grams (optionally over a length-capped
+    prefix, to bound cost on very long documents)."""
+    s = F.substring(col, 1, max_chars) if max_chars else col
+    return F.when(
+        F.length(s) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - n + 1),
+            lambda i: s.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact-dup detection: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Whole-document fingerprint over the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_min_fingerprint(col: Column, n: int = 8, max_chars: int = 200) -> Column:
+    """Winnowing-style content fingerprint: minimum md5 over the
+    char-n-gram window set of the document prefix. Equal prefixes give
+    equal fingerprints regardless of surrounding formatting."""
+    return F.array_min(
+        F.transform(char_ngrams(normalize_text(col), n, max_chars), F.md5)
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Non-alphanumeric-non-space chars / total chars."""
+    return F.regexp_count(col, F.lit(r"[^A-Za-z0-9\s]")) / F.greatest(
+        F.length(col), F.lit(1)
+    )
+
+
+def uniq_token_ratio(col: Column) -> Column:
+    toks = tokens_ws(col)
+    return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))

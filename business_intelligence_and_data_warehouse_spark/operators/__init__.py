@@ -1,3 +1,3 @@
-from . import scd
+from . import dedup, multimodal, scd, similarity
 
-__all__ = ["scd"]
+__all__ = ["dedup", "multimodal", "scd", "similarity"]

@@ -1,0 +1,294 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Five dedup families, each expressed as DataFrame compositions (no
+Python row path):
+
+* exact           — hash-groupBy over normalized text (md5)
+* MinHash + LSH   — shingle -> per-band min-hash -> band-bucket join
+                    -> verified Jaccard
+* SimHash         — token-majority bit signature + Hamming-ball join
+* n-gram Jaccard  — shingle-set similarity join with a document-
+                    frequency cap (prefix-filter style) on the join key
+* embedding cosine— near-duplicate pairs over an embedding column
+                    (see operators/similarity.py for the math)
+
+Scale design (100 TB):
+* the only shuffles are keyed on content hashes / shingles / band
+  signatures — uniformly distributed by construction;
+* the shingle self-join is the classic quadratic trap: a stop-shingle
+  appearing in f documents contributes f^2 candidate pairs. The
+  `max_df` cap drops shingles with document frequency > max_df from
+  CANDIDATE GENERATION only (standard prefix-filtering); verification
+  still uses the full shingle sets, so precision is exact and only
+  recall of pathologically-common-content pairs is affected.
+* MinHash banding keeps candidate generation linear: a document emits
+  exactly `bands` (band, signature) rows.
+
+Hashing uses md5 (engine-portable, oracle-checkable). At production
+scale xxhash64 halves the hash cost; swap `_hash_expr` if cross-engine
+verification is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, fingerprint_md5, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct normalized text: the minimum id is kept as
+    the canonical document, with the duplicate count."""
+    return (
+        docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count(F.lit(1)).alias("n_duplicates"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle machinery shared by Jaccard + MinHash
+# ---------------------------------------------------------------------------
+
+def shingle_table(
+    docs: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) pairs — DISTINCT per document (set semantics)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(normalize_text(F.col(text_col)), k)).alias("s"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Document pairs with shingle-set Jaccard >= threshold.
+
+    Candidate pairs come from a self-join on shingles whose document
+    frequency is <= max_df (bounds the quadratic blow-up); the Jaccard
+    value itself is exact: |A ∩ B| over the CAPPED shingle vocabulary
+    is counted in the join, and set sizes use the same capped
+    vocabulary so the measure stays a true Jaccard on the filtered
+    space. Integer counts -> exact doubles, engine-parity safe.
+    """
+    if max_df is not None:
+        freq = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        shingles = shingles.join(
+            F.broadcast(freq.filter(F.col("df") <= max_df).select("s")), "s"
+        )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int) -> DataFrame:
+    """num_hashes min-hash values per document.
+
+    Hash family: md5 salted with the hash index; the min is taken in
+    lexicographic order of the hex digest — a valid permutation-min
+    sketch that is bit-identical across engines.
+    """
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("s")))).alias(f"mh{h}")
+        for h in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_candidates(
+    shingles: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Candidate pairs from banded MinHash signatures.
+
+    A document emits `bands` (band, signature) rows where the signature
+    concatenates `rows_per_band` min-hashes; any shared band signature
+    makes a candidate pair. Collision probability 1-(1-J^r)^b.
+    """
+    sigs = minhash_signatures(shingles, bands * rows_per_band)
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    x = band_rows.alias("x")
+    y = band_rows.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> band join ->
+    verify candidates with exact Jaccard >= threshold."""
+    shingles = shingle_table(docs, k, id_col, text_col)
+    candidates = minhash_lsh_candidates(shingles, bands, rows_per_band)
+    verified = jaccard_pairs(shingles, threshold, max_df=None)
+    return candidates.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _hex_digit_high_bit(hash_col: Column, j: int) -> Column:
+    """Top bit of the j-th hex digit of an md5 digest (a portable
+    1-bit hash projection)."""
+    return F.substring(hash_col, j + 1, 1).isin(
+        "8", "9", "a", "b", "c", "d", "e", "f"
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    num_bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Term-frequency-weighted SimHash signature (num_bits <= 32,
+    one bit per md5 hex digit).
+
+    Each token votes +tf/-tf per bit according to one bit of its md5;
+    the signature takes the majority sign per bit. Near-duplicate
+    documents differ in few bits (Hamming distance).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.md5(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(_hex_digit_high_bit(h, j), F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"v{j}")
+        for j in range(num_bits)
+    ]
+    sums = tf.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(num_bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    num_bits: int = 32,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs of documents within a Hamming ball of the SimHash.
+
+    Candidate generation blocks on signature halves (a pair within
+    Hamming distance <= max_hamming shares at least one exact half for
+    max_hamming <= 1 per half; with 2 halves this is exact for
+    distance <= 1 and high-recall for small distances — the standard
+    pigeonhole blocking).
+    """
+    sigs = simhash(docs, num_bits, id_col, text_col)
+    half = num_bits // 2
+    lo = (F.col("simhash") % (2**half)).alias("block")
+    hi = (F.col("simhash") / (2**half)).cast("long").alias("block")
+    blocks = sigs.select("doc_id", "simhash", F.lit(0).alias("half"), lo).unionByName(
+        sigs.select("doc_id", "simhash", F.lit(1).alias("half"), hi)
+    )
+    x = blocks.alias("x")
+    y = blocks.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.half") == F.col("y.half"))
+            & (F.col("x.block") == F.col("y.block"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).alias("hamming")
+    return pairs.select("doc_a", "doc_b", hamming).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,5 +1,6 @@
 from .queries import ORACLES, QUERIES, query_fn
 from . import etl_queries  # noqa: F401  (registers ETL operator queries)
 from . import scd_queries  # noqa: F401  (registers SCD operator queries)
+from . import pipeline_queries  # noqa: F401  (registers LLM-pipeline queries)
 
 __all__ = ["ORACLES", "QUERIES", "query_fn"]

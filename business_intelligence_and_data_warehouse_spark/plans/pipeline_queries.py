@@ -1,0 +1,589 @@
+"""Driver-checkable LLM-data-pipeline operator queries.
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
+cosine), similarity search (brute-force top-k, hyperplane-LSH ANN),
+text analysis (token stats, quality, language-ID, fingerprints) and
+multimodal blob plumbing — every entry paired with a DuckDB oracle.
+
+Oracle-parity techniques used here (beyond plans/queries.py):
+* all hashing via md5 (identical hex in both engines);
+* MinHash = lexicographic MIN over salted md5 digests — a valid
+  permutation-min sketch that is portable;
+* SimHash bits come from hex-digit tests on md5 (pure string ops);
+* cosine terms explode to an element table and snap per-element
+  products to DECIMAL(28,6) (order-independent sums; raw double
+  summation diverges between engines on 100% of pairs);
+* LSH hyperplanes are integer-arithmetic-generated from (bit, pos) —
+  identical constants in both engines, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_ISH_PATTERN,
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    fingerprint_md5,
+    normalize_text,
+    punct_ratio,
+    rolling_min_fingerprint,
+    token_count_bpe_ish,
+    tokens_ws,
+    uniq_token_ratio,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    shingle_table,
+    simhash_near_dups,
+)
+from ..operators.multimodal import attach_blob, extract_features
+from ..operators.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    element_table,
+    lsh_ann_pairs,
+)
+from ..sources.testdata import load_table
+from .queries import query_fn
+
+# normalized text + distinct 3-word shingles, as a DuckDB CTE prefix
+_O_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_O_SHINGLES = f"""
+toks AS (
+  SELECT doc_id, string_split({_O_NORM}, ' ') t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 3 + 2)) AS i FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM idx
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "dedup_exact",
+    oracle=f"""
+SELECT md5({_O_NORM}) AS content_hash,
+       MIN(doc_id) AS kept_id,
+       COUNT(*) AS n_duplicates
+FROM documents
+GROUP BY 1
+ORDER BY content_hash
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy over normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("content_hash")
+
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram Jaccard similarity join (df-capped candidates)
+# ---------------------------------------------------------------------------
+
+_JACCARD_T = 0.5
+_MAX_DF = 50
+
+
+@query_fn(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_O_SHINGLES},
+kept AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_MAX_DF}
+),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, c / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c / (sa.n + sb.n - c) >= {_JACCARD_T}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram shingle Jaccard >= 0.5 (prefix-filtered)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = shingle_table(docs, 3)
+    return jaccard_pairs(shingles, _JACCARD_T, max_df=_MAX_DF).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash + LSH (4 bands x 2 rows) with exact verification
+# ---------------------------------------------------------------------------
+
+_MH = ",\n  ".join(
+    f"MIN(md5('{h}|' || s)) AS mh{h}" for h in range(8)
+)
+_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, mh{2*b} || '|' || mh{2*b+1} AS sig FROM mh"
+    for b in range(4)
+)
+
+
+@query_fn(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_O_SHINGLES},
+mh AS (
+  SELECT doc_id,
+  {_MH}
+  FROM sh GROUP BY doc_id
+),
+bandrows AS (
+{_BANDS}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandrows x
+  JOIN bandrows y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS ca, b.doc_id AS cb, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT cand.doc_a, cand.doc_b, c / (sa.n + sb.n - c) AS jaccard
+FROM cand
+JOIN common ON common.ca = cand.doc_a AND common.cb = cand.doc_b
+JOIN sizes sa ON sa.doc_id = cand.doc_a
+JOIN sizes sb ON sb.doc_id = cand.doc_b
+WHERE c / (sa.n + sb.n - c) >= {_JACCARD_T}
+ORDER BY cand.doc_a, cand.doc_b
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) -> 4 LSH bands -> bucket join -> verified Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        docs, k=3, bands=4, rows_per_band=2, threshold=_JACCARD_T
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash Hamming-ball pairs
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_HEX_HIGH = "('8','9','a','b','c','d','e','f')"
+_VOTES = ",\n  ".join(
+    f"SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) IN {_HEX_HIGH} "
+    f"THEN tf ELSE -tf END) AS v{j}"
+    for j in range(_SIMHASH_BITS)
+)
+_SIG = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+)
+
+
+@query_fn(
+    "dedup_simhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_O_NORM}, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+votes AS (
+  SELECT doc_id,
+  {_VOTES}
+  FROM tf GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, CAST({_SIG} AS BIGINT) AS simhash FROM votes),
+blocks AS (
+  SELECT doc_id, simhash, 0 AS half, simhash % 65536 AS block FROM sigs
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS half, simhash // 65536 AS block FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM blocks x
+  JOIN blocks y ON x.half = y.half AND x.block = y.block AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM pairs
+WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-weighted 32-bit SimHash; pairs within Hamming distance 3."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_near_dups(docs, num_bits=_SIMHASH_BITS, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("int")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding ops: shared oracle element-table CTE (dim = 64)
+# ---------------------------------------------------------------------------
+
+_O_ELEMENTS = """
+el AS (
+  SELECT vec_id AS vid, CAST(i AS INTEGER) AS pos,
+         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+),
+nrm AS (
+  SELECT vid, sqrt(CAST(SUM(CAST(val * val AS DECIMAL(28,6))) AS DOUBLE)) AS norm
+  FROM el GROUP BY vid
+)
+"""
+
+
+@query_fn(
+    "sim_embedding_topk",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+pel AS (SELECT * FROM el WHERE vid % 100 = 0),
+dots AS (
+  SELECT p.vid AS qid, c.vid AS cid,
+         CAST(SUM(CAST(p.val * c.val AS DECIMAL(28,6))) AS DOUBLE) AS dot
+  FROM pel p JOIN el c ON p.pos = c.pos
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+  FROM dots
+  JOIN nrm nq ON nq.vid = qid
+  JOIN nrm nc ON nc.vid = cid
+  WHERE qid != cid
+)
+SELECT qid AS query_id, cid AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INTEGER)
+         AS rank,
+       cosine
+FROM cos
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+""",
+)
+def sim_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors for the probe subset
+    (vec_id % 100 == 0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(emb, probes, k=10).orderBy("query_id", "rank")
+
+
+_NEARDUP_T = 0.35
+
+
+@query_fn(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+sel AS (SELECT * FROM el WHERE vid % 5 = 0),
+dots AS (
+  SELECT a.vid AS qid, b.vid AS cid,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(28,6))) AS DOUBLE) AS dot
+  FROM sel a JOIN sel b ON a.pos = b.pos AND a.vid < b.vid
+  GROUP BY 1, 2
+)
+SELECT qid AS vec_a, cid AS vec_b,
+       dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+FROM dots
+JOIN nrm nq ON nq.vid = qid
+JOIN nrm nc ON nc.vid = cid
+WHERE dot / NULLIF(nq.norm * nc.norm, 0.0) >= {_NEARDUP_T}
+ORDER BY vec_a, vec_b
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.35) over the sampled
+    subset vec_id % 5 == 0 (brute force — the exact baseline the LSH
+    path approximates)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    el = element_table(emb)
+    pairs = cosine_pairs(el, el).filter(F.col("qid") < F.col("cid"))
+    return (
+        pairs.filter(F.col("cosine") >= _NEARDUP_T)
+        .select(
+            F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), "cosine"
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# hyperplane-LSH ANN (the scale path) — candidates via banded signature
+# ---------------------------------------------------------------------------
+
+_ANN_BITS, _ANN_BANDS, _ANN_MIN_COS = 32, 4, 0.4
+_HP_CONSTS = [b * 2654435761 % 1013 for b in range(_ANN_BITS)]
+_HSUMS = ",\n  ".join(
+    f"CAST(SUM(CAST(val * ((({c} + pos * 2246822519) % 19) - 9) AS DECIMAL(28,6))) AS DOUBLE) AS h{b}"
+    for b, c in enumerate(_HP_CONSTS)
+)
+_SIG_ANN = " + ".join(
+    f"(CASE WHEN h{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_ANN_BITS)
+)
+_BAND_KEYS = "\nUNION ALL\n".join(
+    f"SELECT vid, {b} AS band, (sig // {2**(b*8)}) % 256 AS key FROM sigs"
+    for b in range(_ANN_BANDS)
+)
+
+
+@query_fn(
+    "sim_ann_lsh",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+hs AS (
+  SELECT vid,
+  {_HSUMS}
+  FROM el GROUP BY vid
+),
+sigs AS (SELECT vid, CAST({_SIG_ANN} AS BIGINT) AS sig FROM hs),
+bandrows AS (
+{_BAND_KEYS}
+),
+cand AS (
+  SELECT DISTINCT x.vid AS qid, y.vid AS cid
+  FROM bandrows x
+  JOIN bandrows y ON x.band = y.band AND x.key = y.key AND x.vid < y.vid
+),
+dots AS (
+  SELECT cand.qid, cand.cid,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(28,6))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN el a ON a.vid = cand.qid
+  JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
+  GROUP BY 1, 2
+)
+SELECT qid AS vec_a, cid AS vec_b,
+       dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+FROM dots
+JOIN nrm nq ON nq.vid = qid
+JOIN nrm nc ON nc.vid = cid
+WHERE dot / NULLIF(nq.norm * nc.norm, 0.0) >= {_ANN_MIN_COS}
+ORDER BY vec_a, vec_b
+""",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH candidate generation + exact verify
+    (cosine >= 0.4). Candidate cost is linear in corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_pairs(
+        emb, num_bits=_ANN_BITS, bands=_ANN_BANDS, min_cosine=_ANN_MIN_COS
+    ).orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "text_token_stats",
+    oracle=f"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens_ws,
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT)
+         AS tokens_bpe,
+       SUM(n_chars) * 1.0 / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) rolled up by corpus
+    slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("tokens_ws"),
+            F.sum(token_count_bpe_ish(F.col("text"))).alias("tokens_bpe"),
+            (F.sum("n_chars") * 1.0 / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+
+
+@query_fn(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, string_split({_O_NORM}, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+         / greatest(length(text), 1) AS punct_ratio,
+       len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS uniq_ratio,
+       len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0
+         / greatest(len(toks), 1) AS stopword_ratio,
+       0.4 * (len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1))
+       + 0.4 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                      / greatest(length(text), 1))
+       + 0.2 * (len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0
+                / greatest(len(toks), 1)) AS quality
+FROM t
+ORDER BY doc_id
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score (all exact
+    integer ratios -> engine-parity-safe doubles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_ws(normalize_text(F.col("text")))
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) * 1.0 / n
+    )
+    uniq = F.size(F.array_distinct(toks)) * 1.0 / n
+    punct = punct_ratio(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        punct.alias("punct_ratio"),
+        uniq.alias("uniq_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (0.4 * uniq + 0.4 * (1.0 - punct) + 0.2 * stop_ratio).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_MARKER_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, words in sorted(LANG_MARKERS.items()) for w in words
+)
+
+
+@query_fn(
+    "text_lang_id",
+    oracle=f"""
+WITH markers(lang, word) AS (VALUES {_MARKER_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(string_split({_O_NORM}, ' ')) AS tok FROM documents
+),
+hits AS (
+  SELECT t.doc_id, m.lang, COUNT(*) AS hits
+  FROM toks t JOIN markers m ON m.word = t.tok
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       COALESCE(b.lang, 'und') AS lang_pred,
+       COALESCE(b.hits, 0) AS marker_hits
+FROM documents d
+LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+ORDER BY d.doc_id
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (n-gram heuristic): argmax of
+    marker-word hits per language; 'und' when nothing matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, words in sorted(LANG_MARKERS.items()) for w in words],
+        "lang string, word string",
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens_ws(normalize_text(F.col("text")))).alias("tok")
+    )
+    hits = (
+        toks.join(F.broadcast(markers), toks.tok == markers.word)
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql import Window as W
+
+    best = hits.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("hits"), F.col("lang"))
+        ),
+    ).filter(F.col("rn") == 1)
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
+            F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("marker_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query_fn(
+    "text_fingerprint",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, {_O_NORM} AS full_norm, substr({_O_NORM}, 1, 200) AS p
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, min(md5(substr(p, CAST(i AS INTEGER), 8))) AS fp_rolling
+  FROM (SELECT doc_id, p, unnest(range(1, len(p) - 8 + 2)) AS i
+        FROM norm WHERE len(p) >= 8)
+  GROUP BY doc_id
+)
+SELECT n.doc_id, md5(n.full_norm) AS fp_md5, g.fp_rolling
+FROM norm n LEFT JOIN grams g ON g.doc_id = n.doc_id
+ORDER BY n.doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document md5 + winnowing-style min-gram fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+        rolling_min_fingerprint(F.col("text"), n=8, max_chars=200).alias(
+            "fp_rolling"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal blob plumbing (mapInPandas feature extraction vs SQL oracle)
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "multimodal_blob_features",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+       CAST(ascii(substr(text, 1, 1)) % 10 AS INTEGER) AS fake_label
+FROM documents
+ORDER BY doc_id
+""",
+)
+def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column -> Arrow-batched mapInPandas feature
+    extraction (byte-level stub features; real decode is stubbed, see
+    operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_blob(docs)
+    return extract_features(blobs).orderBy("doc_id")

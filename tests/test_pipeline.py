@@ -1,0 +1,97 @@
+"""Semantics tests for the LLM-pipeline operators on crafted inputs
+(the DuckDB oracles check engine parity; these check the operators do
+the right THING)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    shingle_table,
+    simhash,
+    simhash_near_dups,
+)
+from business_intelligence_and_data_warehouse_spark.operators.multimodal import (
+    attach_blob,
+    extract_features,
+)
+from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+    brute_force_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),
+            (3, "HELLO\tWORLD "),
+            (4, "different entirely"),
+        ],
+    )
+    out = exact_dedup(docs).collect()
+    by_kept = {r.kept_id: r.n_duplicates for r in out}
+    assert by_kept == {1: 3, 4: 1}
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    base = "a b c d e f g h i j"
+    docs = _docs(spark, [(1, base), (2, base), (3, "z y x w v u t s r q")])
+    sh = shingle_table(docs, 3)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(sh, 0.1, None).collect()}
+    assert pairs == {(1, 2): 1.0}  # identical docs; disjoint doc absent
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " CHANGED"
+    other = " ".join(f"v{i}" for i in range(40))
+    docs = _docs(spark, [(1, base), (2, near), (3, other)])
+    out = {(r.doc_a, r.doc_b) for r in minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    assert (1, 2) in out
+    assert all(3 not in p for p in out)
+
+
+def test_simhash_similarity_ordering(spark):
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(48)) + " x y"
+    far = " ".join(f"zz{i}" for i in range(50))
+    sigs = {r.doc_id: r.simhash for r in simhash(_docs(spark, [(1, base), (2, near), (3, far)])).collect()}
+    ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")
+    assert ham(1, 2) < ham(1, 3)
+    # identical docs -> identical signature -> hamming 0 pair survives
+    dups = simhash_near_dups(_docs(spark, [(1, base), (2, base)]), max_hamming=0)
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in dups.collect()] == [(1, 2, 0)]
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),   # closest to 1
+            (3, [0.0, 1.0, 0.0]),   # orthogonal to 1
+            (4, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    probes = vecs.filter("vec_id = 1")
+    out = brute_force_topk(vecs, probes, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [2, 3, 4]
+    assert out[0].cosine > 0.99 and abs(out[1].cosine) < 1e-6 and out[2].cosine < -0.99
+
+
+def test_multimodal_plumbing_roundtrip(spark):
+    docs = _docs(spark, [(1, "abc"), (2, "")])
+    feats = {r.doc_id: r for r in extract_features(attach_blob(docs)).collect()}
+    assert feats[1].n_bytes == 3
+    assert feats[1].first_byte == ord("a")
+    assert feats[1].digest == "900150983cd24fb0d6963f7d28e17f72"  # md5('abc')
+    assert feats[2].n_bytes == 0 and feats[2].first_byte == -1
