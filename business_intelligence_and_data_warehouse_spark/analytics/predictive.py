@@ -1,0 +1,198 @@
+"""Predictive analytics: churn features/labels, churn model, price
+elasticity.
+
+Mirrors the reference's predictive block (`PythonAnalysis.py:243-377`):
+churn = no order in the last 90 days of the dataset window (:248-253),
+RandomForest churn classifier with ROC-AUC + feature importances
+(:285-311), and a log-log OLS price-elasticity fit (:345-354).
+
+Engine-parity: churn features are integer/date arithmetic (exact);
+the OLS fit is CLOSED-FORM from exact decimal power sums over
+decimal-snapped logs (ln() differs by ~1 ulp between libm and the JVM,
+so raw log sums would diverge; snapping to DECIMAL(18,6) makes both
+engines sum identical values). The RandomForest is pyspark.ml and has
+no SQL oracle — it is exposed as a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHURN_DAYS = 90
+LOG_DEC = "decimal(18,6)"
+
+
+def churn_features(mart: DataFrame) -> DataFrame:
+    """Per-customer RFM features + churn label (exact arithmetic)."""
+    max_date = mart.agg(F.max("order_date").alias("dataset_max_date"))
+    cust = mart.groupBy("customer_id", "nation").agg(
+        F.max("order_date").alias("last_order_date"),
+        F.min("order_date").alias("first_order_date"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("revenue").cast("decimal(28,4)")).cast("double").alias("monetary"),
+        F.avg(F.col("on_time").cast("int")).alias("on_time_rate"),
+        F.avg("delay_days").alias("avg_delay_days"),
+    )
+    return cust.crossJoin(F.broadcast(max_date)).select(
+        "customer_id",
+        "nation",
+        F.datediff("dataset_max_date", "last_order_date").alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.datediff("last_order_date", "first_order_date").alias("active_span_days"),
+        "on_time_rate",
+        "avg_delay_days",
+        (
+            F.datediff("dataset_max_date", "last_order_date") > CHURN_DAYS
+        ).alias("churned"),
+    )
+
+
+def oracle_churn_features(mart_cte: str) -> str:
+    """DuckDB twin of churn_features."""
+    return f"""
+WITH {mart_cte},
+mx AS (SELECT MAX(order_date) AS dataset_max_date FROM mart),
+cust AS (
+  SELECT customer_id, nation,
+         MAX(order_date) AS last_order_date,
+         MIN(order_date) AS first_order_date,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(revenue AS DECIMAL(28,4))) AS DOUBLE) AS monetary,
+         AVG(CAST(on_time AS INTEGER)) AS on_time_rate,
+         AVG(delay_days) AS avg_delay_days
+  FROM mart GROUP BY customer_id, nation
+)
+SELECT customer_id, nation,
+       CAST(date_diff('day', last_order_date, dataset_max_date) AS INTEGER)
+         AS recency_days,
+       frequency, monetary,
+       CAST(date_diff('day', first_order_date, last_order_date) AS INTEGER)
+         AS active_span_days,
+       on_time_rate, avg_delay_days,
+       date_diff('day', last_order_date, dataset_max_date) > {CHURN_DAYS}
+         AS churned
+FROM cust CROSS JOIN mx
+ORDER BY customer_id
+"""
+
+
+def elasticity_by_category(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Log-log OLS per brand: elasticity (slope), r², n — closed form
+    from exact decimal power sums over snapped logs."""
+    joined = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    ).select(
+        "p_brand",
+        F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+        .cast(LOG_DEC)
+        .alias("x"),  # log unit price
+        F.log("l_quantity").cast(LOG_DEC).alias("y"),  # log quantity
+    )
+    agg = joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    # rounded: the scale-12 power sums exceed 2^53 raw units, where
+    # decimal->double conversion differs by ~1 ulp between engines
+    return agg.select(
+        F.col("p_brand").alias("category"),
+        "n",
+        F.round(cov / F.nullif(varx, F.lit(0.0)), 9).alias("elasticity"),
+        F.round((cov * cov) / F.nullif(varx * vary, F.lit(0.0)), 9).alias("r2"),
+    ).orderBy("category")
+
+
+def oracle_elasticity(table_join: str) -> str:
+    """DuckDB twin of elasticity_by_category."""
+    return f"""
+WITH pts AS (
+  SELECT p_brand,
+         CAST(ln(l_extendedprice / l_quantity) AS DECIMAL(18,6)) AS x,
+         CAST(ln(l_quantity) AS DECIMAL(18,6)) AS y
+  FROM {table_join}
+),
+agg AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pts GROUP BY p_brand
+)
+SELECT p_brand AS category, n,
+       round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0), 9) AS elasticity,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0), 9) AS r2
+FROM agg
+ORDER BY category
+"""
+
+
+def churn_random_forest(
+    spark: SparkSession, mart: DataFrame, num_trees: int = 50, seed: int = 42
+) -> DataFrame:
+    """RandomForest churn classifier (pyspark.ml Pipeline): 70/30 split,
+    ROC-AUC + accuracy + top feature importances. Returns a one-row
+    metrics DataFrame (no SQL oracle — model internals are not
+    SQL-expressible; the driver records a rows-only check)."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    feature_cols = [
+        "recency_days_capped",
+        "frequency",
+        "monetary",
+        "active_span_days",
+        "on_time_rate",
+        "avg_delay_days",
+    ]
+    feats = (
+        churn_features(mart)
+        .withColumn("label", F.col("churned").cast("double"))
+        # recency trivially encodes the label (it defines it); cap it at
+        # the churn horizon so the model learns from behavior instead
+        .withColumn(
+            "recency_days_capped",
+            F.least(F.col("recency_days"), F.lit(CHURN_DAYS)).cast("double"),
+        )
+        .na.fill(0.0)
+    )
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    data = assembler.transform(feats).select("features", "label")
+    train, test = data.randomSplit([0.7, 0.3], seed=seed)
+    model = RandomForestClassifier(
+        numTrees=num_trees, maxDepth=5, seed=seed, labelCol="label"
+    ).fit(train)
+    pred = model.transform(test)
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    ).evaluate(pred)
+    acc = pred.filter(
+        (F.col("prediction") == F.col("label"))
+    ).count() / max(pred.count(), 1)
+    imp = model.featureImportances.toArray()
+    top = sorted(zip(feature_cols, imp), key=lambda t: -t[1])[:3]
+    return spark.createDataFrame(
+        [
+            (
+                train.count(),
+                test.count(),
+                float(auc),
+                float(acc),
+                ", ".join(f"{name}={w:.3f}" for name, w in top),
+            )
+        ],
+        "n_train long, n_test long, auc double, accuracy double, top_features string",
+    )

@@ -1,0 +1,57 @@
+"""Cross-engine float-determinism helpers (exact decimal aggregation).
+
+See the design notes in plans/queries.py: raw double sums are order-
+dependent and diverge between Spark and an oracle engine; casting to a
+value-class-appropriate DECIMAL before aggregating makes the sum exact
+and therefore order-independent. These helpers are the shared
+vocabulary for every oracled query and the analytics layer.
+
+Caveat: once a decimal sum's raw integer units (value * 10^scale)
+exceed 2^53, the final decimal->double conversion itself rounds
+differently across engines (correctly-rounded vs two-step). Keep
+magnitudes under that bound or round the derived statistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"        # first-level money aggregation
+DEC_MONEY2 = "decimal(28,4)"  # second level over 4-decimal money doubles
+DEC_RATIO2 = "decimal(28,8)"  # second level over small ratio doubles
+
+
+def dsum(col):
+    """Order-independent SUM of a money expression -> double."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def davg(col):
+    """Order-independent AVG of a money expression -> double."""
+    return F.sum(col.cast(DEC)).cast("double") / F.count(col)
+
+
+def davg_money2(col):
+    """Order-independent AVG over already-computed money doubles -> double."""
+    return F.sum(col.cast(DEC_MONEY2)).cast("double") / F.count(col)
+
+
+def davg_ratio2(col):
+    """Order-independent AVG over already-computed ratio doubles -> double."""
+    return F.sum(col.cast(DEC_RATIO2)).cast("double") / F.count(col)
+
+
+def o_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def o_davg(expr: str) -> str:
+    return f"(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr}))"
+
+
+def o_davg_money2(expr: str) -> str:
+    return f"(CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE) / COUNT({expr}))"
+
+
+def o_davg_ratio2(expr: str) -> str:
+    return f"(CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE) / COUNT({expr}))"

@@ -2,5 +2,6 @@ from .queries import ORACLES, QUERIES, query_fn
 from . import etl_queries  # noqa: F401  (registers ETL operator queries)
 from . import scd_queries  # noqa: F401  (registers SCD operator queries)
 from . import pipeline_queries  # noqa: F401  (registers LLM-pipeline queries)
+from . import analytics_queries  # noqa: F401  (registers analytics queries)
 
 __all__ = ["ORACLES", "QUERIES", "query_fn"]

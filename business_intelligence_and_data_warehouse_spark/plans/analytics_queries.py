@@ -1,0 +1,130 @@
+"""Driver-checkable analytics-layer queries (SURVEY §2.10).
+
+The order-grain mart feeds descriptive stats, correlations, histogram,
+segmentation, churn features, elasticity and the prescriptive battery;
+each has a DuckDB oracle built from the shared ORACLE_MART CTE. The
+RandomForest churn model is pyspark.ml and is exposed rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analytics.descriptive import (
+    corr_pairs,
+    histogram,
+    oracle_corr_pairs,
+    oracle_summary_stats,
+    summary_stats,
+)
+from ..analytics.mart import ORACLE_MART, build_order_mart
+from ..analytics.predictive import (
+    churn_features,
+    churn_random_forest,
+    elasticity_by_category,
+    oracle_churn_features,
+    oracle_elasticity,
+)
+from ..analytics.prescriptive import (
+    freight_bands,
+    oracle_freight_bands,
+    oracle_risk_flags,
+    risk_flags,
+)
+from ..analytics.segmentation import oracle_segment_matrix, segment_matrix
+from ..sources.testdata import load_table
+from .queries import query_fn
+
+_MEASURES = ["revenue", "freight", "total_qty", "n_lines"]
+
+
+@query_fn(
+    "analytics_mart",
+    oracle=f"WITH {ORACLE_MART} SELECT * FROM mart ORDER BY order_id",
+)
+def analytics_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order-grain analytics mart itself (M1)."""
+    return build_order_mart(spark, sf_dir).orderBy("order_id")
+
+
+@query_fn(
+    "analytics_descriptive_stats",
+    oracle=oracle_summary_stats(ORACLE_MART, "mart", _MEASURES),
+)
+def analytics_descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe() battery over the mart measures (A10)."""
+    mart = build_order_mart(spark, sf_dir).cache()
+    return summary_stats(mart, _MEASURES).orderBy("measure")
+
+
+@query_fn(
+    "analytics_correlation",
+    oracle=oracle_corr_pairs(ORACLE_MART, "mart", _MEASURES),
+)
+def analytics_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations from exact power sums (A11)."""
+    mart = build_order_mart(spark, sf_dir).cache()
+    return corr_pairs(mart, _MEASURES).orderBy("var_x", "var_y")
+
+
+_HIST_WIDTH = 25000.0
+
+
+@query_fn(
+    "analytics_histogram",
+    oracle=f"""
+WITH {ORACLE_MART}
+SELECT CAST(floor(revenue / {_HIST_WIDTH}) AS BIGINT) AS bin,
+       CAST(floor(revenue / {_HIST_WIDTH}) AS BIGINT) * {_HIST_WIDTH} AS bin_lo,
+       (CAST(floor(revenue / {_HIST_WIDTH}) AS BIGINT) + 1) * {_HIST_WIDTH} AS bin_hi,
+       COUNT(*) AS n
+FROM mart
+GROUP BY 1
+ORDER BY bin
+""",
+)
+def analytics_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-revenue histogram (A15)."""
+    return histogram(build_order_mart(spark, sf_dir), "revenue", _HIST_WIDTH)
+
+
+@query_fn("analytics_segmentation", oracle=oracle_segment_matrix(ORACLE_MART))
+def analytics_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value x frequency 3x3 segment matrix with action labels (M9)."""
+    return segment_matrix(build_order_mart(spark, sf_dir))
+
+
+@query_fn("analytics_churn_features", oracle=oracle_churn_features(ORACLE_MART))
+def analytics_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer RFM features + churn label (M2)."""
+    return churn_features(build_order_mart(spark, sf_dir)).orderBy("customer_id")
+
+
+@query_fn(
+    "analytics_elasticity",
+    oracle=oracle_elasticity("lineitem JOIN part ON p_partkey = l_partkey"),
+)
+def analytics_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log OLS price elasticity per brand, closed form (M7)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return elasticity_by_category(lineitem, part)
+
+
+@query_fn("analytics_freight_bands", oracle=oracle_freight_bands())
+def analytics_freight_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freight-rate optimization by distance band (M8)."""
+    return freight_bands(spark, sf_dir)
+
+
+@query_fn("analytics_risk_flags", oracle=oracle_risk_flags())
+def analytics_risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-risk share by nation vs p75 thresholds (M10)."""
+    return risk_flags(spark, sf_dir)
+
+
+@query_fn("ml_churn_rf")  # pyspark.ml — rows-only check, no SQL oracle
+def ml_churn_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomForest churn classifier metrics (M4-M6)."""
+    return churn_random_forest(spark, build_order_mart(spark, sf_dir))

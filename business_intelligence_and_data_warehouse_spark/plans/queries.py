@@ -57,10 +57,20 @@ from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table, register_views
 
-# exact-decimal intermediate types (see module docstring)
-DEC = "decimal(18,6)"        # first-level money aggregation
-DEC_MONEY2 = "decimal(28,4)"  # second level over 4-decimal money doubles
-DEC_RATIO2 = "decimal(28,8)"  # second level over small ratio doubles
+# exact-decimal helpers shared with the analytics layer
+from ..functions.parity import (  # noqa: E402,F401  (re-exported)
+    DEC,
+    DEC_MONEY2,
+    DEC_RATIO2,
+    davg,
+    davg_money2,
+    davg_ratio2,
+    dsum,
+    o_davg,
+    o_davg_money2,
+    o_davg_ratio2,
+    o_dsum,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -76,42 +86,6 @@ def query_fn(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-def dsum(col):
-    """Order-independent SUM of a money expression -> double."""
-    return F.sum(col.cast(DEC)).cast("double")
-
-
-def davg(col):
-    """Order-independent AVG of a money expression -> double."""
-    return F.sum(col.cast(DEC)).cast("double") / F.count(col)
-
-
-def davg_money2(col):
-    """Order-independent AVG over already-computed money doubles -> double."""
-    return F.sum(col.cast(DEC_MONEY2)).cast("double") / F.count(col)
-
-
-def davg_ratio2(col):
-    """Order-independent AVG over already-computed ratio doubles -> double."""
-    return F.sum(col.cast(DEC_RATIO2)).cast("double") / F.count(col)
-
-
-def o_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
-
-
-def o_davg(expr: str) -> str:
-    return f"(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr}))"
-
-
-def o_davg_money2(expr: str) -> str:
-    return f"(CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE) / COUNT({expr}))"
-
-
-def o_davg_ratio2(expr: str) -> str:
-    return f"(CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE) / COUNT({expr}))"
 
 
 REVENUE = "l_extendedprice * (1 - l_discount)"

@@ -1,0 +1,74 @@
+"""Semantics tests for the analytics layer (the oracles check parity;
+these check meaning on small crafted data + the ML path end-to-end)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from business_intelligence_and_data_warehouse_spark.analytics.descriptive import (
+    corr_pairs,
+    summary_stats,
+)
+from business_intelligence_and_data_warehouse_spark.analytics.mart import (
+    build_order_mart,
+)
+from business_intelligence_and_data_warehouse_spark.analytics.predictive import (
+    churn_random_forest,
+    elasticity_by_category,
+)
+from business_intelligence_and_data_warehouse_spark.analytics.segmentation import (
+    segment_matrix,
+)
+
+
+def test_summary_stats_known_values(spark):
+    df = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4, 5]], "x double")
+    row = summary_stats(df, ["x"]).first()
+    assert row.n == 5
+    assert row.mean == 3.0
+    assert abs(row.std - math.sqrt(2.5)) < 1e-5  # std rounds at 6 decimals
+    assert (row.min_value, row.median, row.max_value) == (1.0, 3.0, 5.0)
+    assert (row.p25, row.p75) == (2.0, 4.0)
+
+
+def test_corr_perfect_linear(spark):
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1, -3.0 * i) for i in range(10)],
+        "x double, y double, z double",
+    )
+    rows = {(r.var_x, r.var_y): r.corr for r in corr_pairs(df, ["x", "y", "z"]).collect()}
+    assert abs(rows[("x", "y")] - 1.0) < 1e-6
+    assert abs(rows[("x", "z")] + 1.0) < 1e-6
+
+
+def test_elasticity_recovers_slope(spark):
+    # construct q = p^(-2) exactly: ln q = -2 ln p  ->  slope -2, r2 1
+    lineitem = spark.createDataFrame(
+        [(i, 1, float(p * q), float(q)) for i, (p, q) in enumerate(
+            [(2, 1.0 / 4), (4, 1.0 / 16), (8, 1.0 / 64), (16, 1.0 / 256)]
+        )],
+        "l_orderkey long, l_partkey long, l_extendedprice double, l_quantity double",
+    )
+    part = spark.createDataFrame([(1, "B1")], "p_partkey long, p_brand string")
+    row = elasticity_by_category(lineitem, part).first()
+    assert abs(row.elasticity + 2.0) < 1e-3
+    assert abs(row.r2 - 1.0) < 1e-3
+
+
+def test_segment_matrix_shape(spark, sf_dir):
+    mart = build_order_mart(spark, sf_dir)
+    rows = segment_matrix(mart).collect()
+    assert 1 <= len(rows) <= 9
+    assert sum(r.n_customers for r in rows) == mart.select("customer_id").distinct().count()
+    assert all(r.action is not None for r in rows)
+
+
+def test_churn_rf_trains_and_scores(spark, sf_dir):
+    mart = build_order_mart(spark, sf_dir)
+    metrics = churn_random_forest(spark, mart, num_trees=10).first()
+    assert metrics.n_train > 0 and metrics.n_test > 0
+    assert 0.0 <= metrics.auc <= 1.0
+    assert 0.0 <= metrics.accuracy <= 1.0
+    assert metrics.top_features
