@@ -3,5 +3,6 @@ from . import etl_queries  # noqa: F401  (registers ETL operator queries)
 from . import scd_queries  # noqa: F401  (registers SCD operator queries)
 from . import pipeline_queries  # noqa: F401  (registers LLM-pipeline queries)
 from . import analytics_queries  # noqa: F401  (registers analytics queries)
+from . import streaming_queries  # noqa: F401  (registers streaming queries)
 
 __all__ = ["ORACLES", "QUERIES", "query_fn"]

@@ -1,0 +1,152 @@
+"""Driver-checkable streaming-layer queries.
+
+The windowed operators run in BATCH mode against the same DuckDB
+oracle (unified Dataset semantics), and `stream_tumbling_live`
+additionally executes the real readStream -> watermark -> memory-sink
+path and must produce the identical result — the strongest check that
+the streaming plumbing computes what the batch semantics promise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from ..streaming.windows import (
+    read_event_stream,
+    run_stream_to_table,
+    session_windows,
+    sliding_sums,
+    tumbling_counts,
+)
+from .queries import query_fn
+
+_O_EV = "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
+_O_VSUM = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+
+_O_TUMBLING = f"""
+WITH {_O_EV}
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {_O_VSUM} AS value_sum
+FROM ev
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+@query_fn("stream_tumbling_counts", oracle=_O_TUMBLING)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window counts/sums per event type (batch mode)."""
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_counts(events).orderBy("window_start", "event_type")
+
+
+@query_fn("stream_tumbling_live", oracle=_O_TUMBLING)
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregation executed as a real Structured
+    Streaming query (readStream -> watermark -> memory sink, availableNow
+    trigger) — results must match the batch oracle exactly."""
+    stream = read_event_stream(spark, sf_dir)
+    out = run_stream_to_table(tumbling_counts(stream), mode="complete")
+    return out.orderBy("window_start", "event_type")
+
+
+@query_fn(
+    "stream_sliding_sums",
+    oracle=f"""
+WITH {_O_EV},
+expanded AS (
+  SELECT make_timestamp(
+           (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000
+         ) AS window_start,
+         value
+  FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS n_events,
+       {_O_VSUM} AS value_sum
+FROM expanded
+GROUP BY 1, 2
+ORDER BY window_start
+""",
+)
+def stream_sliding_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15min window totals (each event in 4 windows)."""
+    events = load_table(spark, sf_dir, "events")
+    return sliding_sums(events).orderBy("window_start")
+
+
+@query_fn(
+    "stream_session_windows",
+    oracle=f"""
+WITH {_O_EV},
+seq AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM ev
+),
+flags AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) >= 86400000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM seq
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1 DAY AS session_end,
+       COUNT(*) AS n_events,
+       {_O_VSUM} AS value_sum
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (1-day gap), checked against
+    a hand-rolled lag/cumsum oracle — pins the merge semantics."""
+    events = load_table(spark, sf_dir, "events")
+    return session_windows(events, gap="1 day").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@query_fn(
+    "events_json_props",
+    oracle=r"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) AS BIGINT)
+         AS k_total,
+       CAST(MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) AS INTEGER)
+         AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON props column (from_json on the
+    Spark side; the oracle uses a portable regexp so no JSON extension
+    is required in the oracle engine)."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "k", F.from_json("props", "k INT").getField("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_total"),
+            F.max("k").cast("int").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )

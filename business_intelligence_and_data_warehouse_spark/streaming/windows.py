@@ -1,0 +1,135 @@
+"""Watermarked windowed aggregations over the events stream.
+
+The reference stack is batch-only (SURVEY §2.11); this layer is the
+planned Structured Streaming extension: tumbling / sliding / session
+windows with watermark-based late-data handling. Every operator is
+written once against a DataFrame and works identically on a static
+frame (batch mode, used by the DuckDB oracles) and a readStream
+(incremental mode) — that is the point of the unified Dataset model.
+
+Scale notes: windowed aggregation state is keyed on (window, key) and
+bounded by the watermark horizon — state size is O(keys x windows in
+horizon), independent of stream length. The memory sink is test-only;
+production sinks are kafka/parquet via `writeStream`.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (converted on read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a micro-batched stream (nanos -> timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        # the file source streams a directory; filter to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-(window, event_type) count + exact value sum. On a stream the
+    watermark bounds state and admits late data up to the horizon."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "value_sum"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sliding_sums(
+    events: DataFrame, window: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Overlapping-window aggregate (each event lands in window/slide
+    windows)."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "value_sum"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "1 day") -> DataFrame:
+    """Gap-based sessionization per user via the native session_window
+    (merges events closer than `gap`; session end = last event + gap)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "value_sum"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def run_stream_to_table(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a streaming frame to completion into a memory sink and
+    return the materialized result (test/driver harness — production
+    would writeStream to kafka/parquet with a real trigger)."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,128 @@
+"""Streaming-layer behavior tests: micro-batch equivalence, watermark
+late-data drops, and the custom stateful operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from business_intelligence_and_data_warehouse_spark.streaming.stateful import (
+    user_running_stats,
+)
+from business_intelligence_and_data_warehouse_spark.streaming.windows import (
+    run_stream_to_table,
+    session_windows,
+    tumbling_counts,
+)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _stream(spark, path):
+    return spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(path)
+
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _t(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    path = str(tmp_path / "ev")
+    rows = [
+        (1, _t(0), 1, "click", 1.0),
+        (2, _t(10), 1, "click", 2.0),
+        (3, _t(70), 2, "view", 3.0),
+    ]
+    _write_events(spark, path, rows)
+    batch = tumbling_counts(spark.read.parquet(path)).collect()
+    stream = run_stream_to_table(
+        tumbling_counts(_stream(spark, path)), mode="complete"
+    ).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+    assert len(batch) == 2  # two distinct hours
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode aggregation with a watermark: an event far behind the
+    watermark arriving in a later micro-batch is dropped."""
+    path = str(tmp_path / "late")
+    _write_events(spark, path, [(1, _t(0), 1, "click", 1.0)])
+
+    stream = tumbling_counts(_stream(spark, path), watermark="30 minutes")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: advance event time far ahead -> watermark passes hour 10
+        _write_events(spark, path, [(2, _t(600), 1, "click", 1.0)])
+        q.processAllAvailable()
+        # batch 3: a LATE event for hour 10 (behind the watermark)
+        _write_events(spark, path, [(3, _t(5), 1, "click", 100.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r.window_start, r.n_events, r.value_sum)
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # hour-10 window was finalized by the watermark with ONE event; the
+    # late value=100 event must not appear anywhere
+    assert (T0, 1, 1.0) in out
+    assert all(r[2] != 100.0 for r in out)
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    path = str(tmp_path / "stateful")
+    _write_events(spark, path, [(1, _t(0), 7, "click", 1.5), (2, _t(1), 7, "click", 2.5)])
+    q = (
+        user_running_stats(_stream(spark, path))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(spark, path, [(3, _t(2), 7, "click", 6.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM stateful_out ORDER BY n_events DESC"
+    ).collect()
+    # state accumulated across micro-batches: final row has all 3 events
+    assert rows[0].n_events == 3
+    assert abs(rows[0].value_sum - 10.0) < 1e-9
+
+
+def test_session_window_merge_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0), 1, "a", 1.0),
+            (2, dt.datetime(2024, 1, 1, 0, 30), 1, "a", 1.0),   # same session
+            (3, dt.datetime(2024, 1, 3, 0, 0), 1, "a", 1.0),    # new session
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = session_windows(df, gap="1 day").orderBy("session_start").collect()
+    assert len(out) == 2
+    assert out[0].n_events == 2
+    # session end = last event + gap
+    assert out[0].session_end == dt.datetime(2024, 1, 2, 0, 30)
