@@ -2,8 +2,9 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line {"metric", "value", "unit", "queries", "sf"}.
 
-Each query is timed end-to-end (plan + execute + collect). Results are
-small aggregates, so collect() cost is negligible versus the scan/joins.
+The headline set covers every operator family (the 10 reference
+analytical queries + the heaviest representative of each extension
+family); set SPARK_GRAFT_BENCH_ALL=1 to time the full registry.
 """
 
 from __future__ import annotations
@@ -12,6 +13,36 @@ import json
 import os
 import sys
 import time
+
+HEADLINE = [
+    # the reference's analytical battery
+    "q1a_yoy_growth",
+    "q1b_seasonal_index",
+    "q2a_grouping_sets",
+    "q2b_rollup",
+    "q3a_rank_ntile",
+    "q3b_moving_cumulative",
+    "q4a_multi_exists",
+    "q4b_above_category_avg",
+    "q5a_ltv_top20",
+    "q5b_monthly_kpis",
+    # ETL / warehouse build
+    "etl_fact_order_lines",
+    "etl_dim_time",
+    "scd2_merge_batch",
+    # analytics layer
+    "analytics_mart",
+    "analytics_segmentation",
+    # training-data pipeline
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_embedding_topk",
+    "sim_ann_lsh",
+    "text_quality_score",
+    # streaming (batch mode)
+    "stream_tumbling_counts",
+    "stream_session_windows",
+]
 
 
 def main() -> None:
@@ -35,8 +66,13 @@ def main() -> None:
     # steady-state plan cost (min of two runs). Results are materialized
     # through the noop sink so the timing measures engine execution, not
     # row shipping into the Python driver.
+    names = (
+        sorted(QUERIES)
+        if os.environ.get("SPARK_GRAFT_BENCH_ALL")
+        else [n for n in HEADLINE if n in QUERIES]
+    )
     timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    for name in names:
         fn = QUERIES[name]
         best = None
         try:

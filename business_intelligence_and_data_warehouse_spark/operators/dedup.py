@@ -194,7 +194,9 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band join ->
     verify candidates with exact Jaccard >= threshold."""
-    shingles = shingle_table(docs, k, id_col, text_col)
+    # the shingle table feeds signatures, sizes and the verify join —
+    # cache it so the explode+distinct shuffle runs once
+    shingles = shingle_table(docs, k, id_col, text_col).cache()
     candidates = minhash_lsh_candidates(shingles, bands, rows_per_band)
     verified = jaccard_pairs(shingles, threshold, max_df=None)
     return candidates.join(verified, ["doc_a", "doc_b"]).select(

@@ -8,7 +8,7 @@ Two paths:
   verify candidates only.
 
 Float determinism: cosine terms are exploded to an element table and
-each per-element product is snapped to DECIMAL(28,6) before the sum —
+each per-element product is snapped to DECIMAL(18,6) before the sum —
 decimal sums are order-independent, so Spark and an oracle engine get
 bit-identical cosines (verified: summing raw doubles mismatches on
 100% of pairs; see plans/queries.py docstring for the theory).
@@ -29,7 +29,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-DOT_DEC = "decimal(28,6)"
+# precision <= 18 keeps Spark's Decimal on the compact long fast path;
+# per-element products are < 1e3 so scale-6 units fit comfortably
+DOT_DEC = "decimal(18,6)"
 
 
 def element_table(
@@ -195,7 +197,9 @@ def lsh_ann_pairs(
     (decimal-snapped) cosine and keeps pairs >= min_cosine. Recall
     follows 1-(1-p^r)^b with p = 1 - angle/pi.
     """
-    elements = element_table(vectors, id_col, vec_col)
+    # elements feed signatures, the verify dots and both norm lookups —
+    # cache so the explode happens once
+    elements = element_table(vectors, id_col, vec_col).cache()
     sigs = hyperplane_signatures(elements, num_bits)
     r = num_bits // bands
     band_rows = sigs.select(

@@ -4,5 +4,6 @@ from . import scd_queries  # noqa: F401  (registers SCD operator queries)
 from . import pipeline_queries  # noqa: F401  (registers LLM-pipeline queries)
 from . import analytics_queries  # noqa: F401  (registers analytics queries)
 from . import streaming_queries  # noqa: F401  (registers streaming queries)
+from . import coverage_queries  # noqa: F401  (registers W7/A3/pivot coverage)
 
 __all__ = ["ORACLES", "QUERIES", "query_fn"]

@@ -1,0 +1,174 @@
+"""Coverage queries for the remaining SURVEY §2 operators.
+
+* W7 — the Power BI DAX rolling-window churn measure (`Final Report
+  .docx` §7.1: 6-month active-customer window, churned = EXCEPT(prev,
+  active), churn rate, what-if delivery-day slider) re-expressed as a
+  parameterized DataFrame computation; EXCEPT becomes a left_anti join
+  (§2.7).
+* A3 — FILTER-clause aggregates (`PythonAnalysis.py:85`).
+* Pivot — wide matrix form of a grouped count (DataFrame .pivot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .queries import query_fn
+
+# DAX what-if slider: churn shifts by 1%/day of delivery-time change
+# (`Final Report.docx` §7.1); exposed as a constant here.
+WHATIF_DELIVERY_DAYS_DELTA = 0
+CHURN_SHIFT_PER_DAY = 0.01
+
+
+@query_fn(
+    "churn_rolling_window",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+  FROM orders
+),
+months AS (SELECT DISTINCT m FROM pairs),
+active AS (
+  SELECT DISTINCT mo.m, p.c
+  FROM months mo
+  JOIN pairs p ON p.m >= mo.m - INTERVAL 5 MONTH AND p.m <= mo.m
+),
+counts AS (SELECT m, COUNT(*) AS n_active FROM active GROUP BY m),
+churned AS (
+  SELECT mo.m, COUNT(*) AS n_churned
+  FROM months mo
+  JOIN active prev ON prev.m = mo.m - INTERVAL 1 MONTH
+  LEFT JOIN active cur ON cur.m = mo.m AND cur.c = prev.c
+  WHERE cur.c IS NULL
+  GROUP BY mo.m
+)
+SELECT c.m AS month,
+       c.n_active,
+       COALESCE(ch.n_churned, 0) AS n_churned,
+       COALESCE(ch.n_churned, 0) * 1.0
+         / NULLIF(c.n_active + COALESCE(ch.n_churned, 0), 0) AS churn_rate,
+       COALESCE(ch.n_churned, 0) * 1.0
+         / NULLIF(c.n_active + COALESCE(ch.n_churned, 0), 0)
+         + {WHATIF_DELIVERY_DAYS_DELTA} * {CHURN_SHIFT_PER_DAY} AS churn_rate_whatif
+FROM counts c LEFT JOIN churned ch ON ch.m = c.m
+ORDER BY month
+""",
+)
+def churn_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 6-month distinct-customer churn (DAX W7): active =
+    customers with an order in the trailing 6 months; churned =
+    EXCEPT(previous window, current window) as a left_anti join."""
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        orders.select(
+            F.col("o_custkey").alias("c"),
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("m"),
+        )
+        .distinct()
+    )
+    months = pairs.select("m").distinct()
+    active = (
+        months.alias("mo")
+        .join(
+            pairs.alias("p"),
+            (F.col("p.m") >= F.add_months(F.col("mo.m"), -5))
+            & (F.col("p.m") <= F.col("mo.m")),
+        )
+        .select(F.col("mo.m").alias("m"), "c")
+        .distinct()
+    )
+    counts = active.groupBy("m").agg(F.count(F.lit(1)).alias("n_active"))
+    prev = active.select(F.add_months("m", 1).alias("m"), "c").join(
+        months, "m", "left_semi"
+    )
+    churned = (
+        prev.join(active, ["m", "c"], "left_anti")  # EXCEPT(prev, active)
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    rate = F.col("n_churned") * 1.0 / F.nullif(
+        F.col("n_active") + F.col("n_churned"), F.lit(0)
+    )
+    return (
+        counts.join(churned, "m", "left")
+        .na.fill({"n_churned": 0})
+        .select(
+            F.col("m").alias("month"),
+            "n_active",
+            "n_churned",
+            rate.alias("churn_rate"),
+            (rate + WHATIF_DELIVERY_DAYS_DELTA * CHURN_SHIFT_PER_DAY).alias(
+                "churn_rate_whatif"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+@query_fn(
+    "kpi_filtered_aggregates",
+    oracle="""
+SELECT n_name AS nation,
+       COUNT(*) AS n_orders,
+       MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS max_finished_price,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)
+         AS n_big_customers
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+ORDER BY nation
+""",
+)
+def kpi_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (A3) as conditional aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+            ).alias("max_finished_price"),
+            F.count(
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+            ).alias("n_urgent"),
+            F.countDistinct(
+                F.when(F.col("o_totalprice") > 100000, F.col("o_custkey"))
+            ).alias("n_big_customers"),
+        )
+        .orderBy("nation")
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query_fn(
+    "pivot_event_matrix",
+    oracle=f"""
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+ORDER BY day
+""",
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: daily event counts, one column per event type."""
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.orderBy("day")

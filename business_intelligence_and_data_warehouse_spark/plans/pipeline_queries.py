@@ -11,7 +11,7 @@ Oracle-parity techniques used here (beyond plans/queries.py):
   permutation-min sketch that is portable;
 * SimHash bits come from hex-digit tests on md5 (pure string ops);
 * cosine terms explode to an element table and snap per-element
-  products to DECIMAL(28,6) (order-independent sums; raw double
+  products to DECIMAL(18,6) (order-independent sums; raw double
   summation diverges between engines on 100% of pairs);
 * LSH hyperplanes are integer-arithmetic-generated from (bit, pos) —
   identical constants in both engines, no RNG.
@@ -245,7 +245,7 @@ el AS (
   FROM embeddings CROSS JOIN range(1, 65) t(i)
 ),
 nrm AS (
-  SELECT vid, sqrt(CAST(SUM(CAST(val * val AS DECIMAL(28,6))) AS DOUBLE)) AS norm
+  SELECT vid, sqrt(CAST(SUM(CAST(val * val AS DECIMAL(18,6))) AS DOUBLE)) AS norm
   FROM el GROUP BY vid
 )
 """
@@ -258,7 +258,7 @@ WITH {_O_ELEMENTS},
 pel AS (SELECT * FROM el WHERE vid % 100 = 0),
 dots AS (
   SELECT p.vid AS qid, c.vid AS cid,
-         CAST(SUM(CAST(p.val * c.val AS DECIMAL(28,6))) AS DOUBLE) AS dot
+         CAST(SUM(CAST(p.val * c.val AS DECIMAL(18,6))) AS DOUBLE) AS dot
   FROM pel p JOIN el c ON p.pos = c.pos
   GROUP BY 1, 2
 ),
@@ -296,7 +296,7 @@ WITH {_O_ELEMENTS},
 sel AS (SELECT * FROM el WHERE vid % 5 = 0),
 dots AS (
   SELECT a.vid AS qid, b.vid AS cid,
-         CAST(SUM(CAST(a.val * b.val AS DECIMAL(28,6))) AS DOUBLE) AS dot
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(18,6))) AS DOUBLE) AS dot
   FROM sel a JOIN sel b ON a.pos = b.pos AND a.vid < b.vid
   GROUP BY 1, 2
 )
@@ -329,17 +329,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hyperplane-LSH ANN (the scale path) — candidates via banded signature
 # ---------------------------------------------------------------------------
 
-_ANN_BITS, _ANN_BANDS, _ANN_MIN_COS = 32, 4, 0.4
+_ANN_BITS, _ANN_BANDS, _ANN_MIN_COS = 40, 4, 0.4
 _HP_CONSTS = [b * 2654435761 % 1013 for b in range(_ANN_BITS)]
 _HSUMS = ",\n  ".join(
-    f"CAST(SUM(CAST(val * ((({c} + pos * 2246822519) % 19) - 9) AS DECIMAL(28,6))) AS DOUBLE) AS h{b}"
+    f"CAST(SUM(CAST(val * ((({c} + pos * 2246822519) % 19) - 9) AS DECIMAL(18,6))) AS DOUBLE) AS h{b}"
     for b, c in enumerate(_HP_CONSTS)
 )
 _SIG_ANN = " + ".join(
     f"(CASE WHEN h{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_ANN_BITS)
 )
 _BAND_KEYS = "\nUNION ALL\n".join(
-    f"SELECT vid, {b} AS band, (sig // {2**(b*8)}) % 256 AS key FROM sigs"
+    f"SELECT vid, {b} AS band, (sig // {2**(b*10)}) % 1024 AS key FROM sigs"
     for b in range(_ANN_BANDS)
 )
 
@@ -364,7 +364,7 @@ cand AS (
 ),
 dots AS (
   SELECT cand.qid, cand.cid,
-         CAST(SUM(CAST(a.val * b.val AS DECIMAL(28,6))) AS DOUBLE) AS dot
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(18,6))) AS DOUBLE) AS dot
   FROM cand
   JOIN el a ON a.vid = cand.qid
   JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
