@@ -149,6 +149,52 @@ def kpi_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query_fn(
+    "share_of_total",
+    oracle="""
+WITH by_nation AS (
+  SELECT n_name AS nation,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name
+)
+SELECT nation, revenue,
+       100.0 * revenue / SUM(CAST(revenue AS DECIMAL(28,4))) OVER () AS share_pct
+FROM by_nation
+ORDER BY nation
+""",
+)
+def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (A13): each nation's revenue as a percentage of
+    the grand total via an un-partitioned window sum (the decimal cast
+    keeps the window total order-independent)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    by_nation = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    total = F.sum(F.col("revenue").cast("decimal(28,4)")).over(
+        W.partitionBy()
+    )
+    return by_nation.select(
+        "nation",
+        "revenue",
+        (100.0 * F.col("revenue") / total).alias("share_pct"),
+    ).orderBy("nation")
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
