@@ -195,6 +195,24 @@ def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation")
 
 
+@query_fn("approx_sketches")  # rows-only: HLL/KLL sketches are
+# engine-specific, so there is no cross-engine oracle; the pytest suite
+# bounds them against exact values instead
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches for interactive exploration at scale:
+    approx_count_distinct (HyperLogLog++) and percentile_approx (KLL),
+    alongside their exact counterparts for error inspection."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
