@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_simhash",
     "sim_embedding_topk",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "text_quality_score",
     # streaming (batch mode)
     "stream_tumbling_counts",

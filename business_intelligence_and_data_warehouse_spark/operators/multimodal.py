@@ -16,12 +16,27 @@ flow — is real and testable end-to-end.
 from __future__ import annotations
 
 import hashlib
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:
+    # Ship this module's worker-side functions BY VALUE: the driver
+    # process may import this package from a directory (cwd / an
+    # injected sys.path entry) that Python workers don't have on their
+    # path, and a by-reference pickle would then fail to unpickle on
+    # the executor with ModuleNotFoundError. Pickling by value makes
+    # the mapInPandas closures self-contained (their module-level
+    # globals here are only stdlib/pandas, importable everywhere).
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - older cloudpickle
+    pass
 
 BLOB_SCHEMA = T.StructType(
     [

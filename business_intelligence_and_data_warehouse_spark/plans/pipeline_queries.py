@@ -46,6 +46,7 @@ from ..operators.similarity import (
     brute_force_topk,
     cosine_pairs,
     element_table,
+    ivf_topk,
     lsh_ann_pairs,
 )
 from ..sources.testdata import load_table
@@ -386,6 +387,83 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_pairs(
         emb, num_bits=_ANN_BITS, bands=_ANN_BANDS, min_cosine=_ANN_MIN_COS
     ).orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (the query-workload scale path) — coarse-quantize into cells,
+# probe only the nprobe nearest cells
+# ---------------------------------------------------------------------------
+
+_IVF_STRIDE, _IVF_NPROBE, _IVF_K = 25, 4, 10
+
+
+@query_fn(
+    "sim_ann_ivf",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+adots AS (
+  SELECT v.vid AS vid, c.vid AS cvid,
+         CAST(SUM(CAST(v.val * c.val AS DECIMAL(18,6))) AS DOUBLE) AS dot
+  FROM el v JOIN el c ON v.pos = c.pos AND c.vid % {_IVF_STRIDE} = 0
+  GROUP BY 1, 2
+),
+acos AS (
+  SELECT adots.vid AS vid, cvid, dot / NULLIF(nv.norm * nc.norm, 0.0) AS cosine
+  FROM adots
+  JOIN nrm nv ON nv.vid = adots.vid
+  JOIN nrm nc ON nc.vid = cvid
+),
+assign AS (
+  SELECT vid, cvid FROM acos
+  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cvid) = 1
+),
+pcells AS (
+  SELECT vid AS qid, cvid FROM acos WHERE vid % 100 = 0
+  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cvid)
+    <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.qid, a.vid AS cid
+  FROM pcells p JOIN assign a ON a.cvid = p.cvid
+  WHERE a.vid != p.qid
+),
+dots AS (
+  SELECT cand.qid, cand.cid,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(18,6))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN el a ON a.vid = cand.qid
+  JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+  FROM dots
+  JOIN nrm nq ON nq.vid = qid
+  JOIN nrm nc ON nc.vid = cid
+)
+SELECT qid AS query_id, cid AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+            AS INTEGER) AS rank,
+       cosine
+FROM cos
+QUALIFY rank <= {_IVF_K}
+ORDER BY query_id, rank
+""",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for the probe subset (vec_id % 100 == 0):
+    centroid cells from the deterministic stride-25 quantizer, each
+    probe searching only its 4 nearest cells. Compare against
+    ``sim_embedding_topk`` (the exact baseline) for recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(
+        emb,
+        probes,
+        k=_IVF_K,
+        centroid_stride=_IVF_STRIDE,
+        nprobe=_IVF_NPROBE,
+    ).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -11,11 +11,21 @@ grouping key and scales with distinct users, not stream length.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+try:
+    # Ship the stateful-update function by value so workers never need
+    # this package on their own sys.path (see operators/multimodal.py).
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - older cloudpickle
+    pass
 
 OUTPUT_SCHEMA = "user_id long, n_events long, value_sum double, last_ts timestamp"
 STATE_SCHEMA = "n long, s double, last long"

@@ -20,6 +20,7 @@ from business_intelligence_and_data_warehouse_spark.operators.multimodal import 
 )
 from business_intelligence_and_data_warehouse_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
 )
 
 
@@ -86,6 +87,30 @@ def test_brute_force_topk_ranks_by_cosine(spark):
     out = brute_force_topk(vecs, probes, k=3).orderBy("rank").collect()
     assert [r.neighbor_id for r in out] == [2, 3, 4]
     assert out[0].cosine > 0.99 and abs(out[1].cosine) < 1e-6 and out[2].cosine < -0.99
+
+
+def test_ivf_topk_searches_probed_cells_only(spark):
+    # two well-separated clusters around e1 and e2; ids chosen so the
+    # stride-2 centroids are {0 (cluster A), 2 (cluster B)}
+    rows = [
+        (0, [1.0, 0.05, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (3, [1.0, 0.0, 0.1]),
+        (2, [0.0, 1.0, 0.05]),
+        (5, [0.1, 0.9, 0.0]),
+        (7, [0.0, 1.0, 0.1]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = vecs.filter("vec_id = 1")
+    # nprobe=1 -> only cluster A's cell is scanned
+    out = ivf_topk(vecs, probes, k=5, centroid_stride=2, nprobe=1).collect()
+    assert {r.neighbor_id for r in out} == {0, 3}
+    # nprobe=2 covers both cells -> matches exact brute force
+    full = ivf_topk(vecs, probes, k=5, centroid_stride=2, nprobe=2).collect()
+    exact = brute_force_topk(vecs, probes, k=5).collect()
+    assert [(r.neighbor_id, r.rank) for r in full] == [
+        (r.neighbor_id, r.rank) for r in exact
+    ]
 
 
 def test_multimodal_plumbing_roundtrip(spark):
