@@ -4,28 +4,39 @@ Three paths:
 * brute-force cosine top-k — the exact baseline; probe set × corpus,
   partial top-k per partition via window rank;
 * hyperplane-LSH bucketed ANN — the scale path for similarity *joins*:
-  32-bit random-hyperplane signatures, banded OR-blocking (4 bands x
-  8 bits), verify candidates only;
+  random-hyperplane sign bits, banded OR-blocking, verify candidates
+  only;
 * IVF (inverted-file) top-k — the scale path for *query* workloads: a
   small deterministic centroid set partitions the corpus into cells
   (each vector assigned to its nearest centroid); a probe scans only
   its nprobe nearest cells, so per-query cost is corpus/cells × nprobe
   instead of the full corpus.
 
-Float determinism: cosine terms are exploded to an element table and
-each per-element product is snapped to DECIMAL(18,6) before the sum —
-decimal sums are order-independent, so Spark and an oracle engine get
-bit-identical cosines (verified: summing raw doubles mismatches on
-100% of pairs; see plans/queries.py docstring for the theory).
-Snapping costs ~3e-5 absolute cosine error — identically in every
-engine, so rankings stay consistent.
+Float determinism: every dot-product term is snapped to an integer —
+``FLOOR(x*y*1e6)`` summed as BIGINT — so the sum is exact and
+order-independent, and Spark and an oracle engine get bit-identical
+cosines (summing raw doubles mismatches on ~100% of pairs; see
+plans/queries.py docstring for the theory). The parity chain is pure
+IEEE arithmetic: float→double widening, double multiply, and floor
+are each bit-identical in every engine — no repr-vs-binary rounding
+mode is involved (unlike double→decimal casts). Snapping costs ~1e-6
+absolute cosine error — identically in every engine, so rankings stay
+consistent. The long sums stay far under 2^53, so the final cast back
+to double is exact.
 
 Scale notes:
-* the element table is (n_vectors × dim) rows keyed by position — the
-  position join broadcasts nothing and shuffles at most probe×corpus
-  rows; for production ANN the LSH path bounds candidates per probe.
+* dot products, norms, and LSH signatures are computed ARRAY-NATIVE
+  (`zip_with`/`transform` + `aggregate` higher-order functions) — one
+  row per vector, evaluated map-side in the JVM with NO shuffle and no
+  64×-wider exploded element table. The only shuffles left are the
+  joins/windows that are semantically required (candidate blocking,
+  per-query top-k). On a 1000-executor cluster this is the difference
+  between shuffling corpus×dim rows and shuffling corpus rows.
 * hyperplanes are generated arithmetically from (bit, position) — no
-  stored model state, identical on every executor, no broadcast.
+  stored model state, identical on every executor, nothing to
+  broadcast.
+* `element_table`/`norms` remain available as the long-form
+  building blocks (they define the oracle-SQL formulation).
 """
 
 from __future__ import annotations
@@ -34,94 +45,113 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-# precision <= 18 keeps Spark's Decimal on the compact long fast path;
-# per-element products are < 1e3 so scale-6 units fit comfortably
-DOT_DEC = "decimal(18,6)"
+# quantization scale: FLOOR(term * 1e6) — products here are < 1, so
+# scaled terms are < 1e6 and even 1e5-dim sums stay far under 2^53
+DOT_SCALE = 1e6
 
 
 def element_table(
     vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(id, pos 1-based, value double) long form of the vectors."""
+    """(id, pos 1-based, value double) long form of the vectors — the
+    shape the DuckDB oracles compute over."""
     return vectors.select(
         F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("pos", "val")
     ).select("vid", (F.col("pos") + 1).alias("pos"), F.col("val").cast("double").alias("val"))
 
 
 def norms(elements: DataFrame) -> DataFrame:
-    """(id, l2 norm) with the decimal-snapped deterministic sum."""
+    """(id, l2 norm) from the long form (oracle-parity building block)."""
     return elements.groupBy("vid").agg(
-        F.sqrt(F.sum((F.col("val") * F.col("val")).cast(DOT_DEC)).cast("double")).alias(
-            "norm"
-        )
+        F.sqrt(
+            F.sum(F.floor(F.col("val") * F.col("val") * DOT_SCALE)).cast("double")
+            / DOT_SCALE
+        ).alias("norm")
+    )
+
+
+def dot_dec(a: Column, b: Column) -> Column:
+    """Deterministic dot product of two array columns: each pairwise
+    product floor-quantized to a scaled BIGINT, summed exactly
+    (integer addition is associative), returned as double. The whole
+    chain — float→double widen, IEEE multiply, floor — is bit-identical
+    in every engine, and the primitive long terms keep the interpreted
+    higher-order aggregate cheap (no per-term BigDecimal)."""
+    return (
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: F.floor(x.cast("double") * y.cast("double") * DOT_SCALE),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / DOT_SCALE
+    )
+
+
+def norm_dec(a: Column) -> Column:
+    """Deterministic L2 norm of an array column (same snapping as
+    :func:`dot_dec` over the self-products)."""
+    return F.sqrt(dot_dec(a, a))
+
+
+def _cosine(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot / F.nullif(norm_a * norm_b, F.lit(0.0))
+
+
+def _with_norm(
+    vectors: DataFrame, id_col: str, vec_col: str, prefix: str
+) -> DataFrame:
+    """(<prefix>id, <prefix>vec, <prefix>norm) — norm computed map-side."""
+    return vectors.select(
+        F.col(id_col).alias(f"{prefix}id"),
+        F.col(vec_col).alias(f"{prefix}vec"),
+        norm_dec(F.col(vec_col)).alias(f"{prefix}norm"),
     )
 
 
 def cosine_pairs(
-    probe_elements: DataFrame,
-    corpus_elements: DataFrame,
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """(probe vid, corpus vid, cosine) for the full probe × corpus set
-    (joined on vector position; self-pairs NOT excluded here)."""
-    p = probe_elements.alias("p")
-    c = corpus_elements.alias("c")
-    dots = (
-        p.join(c, F.col("p.pos") == F.col("c.pos"))
-        .groupBy(F.col("p.vid").alias("qid"), F.col("c.vid").alias("cid"))
-        .agg(
-            F.sum((F.col("p.val") * F.col("c.val")).cast(DOT_DEC))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    np_ = norms(probe_elements).withColumnRenamed("vid", "qid").withColumnRenamed(
-        "norm", "qnorm"
-    )
-    nc = norms(corpus_elements).withColumnRenamed("vid", "cid").withColumnRenamed(
-        "norm", "cnorm"
-    )
-    return (
-        dots.join(F.broadcast(np_), "qid")
-        .join(nc, "cid")
-        .select(
-            "qid",
-            "cid",
-            (
-                F.col("dot")
-                / F.nullif(F.col("qnorm") * F.col("cnorm"), F.lit(0.0))
-            ).alias("cosine"),
-        )
+    """(qid, cid, cosine) for the full probe × corpus set (self-pairs
+    NOT excluded). The probe side is broadcast; each corpus row
+    computes its |probes| cosines map-side — no shuffle at all."""
+    p = _with_norm(probes, id_col, vec_col, "q")
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    return c.join(F.broadcast(p)).select(
+        "qid",
+        "cid",
+        _cosine(
+            dot_dec(F.col("qvec"), F.col("cvec")), F.col("qnorm"), F.col("cnorm")
+        ).alias("cosine"),
     )
 
 
-def cosine_for_pairs(pairs: DataFrame, elements: DataFrame) -> DataFrame:
+def cosine_for_pairs(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
     """Exact cosine for an explicit (qid, cid) pair set — cost is
     O(|pairs| × dim), independent of corpus size (the verify step of
-    every LSH/blocking pipeline)."""
-    q = elements.alias("q")
-    c = elements.alias("c")
-    dots = (
-        pairs.join(q, pairs.qid == F.col("q.vid"))
-        .join(c, (pairs.cid == F.col("c.vid")) & (F.col("q.pos") == F.col("c.pos")))
-        .groupBy("qid", "cid")
-        .agg(
-            F.sum((F.col("q.val") * F.col("c.val")).cast(DOT_DEC))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    n = norms(elements)
-    nq = n.withColumnRenamed("vid", "qid").withColumnRenamed("norm", "qnorm")
-    nc = n.withColumnRenamed("vid", "cid").withColumnRenamed("norm", "cnorm")
+    every LSH/blocking pipeline). Joins are on vector id only (narrow
+    rows); the dot product itself is a map-side array aggregate."""
+    q = _with_norm(vectors, id_col, vec_col, "q")
+    c = _with_norm(vectors, id_col, vec_col, "c")
     return (
-        dots.join(nq, "qid")
-        .join(nc, "cid")
+        pairs.join(q, "qid")
+        .join(c, "cid")
         .select(
             "qid",
             "cid",
-            (
-                F.col("dot")
-                / F.nullif(F.col("qnorm") * F.col("cnorm"), F.lit(0.0))
+            _cosine(
+                dot_dec(F.col("qvec"), F.col("cvec")), F.col("qnorm"), F.col("cnorm")
             ).alias("cosine"),
         )
     )
@@ -139,9 +169,9 @@ def brute_force_topk(
     Deterministic ranking: cosine DESC, then corpus id ASC as the
     tiebreaker. Self-matches (same id) are excluded.
     """
-    corpus_el = element_table(vectors, id_col, vec_col)
-    probe_el = element_table(probes, id_col, vec_col)
-    pairs = cosine_pairs(probe_el, corpus_el).filter(F.col("qid") != F.col("cid"))
+    pairs = cosine_pairs(probes, vectors, id_col, vec_col).filter(
+        F.col("qid") != F.col("cid")
+    )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -160,44 +190,20 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 
 def _nearest_centroids(
-    elements: DataFrame, centroid_elements: DataFrame, n: int
+    vectors: DataFrame, centroids: DataFrame, n: int
 ) -> DataFrame:
     """(vid, cvid) of each vector's n nearest centroids by cosine.
 
-    The centroid element table is tiny (cells << corpus) and broadcast,
-    so the assignment is a map-side join: corpus×centroids dot products
-    with no shuffle of the corpus beyond its own groupBy key — the same
-    plan shape IVF coarse quantization has on a 1000-executor cluster.
-    Ties break on centroid id for cross-engine determinism.
+    The centroid table is tiny (cells << corpus) and broadcast, so the
+    assignment is map-side: each corpus row scores all centroids with
+    array-native dots and keeps its top n via a per-vid window — the
+    same plan shape IVF coarse quantization has on a 1000-executor
+    cluster. Ties break on centroid id for cross-engine determinism.
     """
-    v = elements.alias("v")
-    c = centroid_elements.alias("c")
-    dots = (
-        v.join(F.broadcast(c), F.col("v.pos") == F.col("c.pos"))
-        .groupBy(F.col("v.vid").alias("vid"), F.col("c.vid").alias("cvid"))
-        .agg(
-            F.sum((F.col("v.val") * F.col("c.val")).cast(DOT_DEC))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    nv = norms(elements)
-    ncn = (
-        norms(centroid_elements)
-        .withColumnRenamed("vid", "cvid")
-        .withColumnRenamed("norm", "cnorm")
-    )
-    scored = (
-        dots.join(nv, "vid")
-        .join(F.broadcast(ncn), "cvid")
-        .select(
-            "vid",
-            "cvid",
-            (
-                F.col("dot") / F.nullif(F.col("norm") * F.col("cnorm"), F.lit(0.0))
-            ).alias("cosine"),
-        )
-    )
+    scored = cosine_pairs(
+        centroids.select(F.col("vid").alias("vec_id"), F.col("vec").alias("embedding")),
+        vectors.select(F.col("vid").alias("vec_id"), F.col("vec").alias("embedding")),
+    ).select(F.col("cid").alias("vid"), F.col("qid").alias("cvid"), "cosine")
     w = W.partitionBy("vid").orderBy(F.desc("cosine"), F.col("cvid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -228,11 +234,13 @@ def ivf_topk(
     centroid set; the probe-side join shuffles on cell id, which is
     uniformly loaded when ids are hash-distributed.
     """
-    corpus_el = element_table(vectors, id_col, vec_col).cache()
-    cent_el = corpus_el.filter(F.col("vid") % centroid_stride == 0)
-    assign = _nearest_centroids(corpus_el, cent_el, 1)
-    probe_el = element_table(probes, id_col, vec_col)
-    probe_cells = _nearest_centroids(probe_el, cent_el, nprobe).withColumnRenamed(
+    corpus = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    cents = corpus.filter(F.col("vid") % centroid_stride == 0)
+    assign = _nearest_centroids(corpus, cents, 1)
+    probe_v = probes.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    probe_cells = _nearest_centroids(probe_v, cents, nprobe).withColumnRenamed(
         "vid", "qid"
     )
     candidates = (
@@ -241,7 +249,7 @@ def ivf_topk(
         .select("qid", F.col("vid").alias("cid"))
         .distinct()
     )
-    pairs = cosine_for_pairs(candidates, corpus_el)
+    pairs = cosine_for_pairs(candidates, vectors, id_col, vec_col)
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -267,24 +275,45 @@ def _hyperplane_component(bit: int, pos: Column) -> Column:
 
 
 def hyperplane_signatures(
-    elements: DataFrame, num_bits: int = 32
+    vectors: DataFrame,
+    num_bits: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """num_bits sign-of-dot-product bits per vector, as one integer."""
-    sums = elements.groupBy("vid").agg(
-        *[
-            F.sum(
-                (F.col("val") * _hyperplane_component(b, F.col("pos"))).cast(DOT_DEC)
-            )
-            .cast("double")
-            .alias(f"h{b}")
-            for b in range(num_bits)
-        ]
-    )
+    """num_bits sign-of-dot-product bits per vector, as one integer.
+
+    The vector is floor-quantized to scaled longs ONCE; each bit's
+    hyperplane dot is then a pure integer multiply-add aggregate over
+    the quantized array (`transform` with the 1-based element index
+    feeding the hyperplane formula) — all map-side, exact, no explode
+    and no shuffle.
+    """
+
+    def hdot(b: int) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.col("qvec"),
+                lambda q, i: q
+                * _hyperplane_component(b, (i + F.lit(1)).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
     sig = None
     for b in range(num_bits):
         bit = F.when(F.col(f"h{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    return sums.select("vid", sig.cast("long").alias("sig"))
+    return (
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            F.transform(
+                F.col(vec_col), lambda x: F.floor(x.cast("double") * DOT_SCALE)
+            ).alias("qvec"),
+        )
+        .select("vid", *[hdot(b).alias(f"h{b}") for b in range(num_bits)])
+        .select("vid", sig.cast("long").alias("sig"))
+    )
 
 
 def lsh_ann_pairs(
@@ -302,10 +331,7 @@ def lsh_ann_pairs(
     (decimal-snapped) cosine and keeps pairs >= min_cosine. Recall
     follows 1-(1-p^r)^b with p = 1 - angle/pi.
     """
-    # elements feed signatures, the verify dots and both norm lookups —
-    # cache so the explode happens once
-    elements = element_table(vectors, id_col, vec_col).cache()
-    sigs = hyperplane_signatures(elements, num_bits)
+    sigs = hyperplane_signatures(vectors, num_bits, id_col, vec_col)
     r = num_bits // bands
     band_rows = sigs.select(
         "vid",
@@ -335,7 +361,7 @@ def lsh_ann_pairs(
         .select(F.col("x.vid").alias("qid"), F.col("y.vid").alias("cid"))
         .distinct()
     )
-    pairs = cosine_for_pairs(candidates, elements)
+    pairs = cosine_for_pairs(candidates, vectors, id_col, vec_col)
     return pairs.filter(F.col("cosine") >= min_cosine).select(
         F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), "cosine"
     )

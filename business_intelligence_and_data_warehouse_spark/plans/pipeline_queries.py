@@ -45,7 +45,6 @@ from ..operators.multimodal import attach_blob, extract_features
 from ..operators.similarity import (
     brute_force_topk,
     cosine_pairs,
-    element_table,
     ivf_topk,
     lsh_ann_pairs,
 )
@@ -246,7 +245,9 @@ el AS (
   FROM embeddings CROSS JOIN range(1, 65) t(i)
 ),
 nrm AS (
-  SELECT vid, sqrt(CAST(SUM(CAST(val * val AS DECIMAL(18,6))) AS DOUBLE)) AS norm
+  SELECT vid,
+         sqrt(CAST(SUM(CAST(FLOOR(val * val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+           AS norm
   FROM el GROUP BY vid
 )
 """
@@ -259,7 +260,8 @@ WITH {_O_ELEMENTS},
 pel AS (SELECT * FROM el WHERE vid % 100 = 0),
 dots AS (
   SELECT p.vid AS qid, c.vid AS cid,
-         CAST(SUM(CAST(p.val * c.val AS DECIMAL(18,6))) AS DOUBLE) AS dot
+         CAST(SUM(CAST(FLOOR(p.val * c.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
   FROM pel p JOIN el c ON p.pos = c.pos
   GROUP BY 1, 2
 ),
@@ -297,7 +299,8 @@ WITH {_O_ELEMENTS},
 sel AS (SELECT * FROM el WHERE vid % 5 = 0),
 dots AS (
   SELECT a.vid AS qid, b.vid AS cid,
-         CAST(SUM(CAST(a.val * b.val AS DECIMAL(18,6))) AS DOUBLE) AS dot
+         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
   FROM sel a JOIN sel b ON a.pos = b.pos AND a.vid < b.vid
   GROUP BY 1, 2
 )
@@ -315,8 +318,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset vec_id % 5 == 0 (brute force — the exact baseline the LSH
     path approximates)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    el = element_table(emb)
-    pairs = cosine_pairs(el, el).filter(F.col("qid") < F.col("cid"))
+    pairs = cosine_pairs(emb, emb).filter(F.col("qid") < F.col("cid"))
     return (
         pairs.filter(F.col("cosine") >= _NEARDUP_T)
         .select(
@@ -333,7 +335,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_BITS, _ANN_BANDS, _ANN_MIN_COS = 40, 4, 0.4
 _HP_CONSTS = [b * 2654435761 % 1013 for b in range(_ANN_BITS)]
 _HSUMS = ",\n  ".join(
-    f"CAST(SUM(CAST(val * ((({c} + pos * 2246822519) % 19) - 9) AS DECIMAL(18,6))) AS DOUBLE) AS h{b}"
+    f"SUM(CAST(FLOOR(val * 1e6) AS BIGINT) * ((({c} + pos * 2246822519) % 19) - 9)) AS h{b}"
     for b, c in enumerate(_HP_CONSTS)
 )
 _SIG_ANN = " + ".join(
@@ -365,7 +367,8 @@ cand AS (
 ),
 dots AS (
   SELECT cand.qid, cand.cid,
-         CAST(SUM(CAST(a.val * b.val AS DECIMAL(18,6))) AS DOUBLE) AS dot
+         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
   FROM cand
   JOIN el a ON a.vid = cand.qid
   JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
@@ -403,7 +406,8 @@ _IVF_STRIDE, _IVF_NPROBE, _IVF_K = 25, 4, 10
 WITH {_O_ELEMENTS},
 adots AS (
   SELECT v.vid AS vid, c.vid AS cvid,
-         CAST(SUM(CAST(v.val * c.val AS DECIMAL(18,6))) AS DOUBLE) AS dot
+         CAST(SUM(CAST(FLOOR(v.val * c.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
   FROM el v JOIN el c ON v.pos = c.pos AND c.vid % {_IVF_STRIDE} = 0
   GROUP BY 1, 2
 ),
@@ -429,7 +433,8 @@ cand AS (
 ),
 dots AS (
   SELECT cand.qid, cand.cid,
-         CAST(SUM(CAST(a.val * b.val AS DECIMAL(18,6))) AS DOUBLE) AS dot
+         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
   FROM cand
   JOIN el a ON a.vid = cand.qid
   JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
