@@ -183,6 +183,36 @@ def minhash_lsh_candidates(
     )
 
 
+def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for an explicit (doc_a, doc_b) pair
+    set — cost is O(|pairs| × shingles-per-doc), independent of how
+    common any shingle is in the corpus (the verify step of every
+    LSH/blocking pipeline; never all-pairs)."""
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, (pairs.doc_b == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     k: int = 3,
@@ -193,14 +223,18 @@ def minhash_lsh_dedup(
     text_col: str = "text",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band join ->
-    verify candidates with exact Jaccard >= threshold."""
+    verify ONLY the candidate pairs with exact Jaccard >= threshold.
+
+    Verification is per-candidate (``jaccard_for_pairs``), never the
+    all-pairs shingle self-join — a stop-shingle shared by f documents
+    would otherwise contribute f² verify rows regardless of banding.
+    """
     # the shingle table feeds signatures, sizes and the verify join —
     # cache it so the explode+distinct shuffle runs once
     shingles = shingle_table(docs, k, id_col, text_col).cache()
     candidates = minhash_lsh_candidates(shingles, bands, rows_per_band)
-    verified = jaccard_pairs(shingles, threshold, max_df=None)
-    return candidates.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    return jaccard_for_pairs(candidates, shingles).filter(
+        F.col("jaccard") >= threshold
     )
 
 
