@@ -1,0 +1,93 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove the answers are right; these prove the PLANS
+are the ones we'd want on a 1000-executor cluster reading 100 TB:
+filters reach the parquet scan, scans read only the projected columns,
+small sides broadcast, aggregates combine map-side, and top-k never
+materializes a full sort. A regression here means a rewrite silently
+de-optimized a query even though its results still match.
+"""
+
+from __future__ import annotations
+
+import re
+
+from business_intelligence_and_data_warehouse_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def scan_blocks(plan: str) -> list[str]:
+    """The per-scan detail blocks of a formatted plan."""
+    return [
+        b for b in re.split(r"\n\(\d+\) ", plan) if b.startswith("Scan parquet")
+    ]
+
+
+def test_q1a_scan_prunes_and_pushes(spark):
+    plan = plan_of(spark, "q1a_yoy_growth")
+    scans = scan_blocks(plan)
+    assert scans, plan
+    li = next(s for s in scans if "lineitem" in s)
+    # projection pruning: 3 of lineitem's 16 columns reach the reader
+    m = re.search(r"ReadSchema: struct<([^>]*)>", li)
+    assert m and len(m.group(1).split(",")) == 3, li
+    # the join-key null filter is pushed into the parquet scan
+    assert "PushedFilters: [IsNotNull(l_orderkey)]" in li, li
+    # partial (map-side) aggregation before the shuffle
+    assert "partial_sum" in plan
+    # the orders side of the join is broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fact_load_broadcasts_every_dim(spark):
+    plan = plan_of(spark, "etl_fact_order_lines")
+    # dim lookups (time/customer/part/supplier) must be broadcast hash
+    # joins — shuffling the fact table once per lookup is the classic
+    # ETL scale failure
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "q4a_multi_exists")
+    # EXISTS chains compile to semi joins, never to aggregated inners
+    assert "LeftSemi" in plan, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "q5a_ltv_top20")
+    # ORDER BY + LIMIT must be TakeOrderedAndProject (per-partition
+    # heap + single merge), not a global Sort followed by Limit
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_brute_force_topk_broadcasts_probes(spark):
+    plan = plan_of(spark, "sim_embedding_topk")
+    # probe × corpus is a broadcast nested-loop on the tiny probe set;
+    # an unbroadcast CartesianProduct would shuffle the corpus
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_no_plan_falls_back_to_python_udf_in_sql_battery(spark):
+    # the 10 reference queries must stay whole-JVM: no BatchEvalPython
+    # (row-at-a-time Python UDF) anywhere in their plans
+    for name in [
+        "q1a_yoy_growth",
+        "q2a_grouping_sets",
+        "q3b_moving_cumulative",
+        "q4b_above_category_avg",
+        "q5b_monthly_kpis",
+    ]:
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
