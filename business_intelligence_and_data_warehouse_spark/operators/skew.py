@@ -1,0 +1,96 @@
+"""Skew-mitigation operators: salted aggregation and salted joins.
+
+At 100 TB a handful of hot keys (a viral document, a default user id,
+a null-ish sentinel) can put an entire aggregation or join on one
+executor while the rest of the cluster idles. AQE's skew-join split
+(`spark.sql.adaptive.skewJoin.enabled`, on in `session.get_spark`)
+handles the JOIN case at runtime; these operators handle the cases AQE
+does not:
+
+* `salted_agg` — two-phase aggregation for skewed GROUP BY keys: a
+  random salt spreads each hot key over `salt_buckets` partial groups
+  (map-side + first shuffle), then a second tiny aggregation merges
+  the partials. Works for any algebraic aggregate (sum/count/min/max;
+  avg = sum+count merged at the end). Results are EXACTLY equal to the
+  plain groupBy — salting changes the partitioning, not the algebra —
+  so the same oracle SQL verifies both.
+* `salted_broadcast_left` — replicate-broadcast pattern for a skewed
+  join where the big side's hot keys would overload single tasks and
+  the small side fits in memory ×`salt_buckets`: big rows get a random
+  salt, the broadcast side is exploded once per salt value, and the
+  join key becomes (key, salt). Equivalent to a plain inner join.
+
+The salt is `rand(seed)`-derived, which is fine because it never
+affects VALUES — only placement. Tests assert exact equality against
+the unsalted form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt_buckets: int, seed: int = 42) -> DataFrame:
+    """Append a uniform int salt column in [0, salt_buckets)."""
+    return df.withColumn(
+        "_salt", (F.rand(seed) * salt_buckets).cast("int")
+    )
+
+
+_MERGES = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    merges: dict[str, str] | None = None,
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """groupBy(keys).agg(...) computed skew-proof in two phases.
+
+    ``aggs`` maps output column name -> the phase-1 aggregate (a
+    :mod:`pyspark.sql.functions` expression); ``merges`` maps the same
+    name -> how phase 2 combines partials ("sum", "min", "max";
+    default "sum"). Callers express COUNT as ``F.sum(F.lit(1))`` so
+    the partials merge by summing (a count of counts would be wrong);
+    AVG as separate sum+count merged by the caller afterwards.
+
+    Phase 1 groups on (keys + salt): a key with f rows is spread over
+    min(f, salt_buckets) tasks. Phase 2 groups the ≤ salt_buckets
+    partials per key — trivially small. Spark's partial aggregation
+    already does this for the MAP side; salting extends it through the
+    REDUCE side, which is where a hot key concentrates.
+    """
+    merges = merges or {}
+    phase1 = with_salt(df, salt_buckets, seed).groupBy(*keys, "_salt").agg(
+        *[a.alias(name) for name, a in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            _MERGES[merges.get(name, "sum")](name).alias(name)
+            for name in aggs
+        ]
+    )
+
+
+def salted_broadcast_left(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Inner join big ⋈ small on ``on``, with the big side salted and
+    the small side replicated once per salt value, so a hot join key's
+    rows land on `salt_buckets` tasks instead of one.
+
+    Column contract matches ``big.join(small, on, "inner")``.
+    """
+    b = with_salt(big, salt_buckets, seed)
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return b.join(F.broadcast(s), on + ["_salt"], "inner").drop("_salt")

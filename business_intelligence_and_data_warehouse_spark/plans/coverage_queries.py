@@ -236,3 +236,47 @@ def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0)
     )
     return out.orderBy("day")
+
+
+@query_fn(
+    "skew_salted_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       MAX(value) AS max_value,
+       MIN(CAST(ts AS TIMESTAMP)) AS first_event
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (operators/skew.salted_agg)
+    over `events.event_type` — 5 distinct values over the whole table,
+    so every key is hot by construction. The salt spreads each key
+    over 16 partial groups before the merge; results are EXACTLY the
+    plain GROUP BY (salting moves rows, not algebra), which is what
+    the oracle checks."""
+    from ..operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n_events": F.sum(F.lit(1)),
+            "value_sum": F.sum(F.col("value").cast("decimal(18,6)")),
+            "max_value": F.max("value"),
+            "first_event": F.min("ts"),
+        },
+        merges={"max_value": "max", "first_event": "min"},
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "max_value",
+        "first_event",
+    ).orderBy("event_type")

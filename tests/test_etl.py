@@ -87,3 +87,25 @@ def test_csv_declared_schema_and_quarantine(spark, tmp_path):
     assert {r.id for r in clean.collect()} == {1, 3}
     assert bad.count() == 1
     assert "notanumber" in bad.first()._corrupt_record
+
+
+def test_jsonl_declared_schema_and_quarantine(spark, tmp_path):
+    from business_intelligence_and_data_warehouse_spark.sources.json import read_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok", "amount": 10.5}\n'
+        '{"id": 2, "name": "bad", "amount": "notanumber"}\n'
+        "this is not json at all\n"
+        '{"id": 3, "name": "fine", "amount": 2.0}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    clean, bad = split_corrupt(read_jsonl(spark, str(p), schema))
+    assert {r.id for r in clean.collect()} == {1, 3}
+    assert bad.count() == 2
