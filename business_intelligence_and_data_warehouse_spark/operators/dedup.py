@@ -63,13 +63,19 @@ def exact_dedup(
 def shingle_table(
     docs: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, shingle) pairs — DISTINCT per document (set semantics)."""
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(normalize_text(F.col(text_col)), k)).alias("s"),
-        )
-        .distinct()
+    """(id, shingle) pairs — DISTINCT per document (set semantics).
+
+    The per-document dedup happens map-side with ``array_distinct``
+    BEFORE the explode: a ``.distinct()`` after the explode would
+    shuffle the full (doc, shingle) table — by far the widest
+    intermediate in every dedup pipeline — to deduplicate rows that
+    can only collide within one document anyway.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_shingles(normalize_text(F.col(text_col)), k))
+        ).alias("s"),
     )
 
 

@@ -110,3 +110,64 @@ def test_scd1_upsert_last_wins_and_dedup(spark):
     out = scd1_upsert(existing, incoming, ["k"], order_col="v")
     got = {r.k: r.v for r in out.collect()}
     assert got == {1: "new", 2: "keep", 3: "add2"}  # incoming wins; max v wins
+
+
+# ---------------------------------------------------------------------------
+# randomized property: any batch sequence preserves the SCD2 invariants
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_KEYS = st.integers(min_value=1, max_value=4)
+_VALS = st.sampled_from(["a", "b", "c"])
+_BATCH = st.dictionaries(_KEYS, st.tuples(_VALS, _VALS), min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(_BATCH, min_size=1, max_size=3))
+def test_scd2_invariants_hold_for_any_batch_sequence(spark, batches):
+    """After ANY sequence of loads: exactly one open row per key;
+    versions dense from 1; validity windows chain with no gap or
+    overlap; the open row carries the key's latest batch values; and
+    re-applying the final batch is a no-op."""
+    dim = scd2_initial_load(
+        spark.createDataFrame([(9, "z", "z")], "k int, seg string, attr string"),
+        "2016-01-01",
+    )
+    latest: dict[int, tuple[str, str]] = {9: ("z", "z")}
+    for i, batch in enumerate(batches):
+        bdf = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in batch.items()],
+            "k int, seg string, attr string",
+        )
+        dim = scd2_merge(
+            dim, bdf, ["k"], ["seg", "attr"], f"2017-0{i + 1}-15"
+        ).cache()
+        latest.update(batch)
+
+    rows = dim.collect()
+    open_rows = {r.k: r for r in rows if str(r.effective_to) == HIGH_DATE}
+    # one open row per key, carrying the latest values
+    assert sorted(open_rows) == sorted(latest)
+    for k, (seg, attr) in latest.items():
+        assert (open_rows[k].seg, open_rows[k].attr) == (seg, attr)
+    # dense versions per key
+    by_key: dict[int, list[int]] = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r.version)
+    for k, versions in by_key.items():
+        assert sorted(versions) == list(range(1, len(versions) + 1)), (k, versions)
+    # windows chain exactly
+    assert _chain_violations(dim) == 0
+    # idempotency of the final state
+    final_batch = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in latest.items()],
+        "k int, seg string, attr string",
+    )
+    again = scd2_merge(dim, final_batch, ["k"], ["seg", "attr"], "2018-01-01")
+    assert again.count() == len(rows)
