@@ -45,9 +45,15 @@ def token_count_bpe_ish(col: Column) -> Column:
     return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
 
 
-def word_shingles(col: Column, k: int) -> Column:
-    """Array of k-word shingles (space-joined); empty if < k tokens."""
-    toks = tokens_ws(col)
+def shingles_of_tokens(toks: Column, k: int) -> Column:
+    """Array of k-word shingles (space-joined) from a token-array
+    column; empty if < k tokens.
+
+    Pass a MATERIALIZED token column (projected in a prior select):
+    the window lambda references the array once per shingle, so an
+    unbound normalize+split expression here would be re-evaluated
+    O(tokens) times per document.
+    """
     return F.when(
         F.size(toks) >= k,
         F.transform(
@@ -55,6 +61,12 @@ def word_shingles(col: Column, k: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: Column, k: int) -> Column:
+    """Array of k-word shingles over raw text (see
+    :func:`shingles_of_tokens` for the staged fast path)."""
+    return shingles_of_tokens(tokens_ws(col), k)
 
 
 def char_ngrams(col: Column, n: int, max_chars: int | None = None) -> Column:
@@ -84,10 +96,15 @@ def fingerprint_md5(col: Column) -> Column:
 def rolling_min_fingerprint(col: Column, n: int = 8, max_chars: int = 200) -> Column:
     """Winnowing-style content fingerprint: minimum md5 over the
     char-n-gram window set of the document prefix. Equal prefixes give
-    equal fingerprints regardless of surrounding formatting."""
-    return F.array_min(
-        F.transform(char_ngrams(normalize_text(col), n, max_chars), F.md5)
-    )
+    equal fingerprints regardless of surrounding formatting.
+
+    IMPORTANT: pass a MATERIALIZED column (project the normalized text
+    into its own column in a prior select), not a normalization
+    expression — a lambda over an unbound expression re-evaluates it
+    once per n-gram (~200× per document for the regex-heavy
+    normalizer). This function therefore does NOT normalize its input.
+    """
+    return F.array_min(F.transform(char_ngrams(col, n, max_chars), F.md5))
 
 
 def punct_ratio(col: Column) -> Column:

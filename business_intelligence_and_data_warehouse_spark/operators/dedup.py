@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text, fingerprint_md5, word_shingles
+from ..functions.text import (
+    fingerprint_md5,
+    normalize_text,
+    shingles_of_tokens,
+    tokens_ws,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -69,13 +74,17 @@ def shingle_table(
     BEFORE the explode: a ``.distinct()`` after the explode would
     shuffle the full (doc, shingle) table — by far the widest
     intermediate in every dedup pipeline — to deduplicate rows that
-    can only collide within one document anyway.
+    can only collide within one document anyway. The token array is
+    projected into its own column first so the shingle lambda reads a
+    bound attribute instead of re-running normalize+split per shingle.
     """
-    return docs.select(
+    toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(word_shingles(normalize_text(F.col(text_col)), k))
-        ).alias("s"),
+        tokens_ws(normalize_text(F.col(text_col))).alias("toks"),
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of_tokens(F.col("toks"), k))).alias("s"),
     )
 
 
