@@ -101,12 +101,19 @@ def jaccard_pairs(
     is counted in the join, and set sizes use the same capped
     vocabulary so the measure stays a true Jaccard on the filtered
     space. Integer counts -> exact doubles, engine-parity safe.
+
+    The cap is applied as a broadcast LEFT ANTI join against the
+    *stop-shingle* set (df > max_df). Broadcasting the kept vocabulary
+    would ship nearly the entire distinct-shingle set (billions of
+    rows at corpus scale — broadcast OOM); the stop set is bounded by
+    the number of pathologically common shingles, which shrinks as
+    max_df grows. Identical semantics, opposite — and tiny —
+    broadcast side.
     """
     if max_df is not None:
         freq = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        shingles = shingles.join(
-            F.broadcast(freq.filter(F.col("df") <= max_df).select("s")), "s"
-        )
+        stop = freq.filter(F.col("df") > max_df).select("s")
+        shingles = shingles.join(F.broadcast(stop), "s", "left_anti")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")

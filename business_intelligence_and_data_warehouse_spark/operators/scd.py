@@ -110,6 +110,14 @@ def scd2_merge(
 
     Deterministic and idempotent: re-merging an identical batch is a
     no-op because unchanged rows never match the change predicate.
+
+    Same-day re-merge: a changed key whose current version became
+    effective ON `load_date` is folded into that open version
+    (attributes replaced, version/window kept — an SCD1-style intra-day
+    correction). Closing it instead would produce a zero-length window
+    (`effective_from = effective_to`) that `scd2_asof_lookup`'s
+    `from <= d < to` predicate can never match, silently hiding that
+    day's history.
     """
     nat_key = list(nat_key)
     tracked = list(tracked)
@@ -129,17 +137,29 @@ def scd2_merge(
         lambda a, b: a & b,
         [F.col(f"b.{t}").eqNullSafe(F.col(f"c.{t}")) for t in tracked],
     )
-    changed = joined.filter(F.col("c.version").isNotNull()).filter(~unchanged_pred)
+    changed_any = joined.filter(F.col("c.version").isNotNull()).filter(
+        ~unchanged_pred
+    )
     new_keys = joined.filter(F.col("c.version").isNull())
 
+    # same-day corrections keep the open version; others close + insert
+    same_day = F.col("c.effective_from") == load
+    changed = changed_any.filter(~same_day)
+    corrected = changed_any.filter(same_day)
+
     changed_keys = changed.select(*[F.col(f"b.{k}").alias(k) for k in nat_key])
+    corrected_keys = corrected.select(
+        *[F.col(f"b.{k}").alias(k) for k in nat_key]
+    )
 
     # current rows whose key changed -> close the window at load date
     closed = (
         current.join(changed_keys, nat_key, "left_semi")
         .withColumn("effective_to", load)
     )
-    untouched_current = current.join(changed_keys, nat_key, "left_anti")
+    untouched_current = current.join(changed_keys, nat_key, "left_anti").join(
+        corrected_keys, nat_key, "left_anti"
+    )
 
     # next versions for changed keys
     next_versions = changed.select(
@@ -148,6 +168,15 @@ def scd2_merge(
         load.alias("effective_from"),
         high.alias("effective_to"),
         (F.col("c.version") + 1).cast("int").alias("version"),
+    )
+
+    # same-day corrections: new attributes, same window and version
+    corrected_versions = corrected.select(
+        *[F.col(f"b.{k}").alias(k) for k in nat_key],
+        *[F.col(f"b.{t}").alias(t) for t in tracked],
+        F.col("c.effective_from").alias("effective_from"),
+        high.alias("effective_to"),
+        F.col("c.version").cast("int").alias("version"),
     )
 
     # brand-new keys enter at version 1
@@ -165,6 +194,7 @@ def scd2_merge(
         .unionByName(untouched_current.select(*cols))
         .unionByName(closed.select(*cols))
         .unionByName(next_versions)
+        .unionByName(corrected_versions)
         .unionByName(first_versions)
     )
 

@@ -20,8 +20,15 @@ does not:
   salt, the broadcast side is exploded once per salt value, and the
   join key becomes (key, salt). Equivalent to a plain inner join.
 
-The salt is `rand(seed)`-derived, which is fine because it never
-affects VALUES — only placement. Tests assert exact equality against
+The salt is DETERMINISTIC per row content (`xxhash64` over all
+columns, mod buckets) — never `rand()`. A non-deterministic expression
+feeding a shuffle is the SPARK-23207 failure class: under a fetch
+failure / stage retry a row can be recomputed with a different salt
+and land in a partition that was already consumed, silently dropping
+or duplicating it on real clusters (invisible in local tests). The
+hash salt re-derives identically on retry. Fully identical rows share
+a salt, which only means exact duplicates don't spread further — the
+aggregate stays exact either way. Tests assert exact equality against
 the unsalted form.
 """
 
@@ -32,9 +39,14 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, salt_buckets: int, seed: int = 42) -> DataFrame:
-    """Append a uniform int salt column in [0, salt_buckets)."""
+    """Append a uniform int salt column in [0, salt_buckets), derived
+    deterministically from the row's content so stage retries
+    recompute the same salt (see module docstring)."""
     return df.withColumn(
-        "_salt", (F.rand(seed) * salt_buckets).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(F.lit(seed), *df.columns), F.lit(salt_buckets)).cast(
+            "int"
+        ),
     )
 
 

@@ -60,7 +60,16 @@ ORDER BY month
 def churn_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 6-month distinct-customer churn (DAX W7): active =
     customers with an order in the trailing 6 months; churned =
-    EXCEPT(previous window, current window) as a left_anti join."""
+    EXCEPT(previous window, current window) as a left_anti join.
+
+    The active set is expanded LINEARLY: each (customer, order-month)
+    row explodes into the exactly-6 window months it covers
+    (``sequence(m, add_months(m, 5))``), then a semi-join keeps only
+    observed months. The months×pairs range join this replaces was a
+    broadcast nested loop evaluating |months|·|pairs| predicates —
+    quadratic in history length; the explode is a map-side 6× fan-out
+    regardless of how many months of history exist.
+    """
     orders = load_table(spark, sf_dir, "orders")
     pairs = (
         orders.select(
@@ -71,13 +80,13 @@ def churn_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     months = pairs.select("m").distinct()
     active = (
-        months.alias("mo")
-        .join(
-            pairs.alias("p"),
-            (F.col("p.m") >= F.add_months(F.col("mo.m"), -5))
-            & (F.col("p.m") <= F.col("mo.m")),
+        pairs.select(
+            F.explode(
+                F.expr("sequence(m, add_months(m, 5), interval 1 month)")
+            ).alias("m"),
+            "c",
         )
-        .select(F.col("mo.m").alias("m"), "c")
+        .join(months, "m", "left_semi")
         .distinct()
     )
     counts = active.groupBy("m").agg(F.count(F.lit(1)).alias("n_active"))

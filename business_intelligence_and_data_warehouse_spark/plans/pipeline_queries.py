@@ -479,7 +479,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens_ws,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         AS tokens_ws,
        CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT)
          AS tokens_bpe,
        SUM(n_chars) * 1.0 / COUNT(*) AS avg_chars

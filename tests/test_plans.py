@@ -78,6 +78,24 @@ def test_brute_force_topk_broadcasts_probes(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_jaccard_df_cap_broadcasts_stop_set(spark):
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    # the df-cap must be a broadcast LEFT ANTI against the tiny
+    # stop-shingle set (df > max_df) — broadcasting the KEPT vocabulary
+    # would ship ~the whole distinct-shingle set at corpus scale
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_churn_window_expands_linearly(spark):
+    plan = plan_of(spark, "churn_rolling_window")
+    # the 6-month active window comes from explode(sequence(...)) — a
+    # map-side 6× fan-out — never a months×pairs range join (a
+    # broadcast nested loop, quadratic in history length)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
+
+
 def test_no_plan_falls_back_to_python_udf_in_sql_battery(spark):
     # the 10 reference queries must stay whole-JVM: no BatchEvalPython
     # (row-at-a-time Python UDF) anywhere in their plans

@@ -83,6 +83,31 @@ def test_scd2_merge_null_attribute_changes(spark, dim0):
     assert again.count() == merged.count()
 
 
+def test_scd2_same_day_remerge_folds_into_open_version(spark, dim0):
+    # first merge of the day: key 1 -> version 2 effective 2020-06-01
+    b1 = spark.createDataFrame([(1, "A2", "x")], "k int, seg string, attr string")
+    m1 = scd2_merge(dim0, b1, ["k"], ["seg", "attr"], "2020-06-01")
+    # second merge SAME day with a further change: must fold into the
+    # open version 2 (SCD1-style correction), never close it into a
+    # zero-length window invisible to as-of lookups
+    b2 = spark.createDataFrame([(1, "A3", "x")], "k int, seg string, attr string")
+    m2 = scd2_merge(m1, b2, ["k"], ["seg", "attr"], "2020-06-01").cache()
+
+    k1 = {r.version: r for r in m2.filter("k = 1").collect()}
+    assert sorted(k1) == [1, 2]  # no version 3, no duplicate version 2
+    assert k1[2].seg == "A3"
+    assert str(k1[2].effective_from) == "2020-06-01"
+    assert str(k1[2].effective_to) == HIGH_DATE
+    # no zero-length window anywhere
+    assert m2.filter("effective_from = effective_to").count() == 0
+    assert _chain_violations(m2) == 0
+    # the corrected value is visible as-of that same day
+    facts = spark.createDataFrame([(1, 1, "2020-06-01")], "fid int, k int, d string")
+    facts = facts.withColumn("d", F.to_date("d"))
+    out = scd2_asof_lookup(facts, m2, ["k"], "d", ["seg"]).collect()
+    assert out[0].seg == "A3"
+
+
 def test_scd2_asof_boundary(spark, dim0):
     merged = scd2_merge(
         dim0,
