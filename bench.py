@@ -40,6 +40,13 @@ HEADLINE = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "text_quality_score",
+    # coverage queries (VERDICT r01 §9: keep their cost visible)
+    "share_of_total",
+    "pivot_event_matrix",
+    "skew_salted_agg",
+    "approx_sketches",
+    "churn_rolling_window",
+    "dedup_ngram_jaccard",
     # streaming (batch mode)
     "stream_tumbling_counts",
     "stream_session_windows",

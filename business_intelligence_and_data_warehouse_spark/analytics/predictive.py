@@ -139,15 +139,61 @@ ORDER BY category
 """
 
 
+def stratified_split(
+    data: DataFrame,
+    label_col: str = "label",
+    train_frac: float = 0.7,
+    seed: int = 42,
+    id_col: str = "customer_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Stratified train/test split: `train_frac` sampled PER CLASS
+    (``sampleBy``), the complement (anti-join on `id_col`) as test —
+    the Spark form of sklearn's ``train_test_split(stratify=y)`` the
+    reference uses (`PythonAnalysis.py:281-283`). Per-class proportions
+    hold in expectation within each class instead of only globally."""
+    fractions = {
+        r[0]: train_frac
+        for r in data.select(label_col).distinct().collect()
+    }
+    train = data.sampleBy(label_col, fractions, seed=seed)
+    test = data.join(train.select(id_col), id_col, "left_anti")
+    return train, test
+
+
+def with_balanced_weights(
+    train: DataFrame, label_col: str = "label", weight_col: str = "weight"
+) -> DataFrame:
+    """Append sklearn-style ``class_weight='balanced'`` weights
+    (`PythonAnalysis.py:285`): w(class) = n / (n_classes · n_class), so
+    each class contributes equal total weight to the fit."""
+    counts = {r[0]: r[1] for r in train.groupBy(label_col).count().collect()}
+    n, k = sum(counts.values()), len(counts)
+    expr = None
+    for lbl, cnt in sorted(counts.items()):
+        branch_w = F.lit(n / (k * cnt))
+        expr = (
+            F.when(F.col(label_col) == lbl, branch_w)
+            if expr is None
+            else expr.when(F.col(label_col) == lbl, branch_w)
+        )
+    return train.withColumn(weight_col, expr)
+
+
 def churn_random_forest(
     spark: SparkSession, mart: DataFrame, num_trees: int = 50, seed: int = 42
 ) -> DataFrame:
-    """RandomForest churn classifier (pyspark.ml Pipeline): 70/30 split,
-    ROC-AUC + accuracy + top feature importances. Returns a one-row
+    """RandomForest churn classifier (pyspark.ml Pipeline): stratified
+    70/30 split, balanced class weights, ROC-AUC + accuracy + top
+    feature importances — the reference's sklearn setup
+    (`PythonAnalysis.py:281-311`: train_test_split(stratify=y),
+    class_weight='balanced') in pyspark.ml terms. Returns a one-row
     metrics DataFrame (no SQL oracle — model internals are not
     SQL-expressible; the driver records a rows-only check)."""
     from pyspark.ml.classification import RandomForestClassifier
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
     from pyspark.ml.feature import VectorAssembler
 
     feature_cols = [
@@ -170,18 +216,23 @@ def churn_random_forest(
         .na.fill(0.0)
     )
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
-    data = assembler.transform(feats).select("features", "label")
-    train, test = data.randomSplit([0.7, 0.3], seed=seed)
+    data = assembler.transform(feats).select("customer_id", "features", "label")
+    train, test = stratified_split(data, "label", 0.7, seed)
+    train = with_balanced_weights(train, "label", "weight")
     model = RandomForestClassifier(
-        numTrees=num_trees, maxDepth=5, seed=seed, labelCol="label"
+        numTrees=num_trees,
+        maxDepth=5,
+        seed=seed,
+        labelCol="label",
+        weightCol="weight",
     ).fit(train)
     pred = model.transform(test)
     auc = BinaryClassificationEvaluator(
         labelCol="label", metricName="areaUnderROC"
     ).evaluate(pred)
-    acc = pred.filter(
-        (F.col("prediction") == F.col("label"))
-    ).count() / max(pred.count(), 1)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", metricName="accuracy"
+    ).evaluate(pred)
     imp = model.featureImportances.toArray()
     top = sorted(zip(feature_cols, imp), key=lambda t: -t[1])[:3]
     return spark.createDataFrame(

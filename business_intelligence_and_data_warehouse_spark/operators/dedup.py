@@ -243,6 +243,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_storage: str = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band join ->
     verify ONLY the candidate pairs with exact Jaccard >= threshold.
@@ -250,10 +251,18 @@ def minhash_lsh_dedup(
     Verification is per-candidate (``jaccard_for_pairs``), never the
     all-pairs shingle self-join — a stop-shingle shared by f documents
     would otherwise contribute f² verify rows regardless of banding.
+
+    ``shingle_storage`` sets the persist level of the shared shingle
+    table (it feeds signatures, sizes and the verify join, so it is
+    materialized once). The shingle table is the widest intermediate of
+    the pipeline — at TB corpus scale pass ``"DISK_ONLY"`` so executors
+    don't evict it under memory pressure.
     """
-    # the shingle table feeds signatures, sizes and the verify join —
-    # cache it so the explode+distinct shuffle runs once
-    shingles = shingle_table(docs, k, id_col, text_col).cache()
+    from pyspark import StorageLevel
+
+    shingles = shingle_table(docs, k, id_col, text_col).persist(
+        getattr(StorageLevel, shingle_storage)
+    )
     candidates = minhash_lsh_candidates(shingles, bands, rows_per_band)
     return jaccard_for_pairs(candidates, shingles).filter(
         F.col("jaccard") >= threshold
@@ -311,28 +320,42 @@ def simhash_near_dups(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_blocks: int = 4,
 ) -> DataFrame:
     """Pairs of documents within a Hamming ball of the SimHash.
 
-    Candidate generation blocks on signature halves (a pair within
-    Hamming distance <= max_hamming shares at least one exact half for
-    max_hamming <= 1 per half; with 2 halves this is exact for
-    distance <= 1 and high-recall for small distances — the standard
-    pigeonhole blocking).
+    Candidate generation blocks on `num_blocks` equal signature
+    segments: a pair within Hamming distance d <= num_blocks - 1 must
+    share at least one exact block (pigeonhole — d differing bits can
+    touch at most d blocks), so the default 4 blocks make the
+    `max_hamming = 3` ball EXACT, at the cost of one extra union per
+    block. Each document emits exactly `num_blocks` block rows —
+    candidate generation stays linear in the corpus.
     """
+    if max_hamming > num_blocks - 1:
+        raise ValueError(
+            f"pigeonhole blocking with {num_blocks} blocks is only exact "
+            f"for max_hamming <= {num_blocks - 1}, got {max_hamming}"
+        )
     sigs = simhash(docs, num_bits, id_col, text_col)
-    half = num_bits // 2
-    lo = (F.col("simhash") % (2**half)).alias("block")
-    hi = (F.col("simhash") / (2**half)).cast("long").alias("block")
-    blocks = sigs.select("doc_id", "simhash", F.lit(0).alias("half"), lo).unionByName(
-        sigs.select("doc_id", "simhash", F.lit(1).alias("half"), hi)
-    )
+    width = num_bits // num_blocks
+    blocks = None
+    for j in range(num_blocks):
+        part = sigs.select(
+            "doc_id",
+            "simhash",
+            F.lit(j).alias("blk"),
+            ((F.col("simhash") / F.lit(2 ** (j * width))).cast("long") % (2**width)).alias(
+                "block"
+            ),
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
     x = blocks.alias("x")
     y = blocks.alias("y")
     pairs = (
         x.join(
             y,
-            (F.col("x.half") == F.col("y.half"))
+            (F.col("x.blk") == F.col("y.blk"))
             & (F.col("x.block") == F.col("y.block"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )

@@ -41,9 +41,25 @@ Scale notes:
 
 from __future__ import annotations
 
+import sys
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+from pyspark.sql.functions import pandas_udf
+
+try:
+    # Ship worker-side functions BY VALUE (see operators/multimodal.py:
+    # the driver may import this package from a sys.path entry Python
+    # workers don't have; by-value pickling makes the pandas_udf
+    # closures self-contained — their globals are numpy/pandas only).
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - older cloudpickle
+    pass
 
 # quantization scale: FLOOR(term * 1e6) — products here are < 1, so
 # scaled terms are < 1e6 and even 1e5-dim sums stay far under 2^53
@@ -274,6 +290,15 @@ def _hyperplane_component(bit: int, pos: Column) -> Column:
     return ((F.lit(bit * 2654435761 % 1013) + pos * 2246822519) % 19) - 9
 
 
+def _hyperplane_matrix(dim: int, num_bits: int) -> np.ndarray:
+    """(dim, num_bits) int64 hyperplane components — the vectorized
+    form of :func:`_hyperplane_component` (same integer mix, 1-based
+    positions; all operands positive so numpy `%` == Spark `%`)."""
+    pos = np.arange(1, dim + 1, dtype=np.int64)[:, None]
+    bits = np.arange(num_bits, dtype=np.int64)[None, :]
+    return (bits * 2654435761 % 1013 + pos * 2246822519) % 19 - 9
+
+
 def hyperplane_signatures(
     vectors: DataFrame,
     num_bits: int = 32,
@@ -282,37 +307,32 @@ def hyperplane_signatures(
 ) -> DataFrame:
     """num_bits sign-of-dot-product bits per vector, as one integer.
 
-    The vector is floor-quantized to scaled longs ONCE; each bit's
-    hyperplane dot is then a pure integer multiply-add aggregate over
-    the quantized array (`transform` with the 1-based element index
-    feeding the hyperplane formula) — all map-side, exact, no explode
-    and no shuffle.
+    Computed as ONE Arrow-batched matrix multiply per batch: the
+    float32 batch widens to float64 (exact), floor-quantizes to scaled
+    int64 (the same `FLOOR(x*1e6)` snap as :func:`dot_dec`), and
+    multiplies against the deterministic (dim × num_bits) hyperplane
+    matrix in int64 — bit-identical to evaluating the per-bit integer
+    aggregates one at a time (which is how the DuckDB oracle states
+    it), but a single BLAS pass instead of num_bits interpreted
+    higher-order-function traversals per row. Map-side, no shuffle; the
+    hyperplane matrix is rebuilt from (bit, position) arithmetic inside
+    each task — nothing to broadcast.
     """
 
-    def hdot(b: int) -> Column:
-        return F.aggregate(
-            F.transform(
-                F.col("qvec"),
-                lambda q, i: q
-                * _hyperplane_component(b, (i + F.lit(1)).cast("long")),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+    @pandas_udf("long")
+    def sig_udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack(emb.to_numpy())
+        q = np.floor(mat.astype(np.float64) * DOT_SCALE).astype(np.int64)
+        h = _hyperplane_matrix(q.shape[1], num_bits)
+        dots = q @ h  # int64, exact: |term| <= 9e6, dim 64 << 2^63
+        weights = np.uint64(1) << np.arange(num_bits, dtype=np.uint64)
+        sig = ((dots > 0).astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(sig.astype(np.int64))
 
-    sig = None
-    for b in range(num_bits):
-        bit = F.when(F.col(f"h{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return (
-        vectors.select(
-            F.col(id_col).alias("vid"),
-            F.transform(
-                F.col(vec_col), lambda x: F.floor(x.cast("double") * DOT_SCALE)
-            ).alias("qvec"),
-        )
-        .select("vid", *[hdot(b).alias(f"h{b}") for b in range(num_bits)])
-        .select("vid", sig.cast("long").alias("sig"))
+    return vectors.select(
+        F.col(id_col).alias("vid"), sig_udf(F.col(vec_col)).alias("sig")
     )
 
 

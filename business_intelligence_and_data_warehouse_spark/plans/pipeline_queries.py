@@ -208,15 +208,18 @@ votes AS (
 ),
 sigs AS (SELECT doc_id, CAST({_SIG} AS BIGINT) AS simhash FROM votes),
 blocks AS (
-  SELECT doc_id, simhash, 0 AS half, simhash % 65536 AS block FROM sigs
-  UNION ALL
-  SELECT doc_id, simhash, 1 AS half, simhash // 65536 AS block FROM sigs
+  -- 4-block pigeonhole: Hamming <= 3 pairs share >= 1 exact 8-bit block
+  {" UNION ALL ".join(
+      f"SELECT doc_id, simhash, {j} AS blk, "
+      f"(simhash // {2 ** (j * 8)}) % 256 AS block FROM sigs"
+      for j in range(4)
+  )}
 ),
 pairs AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          x.simhash AS sa, y.simhash AS sb
   FROM blocks x
-  JOIN blocks y ON x.half = y.half AND x.block = y.block AND x.doc_id < y.doc_id
+  JOIN blocks y ON x.blk = y.blk AND x.block = y.block AND x.doc_id < y.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
 FROM pairs
@@ -225,7 +228,9 @@ ORDER BY doc_a, doc_b
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-weighted 32-bit SimHash; pairs within Hamming distance 3."""
+    """TF-weighted 32-bit SimHash; ALL pairs within Hamming distance 3
+    (exact — 4-block pigeonhole blocking guarantees recall 1 for
+    distance <= 3)."""
     docs = load_table(spark, sf_dir, "documents")
     out = simhash_near_dups(docs, num_bits=_SIMHASH_BITS, max_hamming=3)
     return out.withColumn("hamming", F.col("hamming").cast("int")).orderBy(

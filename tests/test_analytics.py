@@ -17,6 +17,8 @@ from business_intelligence_and_data_warehouse_spark.analytics.mart import (
 from business_intelligence_and_data_warehouse_spark.analytics.predictive import (
     churn_random_forest,
     elasticity_by_category,
+    stratified_split,
+    with_balanced_weights,
 )
 from business_intelligence_and_data_warehouse_spark.analytics.segmentation import (
     segment_matrix,
@@ -72,3 +74,35 @@ def test_churn_rf_trains_and_scores(spark, sf_dir):
     assert 0.0 <= metrics.auc <= 1.0
     assert 0.0 <= metrics.accuracy <= 1.0
     assert metrics.top_features
+
+
+def test_stratified_split_holds_per_class(spark):
+    # 1000 majority / 100 minority: a plain randomSplit only holds the
+    # ratio globally; the stratified split holds it per class
+    data = spark.createDataFrame(
+        [(i, 0.0) for i in range(1000)] + [(1000 + i, 1.0) for i in range(100)],
+        "customer_id long, label double",
+    )
+    train, test = stratified_split(data, "label", 0.7, seed=42)
+    tr = {r[0]: r[1] for r in train.groupBy("label").count().collect()}
+    te = {r[0]: r[1] for r in test.groupBy("label").count().collect()}
+    for lbl, total in [(0.0, 1000), (1.0, 100)]:
+        assert tr[lbl] + te[lbl] == total  # partition, no loss/dup
+        assert 0.55 * total <= tr[lbl] <= 0.85 * total, (lbl, tr[lbl])
+
+
+def test_balanced_weights_equalize_class_mass(spark):
+    train = spark.createDataFrame(
+        [(i, 0.0) for i in range(900)] + [(900 + i, 1.0) for i in range(100)],
+        "customer_id long, label double",
+    )
+    weighted = with_balanced_weights(train, "label", "weight")
+    mass = {
+        r[0]: r[1]
+        for r in weighted.groupBy("label")
+        .agg(F.sum("weight").alias("m"))
+        .collect()
+    }
+    # each class carries equal total weight == n/2
+    assert abs(mass[0.0] - 500.0) < 1e-6
+    assert abs(mass[1.0] - 500.0) < 1e-6

@@ -1,0 +1,184 @@
+"""Byte-parity replay of the reference's golden result CSVs.
+
+See `plans/olist_replay.py` for why these four goldens are exactly
+replayable from their own published grain. Each test ingests the
+golden's detail rows as the fixture, reruns the reference query shape
+through this engine, and compares every value — label strings, NULL
+display, decimal digit strings — byte-for-byte.
+
+Row order: goldens were exported with the reference DB's locale
+collation for text ties (e.g. 'furniture decor' vs 'furnituredecor'
+compare differently than bytewise), which is exporter configuration,
+not query semantics — so rows are compared under a canonical sort
+computed identically on both sides. 1A and 3B have collation-free
+total orders (year/month, day) and are also compared IN golden order.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from decimal import Decimal
+
+import pytest
+
+from business_intelligence_and_data_warehouse_spark.plans.olist_replay import (
+    LABEL_ALL_CATS,
+    LABEL_CAT_SUBTOTAL,
+    LABEL_GRAND,
+    LABEL_GRAND_2B,
+    LABEL_MONTHLY,
+    LABEL_UNCAT,
+    LABEL_YEARLY,
+    TOTAL_LABELS_2A,
+    replay_1a,
+    replay_2a,
+    replay_2b,
+    replay_3b,
+)
+
+GOLDEN_DIR = "/root/reference/Database/Results from Task 2A Analytical Queries"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GOLDEN_DIR), reason="reference goldens not present"
+)
+
+
+def golden(name: str) -> list[list[str]]:
+    with open(os.path.join(GOLDEN_DIR, name), newline="") as fh:
+        rows = list(csv.reader(fh))
+    return rows[1:]  # drop header
+
+
+def fmt(v) -> str:
+    """Render a value the way the golden CSV does (modulo quoting,
+    which is exporter config): decimals keep their scale, NULL is the
+    literal NULL."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, Decimal):
+        return str(v)
+    return str(v)
+
+
+G2A = "2A. Drill-down and Roll-up Operations multi-level aggregation queries.csv"
+G2B = "2B.Drill-down and Roll-up Operations Hierarchical dimension analysis.csv"
+G1A = "1A.Time based Trend Analysis Year over year growth analysis.csv"
+G3B = "3B. Advanced Window Functions moving averages and cumulative measures.CSV"
+
+
+def detail_2a(spark):
+    """Golden 2A detail rows as the fact fixture (Uncategorized label
+    maps back to NULL category — the reference's COALESCE direction)."""
+    detail = [
+        (
+            int(y),
+            int(m),
+            None if c == LABEL_UNCAT else c,
+            Decimal(rev),
+        )
+        for y, m, c, rev in golden(G2A)
+        if c not in TOTAL_LABELS_2A
+    ]
+    return spark.createDataFrame(
+        detail, "year int, month int, category string, revenue decimal(18,2)"
+    )
+
+
+def canon_2a_key(year, month, label):
+    g_year, g_month, g_cat = {
+        LABEL_GRAND: (1, 1, 1),
+        LABEL_YEARLY: (0, 1, 1),
+        LABEL_MONTHLY: (0, 0, 1),
+    }.get(label, (0, 0, 0))
+    return (
+        g_year,
+        int(year) if year != "NULL" else -1,
+        g_month,
+        int(month) if month != "NULL" else -1,
+        g_cat,
+        label,
+    )
+
+
+def test_golden_2a_grouping_sets_byte_parity(spark):
+    out = replay_2a(detail_2a(spark)).collect()
+    ours = sorted(
+        (
+            [fmt(r.year), fmt(r.month), r.category_label, fmt(r.revenue)]
+            for r in out
+        ),
+        key=lambda r: canon_2a_key(r[0], r[1], r[2]),
+    )
+    gold = sorted(golden(G2A), key=lambda r: canon_2a_key(r[0], r[1], r[2]))
+    assert len(ours) == len(gold) == 1311
+    for mine, theirs in zip(ours, gold):
+        assert mine == theirs, (mine, theirs)
+
+
+def test_golden_2b_rollup_byte_parity(spark):
+    detail = [
+        (
+            None if c == LABEL_UNCAT else c,
+            p,
+            Decimal(rev),
+        )
+        for c, p, rev in golden(G2B)
+        if p not in (LABEL_CAT_SUBTOTAL, LABEL_GRAND_2B)
+    ]
+    df = spark.createDataFrame(
+        detail, "category string, product_id string, revenue decimal(18,2)"
+    )
+    out = replay_2b(df).collect()
+
+    def key(cat, prod):
+        g_cat = 1 if cat == LABEL_ALL_CATS else 0
+        g_prod = 1 if prod in (LABEL_CAT_SUBTOTAL, LABEL_GRAND_2B) else 0
+        # NULL-category details display as Uncategorized and sort after
+        # named categories (Postgres NULLS LAST on the raw column)
+        cat_rank = 1 if cat == LABEL_UNCAT else 0
+        return (g_cat, cat_rank, cat, g_prod, prod)
+
+    ours = sorted(
+        ([r.category, r.product_or_total, fmt(r.revenue)] for r in out),
+        key=lambda r: key(r[0], r[1]),
+    )
+    gold = sorted(golden(G2B), key=lambda r: key(r[0], r[1]))
+    assert len(ours) == len(gold)
+    for mine, theirs in zip(ours, gold):
+        assert mine == theirs, (mine, theirs)
+
+
+def test_golden_1a_yoy_byte_parity(spark):
+    out = replay_1a(detail_2a(spark)).collect()
+    ours = [
+        [
+            fmt(r.year),
+            fmt(r.month),
+            r.month_name,
+            fmt(r.revenue),
+            fmt(r.last_year_revenue),
+            fmt(r.yoy_growth_pct),
+        ]
+        for r in out
+    ]
+    gold = golden(G1A)
+    assert len(ours) == len(gold) == 24
+    # collation-free total order (year, month): compare IN ORDER
+    for mine, theirs in zip(ours, gold):
+        assert mine == theirs, (mine, theirs)
+
+
+def test_golden_3b_windows_byte_parity(spark):
+    daily = [(d, Decimal(rev)) for d, rev, _ma, _ytd in golden(G3B)]
+    df = spark.createDataFrame(daily, "day string, revenue decimal(18,2)")
+    df = df.select(df.day.cast("date").alias("day"), "revenue")
+    out = replay_3b(df).collect()
+    ours = [
+        [fmt(r.day), fmt(r.revenue), fmt(r.moving_avg_7d), fmt(r.year_to_date_revenue)]
+        for r in out
+    ]
+    gold = golden(G3B)
+    assert len(ours) == len(gold) == 616
+    for mine, theirs in zip(ours, gold):
+        assert mine == theirs, (mine, theirs)
