@@ -45,6 +45,7 @@ HEADLINE = [
     "pivot_event_matrix",
     "skew_salted_agg",
     "approx_sketches",
+    "corpus_curation",
     "churn_rolling_window",
     "dedup_ngram_jaccard",
     # streaming (batch mode)

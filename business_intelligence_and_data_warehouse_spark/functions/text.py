@@ -32,6 +32,33 @@ def tokens_ws(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def lang_marker_hits(toks: Column, lang: str) -> Column:
+    """Occurrences of `lang`'s marker words in a BOUND token-array
+    column (one array traversal, map-side)."""
+    words = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_pred_from_hits(hit_cols: dict[str, Column]) -> tuple[Column, Column]:
+    """(lang_pred, marker_hits) from per-language hit-count columns.
+
+    Argmax with ties broken by language code ascending (same rule as
+    the `ORDER BY hits DESC, lang` oracle); 'und' when nothing hit.
+    Pass BOUND columns (project the hit counts first) so the marker
+    scans run once, not once per CASE branch.
+    """
+    langs = sorted(hit_cols)
+    max_hits = F.greatest(*[hit_cols[lang] for lang in langs])
+    chain = None
+    for lang in langs:
+        branch = F.when(hit_cols[lang] == max_hits, F.lit(lang))
+        chain = branch if chain is None else chain.when(
+            hit_cols[lang] == max_hits, F.lit(lang)
+        )
+    pred = F.when(max_hits == 0, F.lit("und")).otherwise(chain)
+    return pred, max_hits
+
+
 def token_count_ws(col: Column) -> Column:
     return F.size(tokens_ws(col))
 

@@ -40,6 +40,7 @@ from ..operators.dedup import (
     shingle_table,
     simhash_near_dups,
 )
+from ..operators.curation import curate_corpus
 from ..operators.multimodal import attach_blob, extract_features
 from ..operators.similarity import (
     brute_force_topk,
@@ -588,38 +589,37 @@ ORDER BY d.doc_id
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID (n-gram heuristic): argmax of
-    marker-word hits per language; 'und' when nothing matches."""
-    docs = load_table(spark, sf_dir, "documents")
-    markers = spark.createDataFrame(
-        [(lang, w) for lang, words in sorted(LANG_MARKERS.items()) for w in words],
-        "lang string, word string",
-    )
-    toks = docs.select(
-        "doc_id", F.explode(tokens_ws(normalize_text(F.col("text")))).alias("tok")
-    )
-    hits = (
-        toks.join(F.broadcast(markers), toks.tok == markers.word)
-        .groupBy("doc_id", "lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    from pyspark.sql import Window as W
+    marker-word hits per language; 'und' when nothing matches.
 
-    best = hits.withColumn(
-        "rn",
-        F.row_number().over(
-            W.partitionBy("doc_id").orderBy(F.desc("hits"), F.col("lang"))
-        ),
-    ).filter(F.col("rn") == 1)
-    return (
-        docs.select("doc_id")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
-            F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("marker_hits"),
-        )
-        .orderBy("doc_id")
+    Fully MAP-SIDE: the marker sets are compile-time constants, so the
+    per-language hit counts are `F.filter` traversals of the bound
+    token array and the argmax is a CASE chain over those scalars — no
+    explode, no join, no window, no shuffle. (The oracle states the
+    same semantics relationally; the explode+join formulation is what
+    a marker TABLE would need, but constants belong in the expression.)
+    """
+    from ..functions.text import lang_marker_hits, lang_pred_from_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs = sorted(LANG_MARKERS)
+    toked = docs.select(
+        "doc_id", tokens_ws(normalize_text(F.col("text"))).alias("toks")
     )
+    hits = toked.select(
+        "doc_id",
+        *[
+            lang_marker_hits(F.col("toks"), lang).alias(f"hits_{lang}")
+            for lang in langs
+        ],
+    )
+    pred, max_hits = lang_pred_from_hits(
+        {lang: F.col(f"hits_{lang}") for lang in langs}
+    )
+    return hits.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        max_hits.cast("long").alias("marker_hits"),
+    ).orderBy("doc_id")
 
 
 @query_fn(
@@ -683,3 +683,143 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = attach_blob(docs)
     return extract_features(blobs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation (operators/curation.py): lang filter ->
+# quality filter -> exact dedup -> MinHash near-dup removal
+# ---------------------------------------------------------------------------
+
+_CUR_LANG, _CUR_MIN_Q, _CUR_MIN_TOK = "en", 0.55, 16
+
+# Shared oracle CTE chain mirroring every stage. Reuses the exact
+# text_lang_id / text_quality_score / dedup_minhash_lsh oracle
+# formulations so each stage's parity argument is already proven by its
+# standalone query.
+_CURATION_CTES = f"""
+markers(lang, word) AS (VALUES {_MARKER_VALUES}),
+t AS (
+  SELECT doc_id, text, {_O_NORM} AS norm, string_split({_O_NORM}, ' ') AS toks
+  FROM documents
+),
+toksl AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+mhits AS (
+  SELECT tl.doc_id, m.lang, COUNT(*) AS h
+  FROM toksl tl JOIN markers m ON m.word = tl.tok
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang FROM mhits
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) = 1
+),
+base AS (
+  SELECT t.doc_id, t.norm, t.toks,
+         COALESCE(b.lang, 'und') AS lang_pred,
+         len(t.toks) AS n_tokens,
+         0.4 * (len(list_distinct(t.toks)) * 1.0 / greatest(len(t.toks), 1))
+         + 0.4 * (1.0 - len(regexp_extract_all(t.text, '[^A-Za-z0-9\\s]')) * 1.0
+                        / greatest(length(t.text), 1))
+         + 0.2 * (len(list_filter(t.toks, x -> x IN {_STOP_SQL})) * 1.0
+                  / greatest(len(t.toks), 1)) AS quality
+  FROM t LEFT JOIN best b ON b.doc_id = t.doc_id
+),
+s2 AS (
+  SELECT * FROM base
+  WHERE lang_pred = '{_CUR_LANG}'
+    AND quality >= {_CUR_MIN_Q} AND n_tokens >= {_CUR_MIN_TOK}
+),
+s3 AS (
+  SELECT * FROM s2
+  QUALIFY row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) = 1
+),
+cidx AS (
+  SELECT doc_id, toks AS tk, unnest(range(1, len(toks) - 3 + 2)) AS i
+  FROM s3 WHERE len(toks) >= 3
+),
+sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s FROM cidx),
+mh AS (
+  SELECT doc_id,
+  {_MH}
+  FROM sh GROUP BY doc_id
+),
+bandrows AS (
+{_BANDS}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandrows x
+  JOIN bandrows y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS ca, b.doc_id AS cb, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT cand.doc_b AS doc_id
+  FROM cand
+  JOIN common ON common.ca = cand.doc_a AND common.cb = cand.doc_b
+  JOIN sizes sa ON sa.doc_id = cand.doc_a
+  JOIN sizes sb ON sb.doc_id = cand.doc_b
+  WHERE c / (sa.n + sb.n - c) >= {_JACCARD_T}
+)
+"""
+
+
+@query_fn(
+    "corpus_curation",
+    oracle=f"""
+WITH {_CURATION_CTES}
+SELECT doc_id, lang_pred, CAST(n_tokens AS INTEGER) AS n_tokens, quality
+FROM s3
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id
+""",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curated corpus: language == '{_CUR_LANG}', quality >=
+    {_CUR_MIN_Q}, >= {_CUR_MIN_TOK} tokens, exact-dedup'd, MinHash
+    near-dups removed (keep-lowest-id rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    curated, _ = curate_corpus(
+        docs,
+        target_lang=_CUR_LANG,
+        min_quality=_CUR_MIN_Q,
+        min_tokens=_CUR_MIN_TOK,
+        jaccard_threshold=_JACCARD_T,
+    )
+    return curated.orderBy("doc_id")
+
+
+@query_fn(
+    "corpus_curation_funnel",
+    oracle=f"""
+WITH {_CURATION_CTES}
+SELECT * FROM (
+  SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM base
+  UNION ALL
+  SELECT '1_lang', COUNT(*) FROM base WHERE lang_pred = '{_CUR_LANG}'
+  UNION ALL
+  SELECT '2_quality', COUNT(*) FROM s2
+  UNION ALL
+  SELECT '3_exact_dedup', COUNT(*) FROM s3
+  UNION ALL
+  SELECT '4_near_dedup', COUNT(*) FROM s3
+  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+ORDER BY stage
+""",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts for the curation pipeline (the
+    monitoring view a production curation job publishes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, funnel = curate_corpus(
+        docs,
+        target_lang=_CUR_LANG,
+        min_quality=_CUR_MIN_Q,
+        min_tokens=_CUR_MIN_TOK,
+        jaccard_threshold=_JACCARD_T,
+    )
+    return funnel.orderBy("stage")
