@@ -51,6 +51,8 @@ HEADLINE = [
     # streaming (batch mode)
     "stream_tumbling_counts",
     "stream_session_windows",
+    "stream_dedup_exactly_once",
+    "stream_attribution_join",
 ]
 
 

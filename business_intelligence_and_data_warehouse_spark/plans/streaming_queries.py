@@ -13,6 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
+from ..streaming.dedup import (
+    dedup_batch,
+    dedup_stream,
+    delivery_counts,
+    redeliver,
+)
+from ..streaming.joins import attribution_join, split_views_purchases
 from ..streaming.windows import (
     read_event_stream,
     run_stream_to_table,
@@ -150,3 +157,77 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# The oracle is the per-type totals of the ORIGINAL event stream: the
+# dedup queries inject duplicate deliveries (redeliver) and must restore
+# exactly-once semantics, so their output equals the clean aggregate.
+_O_DEDUP = f"""
+WITH {_O_EV}
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {_O_VSUM} AS value_sum
+FROM ev
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query_fn("stream_dedup_exactly_once", oracle=_O_DEDUP)
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once -> exactly-once dedup (batch mode): every 10th
+    event is delivered twice; key-based dedup must restore the original
+    per-type totals exactly."""
+    events = load_table(spark, sf_dir, "events")
+    return delivery_counts(dedup_batch(redeliver(events)))
+
+
+@query_fn("stream_dedup_live", oracle=_O_DEDUP)
+def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME dedup executed as a real streaming query:
+    readStream -> self-union (redelivery) -> dropDuplicatesWithinWatermark
+    -> append-mode memory sink. State is bounded by the watermark horizon
+    (see streaming/dedup.py scale notes)."""
+    stream = read_event_stream(spark, sf_dir)
+    deduped = dedup_stream(redeliver(stream), watermark="90 days")
+    out = run_stream_to_table(deduped, mode="append")
+    return delivery_counts(out)
+
+
+_O_ATTRIB = f"""
+WITH {_O_EV},
+v AS (SELECT event_id AS view_id, ts AS view_ts, user_id
+      FROM ev WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id, value
+      FROM ev WHERE event_type = 'purchase')
+SELECT v.user_id AS user_id,
+       view_id,
+       purchase_id,
+       (epoch_us(purchase_ts) - epoch_us(view_ts)) // 1000000 AS delay_sec,
+       CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS purchase_value
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.purchase_ts > v.view_ts
+ AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+ORDER BY user_id, view_id, purchase_id
+"""
+
+
+@query_fn("stream_attribution_join", oracle=_O_ATTRIB)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View->purchase attribution interval join (batch mode): purchases
+    within 1 hour after a view by the same user."""
+    events = load_table(spark, sf_dir, "events")
+    v, p = split_views_purchases(events)
+    return attribution_join(v, p).orderBy("user_id", "view_id", "purchase_id")
+
+
+@query_fn("stream_attribution_live", oracle=_O_ATTRIB)
+def stream_attribution_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME attribution join as a real watermarked stream-stream
+    inner join (both sides watermarked + time-range bound => evictable
+    state; see streaming/joins.py scale notes)."""
+    stream = read_event_stream(spark, sf_dir)
+    v, p = split_views_purchases(stream, watermark="90 days")
+    out = run_stream_to_table(attribution_join(v, p), mode="append")
+    return out.orderBy("user_id", "view_id", "purchase_id")

@@ -126,3 +126,52 @@ def test_session_window_merge_semantics(spark):
     assert out[0].n_events == 2
     # session end = last event + gap
     assert out[0].session_end == dt.datetime(2024, 1, 2, 0, 30)
+
+
+def test_stream_dedup_across_micro_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps state across micro-batches: a
+    redelivery arriving in a LATER batch (within the watermark horizon)
+    is still suppressed."""
+    from business_intelligence_and_data_warehouse_spark.streaming.dedup import dedup_stream
+
+    path = str(tmp_path / "dedup")
+    _write_events(spark, path, [(1, _t(0), 1, "click", 1.0)])
+    _write_events(spark, path, [(1, _t(0), 1, "click", 1.0),  # redelivery
+                                (2, _t(5), 2, "view", 2.0)])
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")  # force one file per micro-batch
+        .parquet(path)
+    )
+    out = run_stream_to_table(dedup_stream(stream, watermark="1 hour"), mode="append")
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2]
+
+
+def test_attribution_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join produces exactly the batch result."""
+    from business_intelligence_and_data_warehouse_spark.streaming.joins import (
+        attribution_join,
+        split_views_purchases,
+    )
+
+    path = str(tmp_path / "attrib")
+    rows = [
+        (1, _t(0), 1, "view", 0.0),
+        (2, _t(30), 1, "purchase", 9.0),    # within 1h of view 1 -> match
+        (3, _t(90), 1, "purchase", 5.0),    # > 1h after view 1 -> no match
+        (4, _t(0), 2, "purchase", 7.0),     # other user, no view
+        (5, _t(40), 2, "view", 0.0),
+        (6, _t(50), 2, "purchase", 3.0),    # within 1h of view 5 -> match
+    ]
+    _write_events(spark, path, rows)
+    batch_df = spark.read.parquet(path)
+    b = attribution_join(*split_views_purchases(batch_df)).collect()
+    s = run_stream_to_table(
+        attribution_join(*split_views_purchases(_stream(spark, path), watermark="2 hours")),
+        mode="append",
+    ).collect()
+    assert sorted(map(tuple, b)) == sorted(map(tuple, s))
+    assert sorted((r.view_id, r.purchase_id) for r in b) == [(1, 2), (5, 6)]
