@@ -144,3 +144,29 @@ def punct_ratio(col: Column) -> Column:
 def uniq_token_ratio(col: Column) -> Column:
     toks = tokens_ws(col)
     return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# Patterns are deliberately restricted to syntax shared verbatim by
+# Java regex (Spark) and RE2 (DuckDB/many scanners): char classes,
+# bounded repetition, \b — no lookaround, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for a text column."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0)).cast("int"),
+        F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), 0)).cast("int"),
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every email / phone match with a typed placeholder.
+    Pure native expression — runs inside whole-stage codegen, no UDF."""
+    red = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(red, PHONE_RE, "<PHONE>")

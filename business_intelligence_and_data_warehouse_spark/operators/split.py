@@ -1,0 +1,74 @@
+"""Deterministic hash-based train/val/test assignment.
+
+`randomSplit` is the wrong tool for corpus-scale ML splits: its
+assignment depends on partitioning and sampler seed-per-partition, so
+adding one input file reshuffles everyone's split, and re-running on a
+recomputed upstream can move rows between train and test (leakage).
+The industry-standard fix is a *content hash* split: bucket =
+hash(stable id) mod N, split by bucket range. Properties:
+
+* deterministic and partitioning-invariant — a document's split is a
+  pure function of its id, stable across reruns, re-partitions, and
+  cluster sizes;
+* incremental — new documents get a split without touching old ones;
+* exactly reproducible in any other engine (the md5 hex parse below
+  uses only md5/substring/ascii arithmetic, portable to DuckDB/
+  Postgres/Trino for audit queries).
+
+Fractions are bucket-granular: with 4096 buckets the realized split
+differs from the requested fraction by < 0.025% of the corpus, and the
+per-class realized counts concentrate tightly (binomial) — at 100 TB
+this is far more accurate than sampler-based splits.
+
+The reference splits with sklearn train_test_split(stratify=...)
+(`PythonAnalysis.py:281-283`, random_state=42) — fine for one pandas
+frame, not reproducible across engines or runs on growing data; the
+stratified variant of THAT is in analytics/predictive.py. This module
+is the scale-native split for the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_BUCKETS = 4096  # 3 hex digits of md5
+
+
+def _hex_val(c: Column) -> Column:
+    """Integer value of one lowercase hex digit (ascii arithmetic —
+    portable to any SQL engine, no conv/from_hex needed)."""
+    a = F.ascii(c)
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
+def hash_bucket(id_col: Column) -> Column:
+    """Bucket in [0, 4096) from the first 3 hex digits of md5(id)."""
+    h = F.md5(id_col.cast("string"))
+    return (
+        _hex_val(F.substring(h, 1, 1)) * 256
+        + _hex_val(F.substring(h, 2, 1)) * 16
+        + _hex_val(F.substring(h, 3, 1))
+    ).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.70,
+    val: float = 0.15,
+) -> DataFrame:
+    """Adds `bucket` and `split` ('train'/'val'/'test') columns.
+
+    Thresholds are floor(fraction * NUM_BUCKETS) — exact integers, so
+    the boundary is engine-independent.
+    """
+    train_end = int(train * NUM_BUCKETS)
+    val_end = int((train + val) * NUM_BUCKETS)
+    b = hash_bucket(F.col(id_col))
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_end, F.lit("train"))
+        .when(F.col("bucket") < val_end, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

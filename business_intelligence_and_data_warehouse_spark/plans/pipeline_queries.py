@@ -24,10 +24,14 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     BPE_ISH_PATTERN,
+    EMAIL_RE,
     EN_STOPWORDS,
     LANG_MARKERS,
+    PHONE_RE,
     normalize_text,
+    pii_counts,
     punct_ratio,
+    redact_pii,
     rolling_min_fingerprint,
     token_count_bpe_ish,
     tokens_ws,
@@ -41,6 +45,8 @@ from ..operators.dedup import (
     simhash_near_dups,
 )
 from ..operators.curation import curate_corpus
+from ..operators.graph import dedup_cluster_assignments
+from ..operators.split import NUM_BUCKETS, hash_split
 from ..operators.multimodal import attach_blob, extract_features
 from ..operators.similarity import (
     brute_force_topk,
@@ -139,10 +145,10 @@ _BANDS = "\nUNION ALL\n".join(
 )
 
 
-@query_fn(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH {_O_SHINGLES},
+# The full MinHash-LSH near-dup pair pipeline as a reusable CTE chain
+# ending in `dup_pairs` — shared by dedup_minhash_lsh (the pairs
+# themselves) and dedup_clusters (connected components over them).
+_O_DUP_PAIRS = f"""{_O_SHINGLES},
 mh AS (
   SELECT doc_id,
   {_MH}
@@ -161,14 +167,23 @@ common AS (
   SELECT a.doc_id AS ca, b.doc_id AS cb, COUNT(*) AS c
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT cand.doc_a, cand.doc_b, c / (sa.n + sb.n - c) AS jaccard
-FROM cand
-JOIN common ON common.ca = cand.doc_a AND common.cb = cand.doc_b
-JOIN sizes sa ON sa.doc_id = cand.doc_a
-JOIN sizes sb ON sb.doc_id = cand.doc_b
-WHERE c / (sa.n + sb.n - c) >= {_JACCARD_T}
-ORDER BY cand.doc_a, cand.doc_b
+),
+dup_pairs AS (
+  SELECT cand.doc_a, cand.doc_b, c / (sa.n + sb.n - c) AS jaccard
+  FROM cand
+  JOIN common ON common.ca = cand.doc_a AND common.cb = cand.doc_b
+  JOIN sizes sa ON sa.doc_id = cand.doc_a
+  JOIN sizes sb ON sb.doc_id = cand.doc_b
+  WHERE c / (sa.n + sb.n - c) >= {_JACCARD_T}
+)"""
+
+
+@query_fn(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_O_DUP_PAIRS}
+SELECT doc_a, doc_b, jaccard FROM dup_pairs
+ORDER BY doc_a, doc_b
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +192,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(
         docs, k=3, bands=4, rows_per_band=2, threshold=_JACCARD_T
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# dedup: pair -> cluster closure (connected components)
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_O_DUP_PAIRS},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM dup_pairs
+  UNION
+  SELECT doc_b, doc_a FROM dup_pairs
+),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+)
+SELECT node AS doc_id,
+       MIN(r) AS cluster_id,
+       (node = MIN(r)) AS is_kept
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs closed into duplicate CLUSTERS via distributed
+    connected components (operators/graph.py); cluster_id is the
+    minimum member — the canonical survivor. The oracle computes the
+    same closure with a recursive reachability CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, k=3, bands=4, rows_per_band=2, threshold=_JACCARD_T
+    )
+    return dedup_cluster_assignments(pairs).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -823,3 +876,110 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=_JACCARD_T,
     )
     return funnel.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split (train/val/test)
+# ---------------------------------------------------------------------------
+
+_TRAIN_END = int(0.70 * NUM_BUCKETS)
+_VAL_END = int(0.85 * NUM_BUCKETS)
+
+_O_HEXV = (
+    "(CASE WHEN ascii(substr(hx,{i},1)) >= 97 "
+    "THEN ascii(substr(hx,{i},1)) - 87 "
+    "ELSE ascii(substr(hx,{i},1)) - 48 END)"
+)
+
+
+@query_fn(
+    "ml_hash_split",
+    oracle=f"""
+WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+b AS (
+  SELECT doc_id,
+         {_O_HEXV.format(i=1)} * 256
+       + {_O_HEXV.format(i=2)} * 16
+       + {_O_HEXV.format(i=3)} AS bucket
+  FROM h
+)
+SELECT doc_id,
+       CAST(bucket AS INTEGER) AS bucket,
+       CASE WHEN bucket < {_TRAIN_END} THEN 'train'
+            WHEN bucket < {_VAL_END} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+ORDER BY doc_id
+""",
+)
+def ml_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, partitioning-invariant train/val/test assignment
+    (operators/split.py): bucket = first 3 md5 hex digits of the id;
+    the oracle reproduces the identical bucketing with portable SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select(
+        "doc_id", "bucket", "split"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# Deterministically inject synthetic PII into every third document so
+# the patterns are exercised with nonzero counts (testdata text has no
+# real PII) — identical concat in both engines.
+_O_PII_INJECT = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0
+            THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                        '@example.com or 555-',
+                        lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                        '-1234 now')
+            ELSE text END AS text
+FROM documents
+"""
+
+
+@query_fn(
+    "text_pii_redact",
+    oracle=f"""
+WITH injected AS ({_O_PII_INJECT})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+       regexp_replace(
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM injected
+ORDER BY doc_id
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction with per-document match counts — pure
+    regexp expressions (whole-stage codegen, no UDF); patterns are
+    Java-regex/RE2 portable (functions/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-1234 now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n_emails, n_phones = pii_counts(F.col("text"))
+    return injected.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        redact_pii(F.col("text")).alias("redacted"),
+    ).orderBy("doc_id")
