@@ -76,8 +76,10 @@ _HIST_WIDTH = 25000.0
     oracle=f"""
 WITH {ORACLE_MART}
 SELECT CAST(floor(revenue / {_HIST_WIDTH}) AS BIGINT) AS bin,
-       CAST(floor(revenue / {_HIST_WIDTH}) AS BIGINT) * {_HIST_WIDTH} AS bin_lo,
-       (CAST(floor(revenue / {_HIST_WIDTH}) AS BIGINT) + 1) * {_HIST_WIDTH} AS bin_hi,
+       CAST(CAST(floor(revenue / {_HIST_WIDTH}) AS BIGINT)
+            * {_HIST_WIDTH} AS DOUBLE) AS bin_lo,
+       CAST((CAST(floor(revenue / {_HIST_WIDTH}) AS BIGINT) + 1)
+            * {_HIST_WIDTH} AS DOUBLE) AS bin_hi,
        COUNT(*) AS n
 FROM mart
 GROUP BY 1

@@ -52,16 +52,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown testdata table {name!r}; have {TABLES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects; read the raw int64 nanos and convert
-        # to a microsecond timestamp (matches DuckDB's ns->us truncation).
+        # Generations of events.parquet have stored ts as TIMESTAMP(NANOS)
+        # (which Spark's vectorized reader rejects -> read as raw int64 and
+        # truncate ns->us, matching DuckDB) or as TIMESTAMP(MICROS) without
+        # a UTC flag (read as TIMESTAMP_NTZ). Normalize both to a session-TZ
+        # timestamp (sessions here pin UTC, so NTZ -> LTZ is an identity).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            ts = F.timestamp_micros(F.expr("ts div 1000"))
+        else:
+            ts = F.col("ts").cast("timestamp")
+        return df.withColumn("ts", ts).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
