@@ -275,10 +275,10 @@ def minhash_lsh_dedup(
 
 def _hex_digit_high_bit(hash_col: Column, j: int) -> Column:
     """Top bit of the j-th hex digit of an md5 digest (a portable
-    1-bit hash projection)."""
-    return F.substring(hash_col, j + 1, 1).isin(
-        "8", "9", "a", "b", "c", "d", "e", "f"
-    )
+    1-bit hash projection). Hex digits order '0'..'9' < 'a'..'f', so a
+    single lexicographic compare tests the high bit ('8','9','a'..'f')
+    without an 8-way set membership per bit."""
+    return F.substring(hash_col, j + 1, 1) >= "8"
 
 
 def simhash(
@@ -299,7 +299,11 @@ def simhash(
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    h = F.md5(F.col("tok"))
+    # Stage the digest as a bound column so the num_bits vote
+    # expressions share ONE md5 evaluation per (doc, token) row instead
+    # of hashing the token once per bit (the HOF-staging rule, SCALE.md).
+    tf = tf.withColumn("h", F.md5(F.col("tok")))
+    h = F.col("h")
     votes = [
         F.sum(
             F.when(_hex_digit_high_bit(h, j), F.col("tf")).otherwise(-F.col("tf"))
@@ -337,19 +341,28 @@ def simhash_near_dups(
             f"pigeonhole blocking with {num_blocks} blocks is only exact "
             f"for max_hamming <= {num_blocks - 1}, got {max_hamming}"
         )
-    sigs = simhash(docs, num_bits, id_col, text_col)
+    # The signature table is tiny (one row per doc: id + long) but its
+    # lineage is the whole tokenize/tf/vote pipeline; without a persist
+    # the self-join below would re-derive that pipeline once per join
+    # side. Block rows are emitted in a single map-side pass (inline
+    # explode), not a num_blocks-way union over the same subtree.
+    sigs = simhash(docs, num_bits, id_col, text_col).persist()
     width = num_bits // num_blocks
-    blocks = None
-    for j in range(num_blocks):
-        part = sigs.select(
-            "doc_id",
-            "simhash",
-            F.lit(j).alias("blk"),
-            ((F.col("simhash") / F.lit(2 ** (j * width))).cast("long") % (2**width)).alias(
-                "block"
-            ),
-        )
-        blocks = part if blocks is None else blocks.unionByName(part)
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("blk"),
+                (
+                    (F.col("simhash") / F.lit(2 ** (j * width))).cast("long")
+                    % (2**width)
+                ).alias("block"),
+            )
+            for j in range(num_blocks)
+        ]
+    )
+    blocks = sigs.select(
+        "doc_id", "simhash", F.inline(block_structs)
+    )
     x = blocks.alias("x")
     y = blocks.alias("y")
     pairs = (

@@ -113,6 +113,26 @@ def norm_dec(a: Column) -> Column:
     return F.sqrt(dot_dec(a, a))
 
 
+def dot_dec_batch(a: Column, b: Column) -> Column:
+    """Arrow-batched twin of :func:`dot_dec` for pair-scoring hot loops
+    (|pairs| x dim work): float32 -> float64 widen, IEEE multiply,
+    floor to scaled int64, exact integer row-sum — the same snapped
+    value, computed as one vectorized numpy pass per Arrow batch
+    instead of an interpreted higher-order `aggregate` lambda per row.
+    """
+
+    @pandas_udf("double")
+    def dot_udf(av: pd.Series, bv: pd.Series) -> pd.Series:
+        if len(av) == 0:
+            return pd.Series([], dtype="float64")
+        am = np.stack(av.to_numpy()).astype(np.float64)
+        bm = np.stack(bv.to_numpy()).astype(np.float64)
+        d = np.floor(am * bm * DOT_SCALE).astype(np.int64).sum(axis=1)
+        return pd.Series(d / DOT_SCALE)
+
+    return dot_udf(a, b)
+
+
 def _cosine(dot: Column, norm_a: Column, norm_b: Column) -> Column:
     return dot / F.nullif(norm_a * norm_b, F.lit(0.0))
 
@@ -143,7 +163,9 @@ def cosine_pairs(
         "qid",
         "cid",
         _cosine(
-            dot_dec(F.col("qvec"), F.col("cvec")), F.col("qnorm"), F.col("cnorm")
+            dot_dec_batch(F.col("qvec"), F.col("cvec")),
+            F.col("qnorm"),
+            F.col("cnorm"),
         ).alias("cosine"),
     )
 
@@ -167,7 +189,9 @@ def cosine_for_pairs(
             "qid",
             "cid",
             _cosine(
-                dot_dec(F.col("qvec"), F.col("cvec")), F.col("qnorm"), F.col("cnorm")
+                dot_dec_batch(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm"),
+                F.col("cnorm"),
             ).alias("cosine"),
         )
     )
@@ -351,7 +375,10 @@ def lsh_ann_pairs(
     (decimal-snapped) cosine and keeps pairs >= min_cosine. Recall
     follows 1-(1-p^r)^b with p = 1 - angle/pi.
     """
-    sigs = hyperplane_signatures(vectors, num_bits, id_col, vec_col)
+    # One row per vector (vid + long sig), but its lineage is the Arrow
+    # signature UDF — persist so the self-join below doesn't run the
+    # UDF once per join side.
+    sigs = hyperplane_signatures(vectors, num_bits, id_col, vec_col).persist()
     r = num_bits // bands
     band_rows = sigs.select(
         "vid",
