@@ -53,6 +53,12 @@ HEADLINE = [
     "stream_session_windows",
     "stream_dedup_exactly_once",
     "stream_attribution_join",
+    # r2 extension operators
+    "text_repetition_filter",
+    "contamination_check",
+    "search_bm25",
+    "sim_quantized_topk",
+    "events_asof_join",
 ]
 
 

@@ -1,0 +1,74 @@
+"""Backward as-of join: attach to each left row the most recent right
+row (same key, right_ts <= left_ts).
+
+Spark has no ASOF JOIN operator (DuckDB/QuestDB/kdb do), but the
+semantics decompose into a plan Spark executes WITHOUT any range or
+nested-loop join: union both sides tagged, sort within key by
+(ts, side, tiebreak), and carry the last right payload forward with
+``last(..., ignorenulls=True)`` over an unbounded-preceding running
+window. One shuffle on the key, linear in |left| + |right| — the
+standard merge-based as-of plan, expressed declaratively.
+
+Determinism: several right rows can share (key, ts). Callers must
+pre-dedupe the right side to one row per (key, ts) (e.g. keep the max
+tiebreak id); the right side sorts BEFORE the left at equal ts (so an
+equal-timestamp right row IS visible, matching the <= bound), and the
+remaining order ties on the id column.
+
+Scale notes: state per key is one payload struct (the running last),
+so skewed keys cost sort time, not memory; at 100 TB the union sorts
+within hash partitions of the key — no global sort, no broadcast of
+either side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    payload_cols: list[str],
+    left_id: str,
+) -> DataFrame:
+    """(left_id, key, ts, asof_<payload>...) — one row per left row,
+    with the matched right payload (NULL when no right row precedes).
+
+    `right` must be unique per (key, ts_col); `left_id` orders ties
+    among equal-timestamp left rows (output determinism only).
+    """
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    r = right.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("_lid"),
+        payload.alias("_pay"),
+    )
+    l = left.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(1).alias("side"),
+        F.col(left_id).cast("long").alias("_lid"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+    )
+    w = (
+        W.partitionBy(key)
+        .orderBy(ts_col, "side", "_lid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = r.unionByName(l).withColumn(
+        "_match", F.last("_pay", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("side") == 1).select(
+        F.col("_lid").alias(left_id),
+        F.col(key),
+        F.col(ts_col),
+        *[F.col("_match").getField(c).alias(f"asof_{c}") for c in payload_cols],
+    )
+    return out

@@ -1,0 +1,138 @@
+"""Corpus-level quality and hygiene operators for training-data
+pipelines: n-gram repetition filtering (Gopher-style) and benchmark
+contamination detection.
+
+Reference parity: the reference (a BI warehouse) has no corpus
+surface; these belong to the LLM-data-pipeline extension mandate
+alongside operators/dedup.py and operators/curation.py.
+
+Scale design (100 TB):
+
+* Repetition stats shuffle on (doc_id, gram) — a key that is unique
+  per document times a bounded gram vocabulary, so partial (map-side)
+  aggregation collapses each document's gram counts before the
+  exchange; the second aggregate is a per-doc max over already-tiny
+  groups. No self-joins, no windows over the corpus.
+* Contamination NEVER shuffles the training corpus: the benchmark
+  (eval) shingle set is small by construction — benchmark suites are
+  MBs against a 100 TB corpus — so it is broadcast to the train scan,
+  which emits only matching shingles (map-side semi-join). The
+  distinct on the matches is bounded by the benchmark shingle count,
+  not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, shingles_of_tokens, tokens_ws
+
+
+def _gram_top_counts(toked: DataFrame, k: int) -> DataFrame:
+    """(doc_id, top{k}_count) — occurrences of the single most frequent
+    k-gram per document (NOT set-deduped: repetition needs raw
+    frequencies, unlike the dedup shingle table)."""
+    grams = toked.select(
+        "doc_id", F.explode(shingles_of_tokens(F.col("toks"), k)).alias("g")
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc_id").agg(F.max("c").alias(f"top{k}_count"))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    max_top2_frac: float = 0.20,
+    max_top3_frac: float = 0.18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram repetition features + keep/drop flag.
+
+    The Gopher-rule family: a document whose most frequent 2-gram
+    (3-gram) covers more than `max_top2_frac` (`max_top3_frac`) of its
+    tokens is machine-generated boilerplate with high probability.
+    Fractions are token-coverage: top-k-gram count × k / n_tokens.
+
+    Documents with fewer than k tokens have no k-grams and count as
+    fraction 0 (they pass; length floors are a separate filter).
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_ws(normalize_text(F.col(text_col))).alias("toks"),
+    )
+    base = toked.select("doc_id", F.size("toks").alias("n_tokens"))
+    top2 = _gram_top_counts(toked, 2)
+    top3 = _gram_top_counts(toked, 3)
+    n = F.col("n_tokens").cast("double")
+    frac2 = F.coalesce(F.col("top2_count"), F.lit(0)) * 2 / n
+    frac3 = F.coalesce(F.col("top3_count"), F.lit(0)) * 3 / n
+    return (
+        base.join(top2, "doc_id", "left")
+        .join(top3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("top2_count"), F.lit(0)).alias("top2_count"),
+            frac2.alias("top2_frac"),
+            F.coalesce(F.col("top3_count"), F.lit(0)).alias("top3_count"),
+            frac3.alias("top3_frac"),
+            (
+                (frac2 <= F.lit(max_top2_frac)) & (frac3 <= F.lit(max_top3_frac))
+            ).alias("pass_repetition"),
+        )
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_stride: int = 25,
+    k: int = 5,
+    flag_threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination rates: for each eval document, the
+    fraction of its distinct k-token shingles that appear anywhere in
+    the training split.
+
+    The eval split is the deterministic subset ``id % eval_stride == 0``
+    (standing in for a benchmark suite); everything else is train.
+    Documents with fewer than k tokens have no shingles and are not
+    scored.
+
+    Plan shape: eval shingles are broadcast against the train scan
+    (map-side semi-join emitting only hits), so the training corpus is
+    never shuffled — the only exchanges are over sets bounded by the
+    benchmark size.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_ws(normalize_text(F.col(text_col))).alias("toks"),
+    )
+    sh = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_of_tokens(F.col("toks"), k))
+        ).alias("s"),
+    )
+    is_eval = F.col("doc_id") % eval_stride == 0
+    eval_sh = sh.filter(is_eval)
+    train_sh = sh.filter(~is_eval)
+    hit_set = (
+        train_sh.join(
+            F.broadcast(eval_sh.select("s").distinct()), "s", "left_semi"
+        )
+        .select("s")
+        .distinct()
+    )
+    scored = eval_sh.join(
+        F.broadcast(hit_set.withColumn("hit", F.lit(1))), "s", "left"
+    )
+    rate: Column = F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        rate.alias("contamination_rate"),
+        (rate >= F.lit(flag_threshold)).alias("flag_contaminated"),
+    )

@@ -1,0 +1,93 @@
+"""Keyword search scoring over a document corpus: BM25 with a
+rational idf.
+
+Classic BM25 multiplies each term's tf-saturation by
+``ln((N - df + 0.5) / (df + 0.5) + 1)``. The log is the one piece
+whose last-ulp rounding is libm-implementation-specific, so the
+cross-engine-deterministic variant here drops the log and uses the
+rational odds idf ``(N - df + 0.5) / (df + 0.5)`` directly — the same
+document ordering per term, computed purely from IEEE add/mul/div
+(each correctly rounded, hence bit-identical in any engine). Per-term
+scores are floor-snapped to 1e-9 and summed as integers so the
+per-document total is order-independent.
+
+Scale design: the term list is a handful of constants, so the token
+explode filters to query terms BEFORE any shuffle (the exchange
+carries |docs| x |terms| rows at most, not the token stream); df and
+the corpus stats (N, avgdl) are 1-row/`|terms|`-row aggregates joined
+back by broadcast. No UDFs, no windows over the corpus; the top-k is
+a TakeOrdered, not a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, tokens_ws
+
+SCORE_SCALE = 1e9
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under rational-idf
+    BM25. Ties break on doc_id ascending."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_ws(normalize_text(F.col(text_col))).alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+
+    stats = toked.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+
+    tf = (
+        toked.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter(F.col("toks"), lambda t: t.isin(*terms))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+
+    scored = tf.join(F.broadcast(df_tbl), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    sat = (tfd * F.lit(k1 + 1.0)) / (
+        tfd
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + (F.lit(b) * dld) / F.col("avgdl"))
+    )
+    term_score = F.floor(idf * sat * F.lit(SCORE_SCALE)).cast("long")
+    return (
+        scored.select("doc_id", term_score.alias("ts"))
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("ts").cast("double") / F.lit(SCORE_SCALE)).alias("bm25"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )

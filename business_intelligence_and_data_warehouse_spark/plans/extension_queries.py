@@ -1,0 +1,324 @@
+"""Driver-checkable extension-operator queries (round 2 additions):
+
+* text_repetition_filter — Gopher-style n-gram repetition quality
+* contamination_check    — benchmark/train n-gram overlap rates
+* search_bm25            — rational-idf BM25 keyword top-k
+* embedding_quantize     — int8 symmetric scalar quantization
+* sim_quantized_topk     — integer-inner-product top-k over int8
+* events_asof_join       — backward as-of join (purchase <- last view)
+
+Oracle-parity notes: every float literal in the SQL twins uses the
+``e0`` scientific form so DuckDB parses DOUBLE (bare decimal-point
+literals are DECIMAL there); BM25 keeps idf rational (no ln — libm
+last-ulp rounding is engine-specific); quantization floors instead of
+rounding (round() tie-breaks differ across engines); quantized arrays
+are emitted as CSV strings so the comparison is representation-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_backward
+from ..operators.corpus_quality import contamination_check, repetition_stats
+from ..operators.search import bm25_topk
+from ..operators.similarity import quantize_int8, quantized_ip_topk
+from ..sources.testdata import load_table
+from .pipeline_queries import _O_ELEMENTS, _O_NORM
+from .queries import query_fn
+
+# ---------------------------------------------------------------------------
+# text: n-gram repetition filter (Gopher rules)
+# ---------------------------------------------------------------------------
+
+_TOP2_MAX, _TOP3_MAX = 0.20, 0.18
+
+
+def _o_top_gram(k: int) -> str:
+    """CTE pair computing MAX k-gram occurrence count per doc."""
+    return f"""
+g{k} AS (
+  SELECT doc_id, array_to_string(t[i:i+{k - 1}], ' ') AS g
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - {k} + 2)) AS i
+    FROM toks WHERE len(t) >= {k}
+  )
+),
+m{k} AS (
+  SELECT doc_id, MAX(c) AS top{k}
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g{k} GROUP BY 1, 2)
+  GROUP BY doc_id
+)"""
+
+
+@query_fn(
+    "text_repetition_filter",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_O_NORM}, ' ') AS t FROM documents
+),
+{_o_top_gram(2)},
+{_o_top_gram(3)}
+SELECT b.doc_id,
+       CAST(len(b.t) AS INTEGER) AS n_tokens,
+       COALESCE(m2.top2, 0) AS top2_count,
+       (COALESCE(m2.top2, 0) * 2) / CAST(len(b.t) AS DOUBLE) AS top2_frac,
+       COALESCE(m3.top3, 0) AS top3_count,
+       (COALESCE(m3.top3, 0) * 3) / CAST(len(b.t) AS DOUBLE) AS top3_frac,
+       ((COALESCE(m2.top2, 0) * 2) / CAST(len(b.t) AS DOUBLE) <= {_TOP2_MAX}e0
+        AND (COALESCE(m3.top3, 0) * 3) / CAST(len(b.t) AS DOUBLE) <= {_TOP3_MAX}e0)
+         AS pass_repetition
+FROM toks b
+LEFT JOIN m2 ON m2.doc_id = b.doc_id
+LEFT JOIN m3 ON m3.doc_id = b.doc_id
+ORDER BY b.doc_id
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent-2/3-gram token-coverage fractions + Gopher-rule
+    keep flag, per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, _TOP2_MAX, _TOP3_MAX).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# contamination: benchmark n-gram overlap
+# ---------------------------------------------------------------------------
+
+_EVAL_STRIDE, _CONTAM_K, _CONTAM_T = 25, 5, 0.2
+
+
+@query_fn(
+    "contamination_check",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_O_NORM}, ' ') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {_CONTAM_K} + 2)) AS i
+  FROM toks WHERE len(t) >= {_CONTAM_K}
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{_CONTAM_K - 1}], ' ') AS s
+  FROM idx
+),
+evals AS (SELECT doc_id, s FROM sh WHERE doc_id % {_EVAL_STRIDE} = 0),
+train AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {_EVAL_STRIDE} != 0
+),
+scored AS (
+  SELECT e.doc_id, CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM evals e LEFT JOIN train t ON e.s = t.s
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       SUM(hit) AS n_contaminated,
+       CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS contamination_rate,
+       CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) >= {_CONTAM_T}e0
+         AS flag_contaminated
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-document fraction of 5-gram shingles found anywhere in
+    the train split (doc_id % 25 != 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_check(
+        docs, _EVAL_STRIDE, _CONTAM_K, _CONTAM_T
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# search: BM25 top-k
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash", "scan")
+_BM25_K = 20
+
+
+@query_fn(
+    "search_bm25",
+    oracle=f"""
+WITH toked AS (
+  SELECT doc_id, string_split({_O_NORM}, ' ') AS t FROM documents
+),
+base AS (SELECT doc_id, len(t) AS dl, t FROM toked),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM base
+),
+tf AS (
+  SELECT doc_id, dl, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS tok FROM base)
+  WHERE tok IN {_BM25_TERMS!r}
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(
+           ((s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))
+           * ((CAST(tf.tf AS DOUBLE) * (1.2e0 + 1e0))
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2e0 * ((1e0 - 0.75e0)
+                            + (0.75e0 * CAST(tf.dl AS DOUBLE)) / s.avgdl)))
+           * 1e9) AS BIGINT) AS ts
+  FROM tf JOIN dfs d ON d.term = tf.term CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(SUM(ts) AS DOUBLE) / 1e9 AS bm25,
+       CAST(COUNT(*) AS INTEGER) AS n_terms_hit
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_K}
+""",
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational-idf BM25 top-20 for the fixed query bag
+    ('join', 'hash', 'scan')."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: int8 quantization + integer-IP top-k
+# ---------------------------------------------------------------------------
+
+_O_QUANT = f"""
+{_O_ELEMENTS},
+mx AS (SELECT vid, MAX(ABS(val)) AS vmax FROM el GROUP BY vid),
+q AS (
+  SELECT el.vid, el.pos,
+         CAST(FLOOR(el.val / NULLIF(mx.vmax, 0) * 127) AS BIGINT) AS qv
+  FROM el JOIN mx ON mx.vid = el.vid
+)
+"""
+
+
+@query_fn(
+    "embedding_quantize",
+    oracle=f"""
+WITH {_O_QUANT}
+SELECT q.vid AS vec_id,
+       ANY_VALUE(mx.vmax) AS scale,
+       array_to_string(list(CAST(qv AS INTEGER) ORDER BY q.pos), ',')
+         AS qvec_csv,
+       CAST(SUM(CASE WHEN qv IN (127, -127) THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_saturated
+FROM q JOIN mx ON mx.vid = q.vid
+GROUP BY q.vid
+ORDER BY vec_id
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (map-side
+    array math; the 4x-compression scale path for billion-vector
+    indexes). Arrays emitted as CSV for representation-stable
+    comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        quantize_int8(emb)
+        .select(
+            F.col("vid").alias("vec_id"),
+            "scale",
+            F.concat_ws(",", F.col("qvec")).alias("qvec_csv"),
+            F.col("n_saturated").cast("int").alias("n_saturated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_QIP_K = 10
+
+
+@query_fn(
+    "sim_quantized_topk",
+    oracle=f"""
+WITH {_O_QUANT},
+dots AS (
+  SELECT p.vid AS qid, c.vid AS cid, SUM(p.qv * c.qv) AS dot_q
+  FROM q p JOIN q c ON p.pos = c.pos AND p.vid % 100 = 0 AND p.vid != c.vid
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, cid AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid)
+            AS INTEGER) AS rank,
+       CAST(dot_q AS BIGINT) AS dot_q
+FROM dots
+QUALIFY rank <= {_QIP_K}
+ORDER BY query_id, rank
+""",
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-inner-product top-10 over int8-quantized vectors for
+    the probe subset (vec_id % 100 == 0) — pure-integer scoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return quantized_ip_topk(emb, probes, k=_QIP_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: backward as-of join
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "events_asof_join",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, MAX(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (
+  SELECT event_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       v.view_event_id AS asof_view_event_id,
+       v.ts AS asof_view_ts,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY p.event_id
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the latest view of the same user at or
+    before the purchase timestamp (union + running-last plan — one
+    shuffle, no range join; the DuckDB twin uses its native ASOF
+    JOIN, an independent algorithm agreeing on the result)."""
+    events = load_table(spark, sf_dir, "events")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_backward(
+        purchases,
+        views,
+        key="user_id",
+        ts_col="ts",
+        payload_cols=["view_event_id", "view_ts"],
+        left_id="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_view_event_id"),
+        F.col("asof_view_ts"),
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_view_ts"))
+        ).alias("gap_us"),
+    ).orderBy("event_id")

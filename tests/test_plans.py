@@ -109,3 +109,34 @@ def test_no_plan_falls_back_to_python_udf_in_sql_battery(spark):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_contamination_never_shuffles_train_as_join_side(spark):
+    plan = plan_of(spark, "contamination_check")
+    # both joins (eval-shingle semi against train, hit-set back-join)
+    # must broadcast the benchmark-bounded side; a SortMergeJoin here
+    # would shuffle the full training corpus's shingle stream
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "search_bm25")
+    # the only nested loop allowed is the 1-row corpus-stats scalar
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_join_has_no_range_join(spark):
+    plan = plan_of(spark, "events_asof_join")
+    # the as-of must compile to union + running window — one shuffle
+    # family on the key, never a nested-loop/range join over events
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_quantized_topk_broadcasts_probes(spark):
+    plan = plan_of(spark, "sim_quantized_topk")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
