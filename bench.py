@@ -59,6 +59,9 @@ HEADLINE = [
     "search_bm25",
     "sim_quantized_topk",
     "events_asof_join",
+    "events_sessionize",
+    "tfidf_top_terms",
+    "incremental_agg_merge",
 ]
 
 

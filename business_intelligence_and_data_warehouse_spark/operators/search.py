@@ -91,3 +91,56 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-n characteristic terms per document by tf × rational idf
+    (same log-free idf as :func:`bm25_topk` — see module docstring).
+
+    Plan shape: tf shuffles on (doc, term) with map-side combine; the
+    df table is vocabulary-sized and joins tf by broadcast (a corpus
+    vocabulary is millions of rows — broadcastable — while the tf
+    stream is |corpus|×|doc vocab|); the per-doc top-n is a window
+    over doc-sized groups. Ties break on the term string.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_ws(normalize_text(F.col(text_col))).alias("toks"),
+    )
+    tf = (
+        toked.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = toked.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    score = (
+        F.floor(F.col("tf").cast("double") * idf * F.lit(SCORE_SCALE)).cast(
+            "long"
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (score.cast("double") / F.lit(SCORE_SCALE)).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "rank", "term", "tfidf")
+    )

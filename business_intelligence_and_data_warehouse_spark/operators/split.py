@@ -72,3 +72,38 @@ def hash_split(
         .when(F.col("bucket") < val_end, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.5,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the domain-mixing
+    primitive of training-data pipelines (keep X% of stratum A, Y% of
+    stratum B, ...).
+
+    Keep iff ``hash_bucket(id) < floor(rate(stratum) * NUM_BUCKETS)``:
+    the same content-hash properties as :func:`hash_split` — a row's
+    fate is a pure function of (id, stratum rate), stable under
+    repartitioning, reruns, and corpus growth, and reproducible in any
+    SQL engine for audit. Entirely map-side (the rate lookup is a
+    literal CASE chain, not a join).
+    """
+    b = hash_bucket(F.col(id_col))
+    threshold = None
+    for stratum, rate in sorted(rates.items()):
+        cut = F.lit(int(rate * NUM_BUCKETS))
+        threshold = (
+            F.when(F.col(stratum_col) == stratum, cut)
+            if threshold is None
+            else threshold.when(F.col(stratum_col) == stratum, cut)
+        )
+    threshold = (
+        threshold.otherwise(F.lit(int(default_rate * NUM_BUCKETS)))
+        if threshold is not None
+        else F.lit(int(default_rate * NUM_BUCKETS))
+    )
+    return df.withColumn("bucket", b).filter(F.col("bucket") < threshold)

@@ -6,6 +6,12 @@
 * embedding_quantize     — int8 symmetric scalar quantization
 * sim_quantized_topk     — integer-inner-product top-k over int8
 * events_asof_join       — backward as-of join (purchase <- last view)
+* events_sessionize      — gap-based row-level session assignment
+* corpus_mixture_sample  — deterministic per-stratum domain mixing
+* incremental_agg_merge  — algebraic-aggregate incremental maintenance
+* tfidf_top_terms        — per-doc characteristic terms (tf x idf)
+* unpivot_monthly_measures — wide->long melt via native unpivot
+* intersect_repeat_buyers  — INTERSECT set operation coverage
 
 Oracle-parity notes: every float literal in the SQL twins uses the
 ``e0`` scientific form so DuckDB parses DOUBLE (bare decimal-point
@@ -322,3 +328,264 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_view_ts"))
         ).alias("gap_us"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# events: batch sessionization (row-level session assignment)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 6 * 3600
+
+
+@query_fn(
+    "events_sessionize",
+    oracle=f"""
+WITH marked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                   > CAST({_SESSION_GAP_S} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS INTEGER)
+         AS session_seq,
+       CAST(user_id AS VARCHAR) || '#' ||
+       CAST(CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS INTEGER)
+            AS VARCHAR) AS session_id
+FROM marked
+ORDER BY event_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based (6h) session ordinals per user — lag + running sum,
+    one shuffle on the key (operators/sessions.py)."""
+    from ..operators.sessions import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        sessionize(events, gap_seconds=_SESSION_GAP_S)
+        .select("event_id", "user_id", "ts", "session_seq", "session_id")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixture sampling (domain mixing)
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"src1": 0.9, "src2": 0.25, "src3": 0.25}
+_MIX_DEFAULT = 0.5
+
+_O_HEXV_LOCAL = (
+    "(CASE WHEN ascii(substr(hx,{i},1)) >= 97 "
+    "THEN ascii(substr(hx,{i},1)) - 87 "
+    "ELSE ascii(substr(hx,{i},1)) - 48 END)"
+)
+
+_O_MIX_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {int(r * 4096)}"
+    for s, r in sorted(_MIX_RATES.items())
+)
+
+
+@query_fn(
+    "corpus_mixture_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         {_O_HEXV_LOCAL.format(i=1)} * 256
+       + {_O_HEXV_LOCAL.format(i=2)} * 16
+       + {_O_HEXV_LOCAL.format(i=3)} AS bucket
+  FROM h
+)
+SELECT doc_id, source, CAST(bucket AS INTEGER) AS bucket
+FROM b
+WHERE bucket < (CASE {_O_MIX_CASE} ELSE {int(_MIX_DEFAULT * 4096)} END)
+ORDER BY doc_id
+""",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling to target mixture rates
+    (keep 90% of src1, 25% of src2/src3, 50% elsewhere) — content-hash
+    buckets, map-side, partitioning-invariant."""
+    from ..operators.split import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        mixture_sample(docs, _MIX_RATES, "source", "doc_id", _MIX_DEFAULT)
+        .select("doc_id", "source", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+_INC_CUTOFF = "1998-01-01"
+
+
+@query_fn(
+    "incremental_agg_merge",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST(month(o_orderdate) AS INTEGER) AS month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+ORDER BY year, month
+""",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue maintained INCREMENTALLY: decimal partials of
+    the pre-cutoff base combined with the post-cutoff delta's partials
+    (operators/incremental.py) — the oracle recomputes from scratch;
+    equality is the algebraic-maintenance guarantee."""
+    from ..operators.incremental import (
+        merge_partial_aggs,
+        partial_aggs,
+        present,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.month("o_orderdate").cast("int").alias("month"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    cutoff = F.to_date(F.lit(_INC_CUTOFF))
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    delta = orders.filter(F.col("o_orderdate") >= cutoff)
+    merged = merge_partial_aggs(
+        [
+            partial_aggs(base, ["year", "month"], "o_totalprice"),
+            partial_aggs(delta, ["year", "month"], "o_totalprice"),
+        ]
+    )
+    return present(merged).orderBy("year", "month")
+
+
+# ---------------------------------------------------------------------------
+# tf-idf characteristic terms
+# ---------------------------------------------------------------------------
+
+_TFIDF_N = 3
+
+
+@query_fn(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toked AS (
+  SELECT doc_id, string_split({_O_NORM}, ' ') AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toked)
+  GROUP BY 1, 2
+),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM toked),
+dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(CAST(FLOOR(
+           CAST(tf.tf AS DOUBLE)
+           * ((s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))
+           * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS tfidf
+  FROM tf JOIN dfs d ON d.term = tf.term CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS INTEGER) AS rank,
+       term, tfidf
+FROM scored
+QUALIFY rank <= {_TFIDF_N}
+ORDER BY doc_id, rank
+""",
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf x rational idf
+    (operators/search.py)."""
+    from ..operators.search import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, _TFIDF_N).orderBy("doc_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# unpivot (melt) + INTERSECT coverage
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "unpivot_monthly_measures",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+         CAST(month(o_orderdate) AS INTEGER) AS month,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS sum_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_lines
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)
+SELECT year, month, 'sum_qty' AS measure, sum_qty AS value FROM monthly
+UNION ALL
+SELECT year, month, 'sum_price', sum_price FROM monthly
+UNION ALL
+SELECT year, month, 'n_lines', n_lines FROM monthly
+ORDER BY year, month, measure
+""",
+)
+def unpivot_monthly_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot of the monthly measure columns (Spark's
+    native unpivot/melt — a Generate, not a 3x self-union scan)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    from ..functions.parity import dsum
+
+    monthly = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("year"),
+            F.month("o_orderdate").cast("int").alias("month"),
+        )
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+            F.count(F.lit(1)).cast("double").alias("n_lines"),
+        )
+    )
+    return monthly.unpivot(
+        ["year", "month"],
+        ["sum_qty", "sum_price", "n_lines"],
+        "measure",
+        "value",
+    ).orderBy("year", "month", "measure")
+
+
+@query_fn(
+    "intersect_repeat_buyers",
+    oracle="""
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+ORDER BY o_custkey
+""",
+)
+def intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ordering in BOTH 1997 and 1998 — INTERSECT (compiles
+    to a semi join + aggregate, never a full distinct of each side
+    shipped around)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y97.intersect(y98).orderBy("o_custkey")

@@ -140,3 +140,34 @@ def test_quantized_topk_broadcasts_probes(spark):
     plan = plan_of(spark, "sim_quantized_topk")
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sessionize_is_pure_window(spark):
+    plan = plan_of(spark, "events_sessionize")
+    # lag + running sum over one key partitioning: no join of any kind
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_mixture_sample_is_map_side(spark):
+    plan = plan_of(spark, "corpus_mixture_sample")
+    # rate lookup is a literal CASE, not a join; the only exchange is
+    # the presentation sort (formatted plans list each node twice:
+    # once in the tree, once as a detail block)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_intersect_compiles_to_semi_join(spark):
+    plan = plan_of(spark, "intersect_repeat_buyers")
+    assert "LeftSemi" in plan, plan
+
+
+def test_unpivot_is_expand_not_self_union(spark):
+    plan = plan_of(spark, "unpivot_monthly_measures")
+    # Spark's unpivot lowers to Expand/Generate over ONE aggregate —
+    # re-scanning the fact once per measure would show 3 scan pairs
+    # (each scan appears twice in a formatted plan: tree + detail)
+    assert ("Expand" in plan) or ("Generate" in plan), plan
+    assert plan.count("Scan parquet") <= 4, plan
