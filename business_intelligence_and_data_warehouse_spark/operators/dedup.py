@@ -114,6 +114,11 @@ def jaccard_pairs(
         freq = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         stop = freq.filter(F.col("df") > max_df).select("s")
         shingles = shingles.join(F.broadcast(stop), "s", "left_anti")
+    # The capped shingle table feeds the size aggregate AND both sides
+    # of the candidate self-join — persist so tokenize+shingle+anti
+    # runs once, not once per consumer (DISK_ONLY-able at TB scale via
+    # the same pattern as minhash_lsh_dedup's shingle_storage).
+    shingles = shingles.persist()
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")

@@ -79,6 +79,9 @@ def churn_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     months = pairs.select("m").distinct()
+    # `active` feeds three consumers (counts, the shifted prev set, and
+    # the churn anti-join); persist so the explode+distinct pipeline
+    # runs once, not once per consumer.
     active = (
         pairs.select(
             F.explode(
@@ -88,6 +91,7 @@ def churn_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(months, "m", "left_semi")
         .distinct()
+        .persist()
     )
     counts = active.groupBy("m").agg(F.count(F.lit(1)).alias("n_active"))
     prev = active.select(F.add_months("m", 1).alias("m"), "c").join(

@@ -589,3 +589,128 @@ def intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
     y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
     return y97.intersect(y98).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# data profiling (single-pass column stats)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    from ..operators.profile import oracle_profile_sql
+
+    return oracle_profile_sql("orders", _PROFILE_COLS)
+
+
+@query_fn("profile_orders", oracle=_profile_oracle())
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass profile of every orders column: n / nulls / exact
+    distinct / rendered min & max (operators/profile.py; the
+    multi-distinct lowers to ONE Expand pass, not a scan per column)."""
+    from ..operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders, _PROFILE_COLS).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching (blocked entity resolution)
+# ---------------------------------------------------------------------------
+
+_FUZZY_PREFIX, _FUZZY_MAXD = 16, 2
+
+
+@query_fn(
+    "fuzzy_match_customers",
+    oracle=f"""
+WITH r AS (
+  SELECT c_custkey AS rid, c_name AS name,
+         substr(c_name, 1, {_FUZZY_PREFIX}) AS blk
+  FROM customer
+)
+SELECT a.rid AS id_a, b.rid AS id_b,
+       a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+FROM r a JOIN r b ON a.blk = b.blk AND a.rid < b.rid
+WHERE levenshtein(a.name, b.name) <= {_FUZZY_MAXD}
+ORDER BY id_a, id_b
+""",
+)
+def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-match of customer names: 16-char prefix
+    blocks, levenshtein <= 2 verify (operators/fuzzy.py) — integer
+    distances, no float surface."""
+    from ..operators.fuzzy import fuzzy_match_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        fuzzy_match_pairs(cust, "c_custkey", "c_name", _FUZZY_PREFIX, _FUZZY_MAXD)
+        .withColumn("distance", F.col("distance").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# window-function battery (percent_rank / cume_dist / first / nth)
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "window_battery",
+    oracle="""
+WITH rev AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_custkey, c_mktsegment, revenue,
+       percent_rank() OVER asc_w AS pct_rank,
+       cume_dist() OVER asc_w AS cume,
+       first_value(c_custkey) OVER desc_w AS seg_top_custkey,
+       nth_value(revenue, 2) OVER desc_w AS seg_second_rev
+FROM rev
+WINDOW
+  asc_w AS (PARTITION BY c_mktsegment ORDER BY revenue, c_custkey),
+  desc_w AS (PARTITION BY c_mktsegment ORDER BY revenue DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY c_custkey
+""",
+)
+def window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / first_value / nth_value over
+    per-segment revenue — widens the §2.5 window-function surface."""
+    from pyspark.sql import Window as W
+
+    from ..functions.parity import dsum
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    asc_w = W.partitionBy("c_mktsegment").orderBy("revenue", "c_custkey")
+    desc_w = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return rev.select(
+        "c_custkey",
+        "c_mktsegment",
+        "revenue",
+        F.percent_rank().over(asc_w).alias("pct_rank"),
+        F.cume_dist().over(asc_w).alias("cume"),
+        F.first("c_custkey").over(desc_w).alias("seg_top_custkey"),
+        F.nth_value("revenue", 2).over(desc_w).alias("seg_second_rev"),
+    ).orderBy("c_custkey")

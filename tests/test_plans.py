@@ -171,3 +171,19 @@ def test_unpivot_is_expand_not_self_union(spark):
     # (each scan appears twice in a formatted plan: tree + detail)
     assert ("Expand" in plan) or ("Generate" in plan), plan
     assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_profile_is_single_pass(spark):
+    plan = plan_of(spark, "profile_orders")
+    # the multi-distinct profile must be ONE Expand pass over one scan,
+    # not a scan per column (each node appears twice in formatted plans)
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "Expand" in plan, plan
+
+
+def test_window_battery_shares_one_partitioning(spark):
+    plan = plan_of(spark, "window_battery")
+    # asc and desc windows both partition by segment: sorts differ but
+    # the exchange family is (join, agg/window, presentation) — no
+    # extra shuffle per window function
+    assert plan.count("Exchange") <= 8, plan
