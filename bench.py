@@ -53,6 +53,7 @@ HEADLINE = [
     "stream_session_windows",
     "stream_dedup_exactly_once",
     "stream_attribution_join",
+    "stream_enrich_join",
     # r2 extension operators
     "text_repetition_filter",
     "contamination_check",

@@ -231,3 +231,44 @@ def stream_attribution_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     v, p = split_views_purchases(stream, watermark="90 days")
     out = run_stream_to_table(attribution_join(v, p), mode="append")
     return out.orderBy("user_id", "view_id", "purchase_id")
+
+
+_O_ENRICH = f"""
+WITH {_O_EV}
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       c_mktsegment,
+       COUNT(*) AS n_events,
+       {_O_VSUM} AS value_sum
+FROM ev JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+ORDER BY window_start, c_mktsegment
+"""
+
+
+@query_fn("stream_enrich_join", oracle=_O_ENRICH)
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (batch mode): events x broadcast
+    customer dim -> per-(day, segment) windows."""
+    from ..streaming.enrich import enriched_segment_windows
+
+    events = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer")
+    return enriched_segment_windows(events, dim).orderBy(
+        "window_start", "c_mktsegment"
+    )
+
+
+@query_fn("stream_enrich_live", oracle=_O_ENRICH)
+def stream_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME enrichment topology as a live readStream: stream-STATIC
+    inner join (zero join state — the dim broadcasts per micro-batch)
+    feeding a watermarked windowed aggregate."""
+    from ..streaming.enrich import enriched_segment_windows
+    from ..streaming.windows import read_event_stream, run_stream_to_table
+
+    stream = read_event_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer")
+    out = run_stream_to_table(
+        enriched_segment_windows(stream, dim), mode="complete"
+    )
+    return out.orderBy("window_start", "c_mktsegment")

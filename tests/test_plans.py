@@ -187,3 +187,11 @@ def test_window_battery_shares_one_partitioning(spark):
     # the exchange family is (join, agg/window, presentation) — no
     # extra shuffle per window function
     assert plan.count("Exchange") <= 8, plan
+
+
+def test_stream_enrich_broadcasts_dim(spark):
+    plan = plan_of(spark, "stream_enrich_join")
+    # the dimension must broadcast — a stream side is never shuffled
+    # for an enrichment join
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
