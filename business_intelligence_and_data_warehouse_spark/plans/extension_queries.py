@@ -714,3 +714,67 @@ def window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(desc_w).alias("seg_top_custkey"),
         F.nth_value("revenue", 2).over(desc_w).alias("seg_second_rev"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# CUBE (completes the §2.4 grouping family: SETS + ROLLUP + CUBE)
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "q2c_cube",
+    oracle="""
+SELECT
+  CASE WHEN GROUPING(yr) = 1 THEN 'All Years'
+       ELSE CAST(yr AS VARCHAR) END AS year_level,
+  CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'All Segments'
+       ELSE c_mktsegment END AS segment_level,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, c_mktsegment,
+         o_totalprice
+  FROM orders JOIN customer ON c_custkey = o_custkey
+)
+GROUP BY CUBE (yr, c_mktsegment)
+ORDER BY GROUPING(yr), yr, GROUPING(c_mktsegment), c_mktsegment
+""",
+)
+def q2c_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by year x market segment with ALL marginal totals via
+    CUBE — one Expand pass feeds the 4 aggregation levels (same plan
+    family as GROUPING SETS/ROLLUP; the dim side broadcasts)."""
+    from ..functions.parity import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), cust.c_custkey == orders.o_custkey
+    ).select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        "c_mktsegment",
+        "o_totalprice",
+    )
+    cubed = joined.cube("yr", "c_mktsegment").agg(
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("yr").cast("int").alias("g_y"),
+        F.grouping("c_mktsegment").cast("int").alias("g_s"),
+    )
+    return (
+        cubed.select(
+            F.when(F.col("g_y") == 1, F.lit("All Years"))
+            .otherwise(F.col("yr").cast("string"))
+            .alias("year_level"),
+            F.when(F.col("g_s") == 1, F.lit("All Segments"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment_level"),
+            "revenue",
+            "n_orders",
+            "g_y",
+            "g_s",
+            "yr",
+            "c_mktsegment",
+        )
+        .orderBy("g_y", "yr", "g_s", "c_mktsegment")
+        .drop("g_y", "g_s", "yr", "c_mktsegment")
+    )
