@@ -173,7 +173,11 @@ def minhash_lsh_candidates(
     concatenates `rows_per_band` min-hashes; any shared band signature
     makes a candidate pair. Collision probability 1-(1-J^r)^b.
     """
-    sigs = minhash_signatures(shingles, bands * rows_per_band)
+    # One narrow row per doc, but derived through the signature
+    # aggregation — persist so the band self-join below doesn't run
+    # that aggregation once per join side (same rule as SimHash/LSH
+    # blocks; see SCALE.md).
+    sigs = minhash_signatures(shingles, bands * rows_per_band).persist()
     band_rows = sigs.select(
         "doc_id",
         F.explode(

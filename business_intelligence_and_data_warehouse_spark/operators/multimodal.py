@@ -106,3 +106,46 @@ def extract_features(blobs: DataFrame, extractor=None, schema: str = FEATURE_SCH
     libraries — the Spark plumbing is identical.
     """
     return blobs.mapInPandas(extractor or _byte_features, schema=schema)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_digest string"
+
+
+def sample_frames(
+    blobs: DataFrame, frame_bytes: int = 32, stride: int = 4
+) -> DataFrame:
+    """Deterministic frame sampling over a binary payload: the payload
+    is treated as a sequence of fixed-size frames (a stand-in for
+    video GOPs / audio windows) and every `stride`-th frame is emitted
+    with its digest.
+
+    This is the ONE-TO-MANY mapInPandas shape (each input row yields
+    ~n_frames/stride output rows, assembled per Arrow batch) — the
+    plumbing a real video frame-sampler uses, with the codec swapped
+    for byte slicing in this environment. Map-side; output row count
+    is linear in payload bytes / (frame_bytes * stride).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digs = [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    ids.append(did)
+                    idxs.append(i)
+                    digs.append(
+                        hashlib.md5(
+                            b[i * frame_bytes : (i + 1) * frame_bytes]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_digest": pd.Series(digs, dtype="object"),
+                }
+            )
+
+    return blobs.mapInPandas(gen, schema=FRAME_SCHEMA)

@@ -778,3 +778,109 @@ def q2c_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("g_y", "yr", "g_s", "c_mktsegment")
         .drop("g_y", "g_s", "yr", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: deterministic frame sampling (one-to-many mapInPandas)
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES, _FRAME_STRIDE = 32, 4
+
+
+@query_fn(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, (length(text) + {_FRAME_BYTES - 1}) // {_FRAME_BYTES}))
+           AS idx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(idx AS INTEGER) AS frame_idx,
+       md5(substring(text, CAST(idx * {_FRAME_BYTES} + 1 AS INTEGER),
+                     {_FRAME_BYTES})) AS frame_digest
+FROM f
+WHERE idx % {_FRAME_STRIDE} = 0
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 4th 32-byte frame of each payload with its digest — the
+    one-to-many mapInPandas plumbing of a video frame sampler (docs are
+    ASCII so byte frames == the oracle's substring frames)."""
+    from ..operators.multimodal import attach_blob, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(
+        attach_blob(docs), _FRAME_BYTES, _FRAME_STRIDE
+    ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# ordered event funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "events_funnel",
+    oracle="""
+WITH stage_ts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+),
+flags AS (
+  SELECT user_id,
+         (t_view IS NOT NULL) AS s1,
+         (t_view IS NOT NULL AND t_click > t_view) AS s2,
+         (t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click)
+           AS s3
+  FROM stage_ts
+)
+SELECT 'n_users' AS metric, COUNT(*) AS n FROM flags
+UNION ALL
+SELECT '1_viewed', SUM(CASE WHEN s1 THEN 1 ELSE 0 END) FROM flags
+UNION ALL
+SELECT '2_then_clicked', SUM(CASE WHEN s2 THEN 1 ELSE 0 END) FROM flags
+UNION ALL
+SELECT '3_then_purchased', SUM(CASE WHEN s3 THEN 1 ELSE 0 END) FROM flags
+ORDER BY metric
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first view -> later first click ->
+    later first purchase, per user. ONE conditional-MIN aggregate over
+    the events scan (no joins, no windows over the stream) + a 4-row
+    stack — the scale-canonical funnel plan (NULL comparisons are
+    falsy in both engines, so ordering flags need no explicit guard
+    beyond the stage-1 check).
+    """
+    events = load_table(spark, sf_dir, "events")
+    stage = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    flags = stage.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s1").cast("long")).alias("v1"),
+        F.sum(F.col("s2").cast("long")).alias("v2"),
+        F.sum(F.col("s3").cast("long")).alias("v3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'n_users', n_users, '1_viewed', v1, "
+            "'2_then_clicked', v2, '3_then_purchased', v3) AS (metric, n)"
+        )
+    ).orderBy("metric")

@@ -1,0 +1,129 @@
+"""Behavioral tests for the round-2 extension operators, checked
+against INDEPENDENT reference implementations (pandas merge_asof, a
+per-row python sessionizer, full-recompute aggregation) rather than
+the same SQL restated."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from business_intelligence_and_data_warehouse_spark.operators.asof import (
+    asof_join_backward,
+)
+from business_intelligence_and_data_warehouse_spark.operators.incremental import (
+    merge_partial_aggs,
+    partial_aggs,
+    present,
+)
+from business_intelligence_and_data_warehouse_spark.operators.sessions import (
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _random_events(rng, n, n_users=5):
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                T0 + dt.timedelta(minutes=rng.randrange(0, 10_000)),
+                rng.randrange(n_users),
+                rng.choice(["view", "purchase"]),
+                float(rng.randrange(100)),
+            )
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_asof_join_matches_pandas_merge_asof(spark, seed):
+    rng = random.Random(seed)
+    rows = _random_events(rng, 300)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    views = (
+        df.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    got = {
+        r.event_id: r.asof_view_event_id
+        for r in asof_join_backward(
+            purchases, views, "user_id", "ts", ["view_event_id"], "event_id"
+        ).collect()
+    }
+
+    vp = views.toPandas().sort_values(["ts", "user_id"])
+    pp = purchases.toPandas().sort_values(["ts", "event_id"])
+    if len(vp) and len(pp):
+        merged = pd.merge_asof(
+            pp, vp, on="ts", by="user_id", direction="backward"
+        )
+        expect = {
+            int(r.event_id): (
+                None if pd.isna(r.view_event_id) else int(r.view_event_id)
+            )
+            for r in merged.itertuples()
+        }
+        assert got == expect
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_sessionize_matches_per_row_reference(spark, seed):
+    rng = random.Random(seed)
+    rows = _random_events(rng, 200, n_users=3)
+    gap_s = 3600
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r.event_id: r.session_seq
+        for r in sessionize(df, gap_seconds=gap_s).collect()
+    }
+    # independent per-row reference
+    by_user: dict[int, list] = {}
+    for eid, ts, uid, _, _ in rows:
+        by_user.setdefault(uid, []).append((ts, eid))
+    expect = {}
+    for uid, evs in by_user.items():
+        seq, prev = 0, None
+        for ts, eid in sorted(evs):
+            if prev is None or (ts - prev).total_seconds() > gap_s:
+                seq += 1
+            expect[eid] = seq
+            prev = ts
+    assert got == expect
+
+
+@pytest.mark.parametrize("cut", [0.0, 0.3, 0.5, 1.0])
+def test_incremental_merge_equals_full_recompute(spark, cut):
+    """Partial(base) ⊕ partial(delta) == partial(all) for EVERY split
+    point — including empty base and empty delta."""
+    rng = random.Random(13)
+    rows = [
+        (rng.randrange(5), float(rng.randrange(10_000)) / 100) for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k int, amount double")
+    n_base = int(len(rows) * cut)
+    base = spark.createDataFrame(rows[:n_base] or [], "k int, amount double")
+    delta = spark.createDataFrame(rows[n_base:] or [], "k int, amount double")
+    merged = present(
+        merge_partial_aggs(
+            [partial_aggs(base, ["k"], "amount"), partial_aggs(delta, ["k"], "amount")]
+        )
+    )
+    full = present(partial_aggs(df, ["k"], "amount"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
