@@ -59,3 +59,19 @@ def write_table(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.saveAsTable(table)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """ORC sink (native in Spark, no extra jar): the columnar
+    alternative where the surrounding lake is Hive/ORC-based. Same
+    partition-pruning behavior as the parquet sink."""
+    w = df.write.mode("overwrite").format("orc")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.save(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — pushdown/pruning work as with parquet (both formats
+    carry column statistics the reader exploits)."""
+    return spark.read.format("orc").load(path)

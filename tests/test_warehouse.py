@@ -66,3 +66,26 @@ def test_delta_gate_reports_unavailable(spark):
     # this environment ships no Delta jars; the gate must say so rather
     # than fail at write time
     assert delta_available(spark) is False
+
+
+def test_orc_round_trip_preserves_values_and_prunes(spark, sf_dir, tmp_path):
+    """ORC sink/source: values round-trip exactly and the scan pushes
+    filters (S-family: a second columnar format besides parquet)."""
+    from business_intelligence_and_data_warehouse_spark.sources.testdata import load_table
+    from business_intelligence_and_data_warehouse_spark.sources.warehouse import (
+        read_orc,
+        write_orc,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, orders.collect())) == sorted(
+        map(tuple, back.collect())
+    )
+    plan = back.filter(back.o_orderkey == 7)._jdf.queryExecution().toString()
+    assert "orc" in plan.lower()
+    assert "PushedFilters" in plan or "pushed" in plan.lower()
