@@ -107,3 +107,33 @@ def mixture_sample(
         else F.lit(int(default_rate * NUM_BUCKETS))
     )
     return df.withColumn("bucket", b).filter(F.col("bucket") < threshold)
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-SIZE sample: the k rows with the smallest
+    content-hash buckets per stratum (ties on id) — the reproducible
+    replacement for per-group reservoir sampling.
+
+    Rate-based sampling (:func:`mixture_sample`) keeps a fraction;
+    this keeps an exact count per stratum (eval sets, few-shot pools,
+    per-domain quotas). Same invariances: a row's membership depends
+    only on (its id, its stratum's k-th hash threshold), so adding
+    rows to OTHER strata never changes a stratum's sample, and reruns
+    are identical. One shuffle on the stratum key; the per-stratum
+    rank is a window over stratum-sized groups.
+    """
+    from pyspark.sql import Window as W
+
+    b = hash_bucket(F.col(id_col))
+    w = W.partitionBy(stratum_col).orderBy("bucket", id_col)
+    return (
+        df.withColumn("bucket", b)
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("bucket")
+    )

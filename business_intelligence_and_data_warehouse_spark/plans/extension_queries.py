@@ -884,3 +884,43 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'2_then_clicked', v2, '3_then_purchased', v3) AS (metric, n)"
         )
     ).orderBy("metric")
+
+
+# ---------------------------------------------------------------------------
+# fixed-size per-stratum sampling (deterministic reservoir)
+# ---------------------------------------------------------------------------
+
+_FIXED_K = 5
+
+
+@query_fn(
+    "corpus_sample_fixed_k",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         {_O_HEXV_LOCAL.format(i=1)} * 256
+       + {_O_HEXV_LOCAL.format(i=2)} * 16
+       + {_O_HEXV_LOCAL.format(i=3)} AS bucket
+  FROM h
+),
+r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id)
+              AS INTEGER) AS sample_rank
+  FROM b
+)
+SELECT doc_id, source, sample_rank
+FROM r WHERE sample_rank <= {_FIXED_K}
+ORDER BY source, sample_rank
+""",
+)
+def corpus_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 documents per source, chosen by smallest content-hash
+    bucket — the deterministic, rerun-stable reservoir sample."""
+    from ..operators.split import stratified_fixed_k
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_fixed_k(docs, _FIXED_K).orderBy("source", "sample_rank")
