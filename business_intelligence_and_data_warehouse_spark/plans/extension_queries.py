@@ -924,3 +924,55 @@ def corpus_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return stratified_fixed_k(docs, _FIXED_K).orderBy("source", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix (classic BI)
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "cohort_retention",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS activity_day
+  FROM events
+)
+SELECT c.cohort_day,
+       CAST(datediff('day', c.cohort_day, a.activity_day) AS INTEGER)
+         AS day_offset,
+       COUNT(*) AS n_active
+FROM cohort c
+JOIN activity a
+  ON a.user_id = c.user_id AND a.activity_day >= c.cohort_day
+GROUP BY 1, 2
+ORDER BY cohort_day, day_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort retention matrix: users by signup day x days since
+    signup with any activity (daily grain — the synthetic stream spans
+    one month). Cohort table is per-user (small) — the activity join
+    shuffles on user_id once; counts partial-agg map-side."""
+    events = load_table(spark, sf_dir, "events")
+    cohort = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day"))
+    )
+    activity = events.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("activity_day")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .filter(F.col("activity_day") >= F.col("cohort_day"))
+        .groupBy(
+            "cohort_day",
+            F.datediff("activity_day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )

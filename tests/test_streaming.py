@@ -175,3 +175,34 @@ def test_attribution_join_stream_matches_batch(spark, tmp_path):
     ).collect()
     assert sorted(map(tuple, b)) == sorted(map(tuple, s))
     assert sorted((r.view_id, r.purchase_id) for r in b) == [(1, 2), (5, 6)]
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill a stream, append more input, restart from the SAME
+    checkpoint: the output must contain every input row exactly once
+    (no reprocessing of the first batch, no loss of the second)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(spark, src, [(1, _t(0), 1, "click", 1.0),
+                               (2, _t(1), 1, "view", 2.0)])
+
+    def run_once():
+        q = (
+            _stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+
+    run_once()
+    # second wave arrives while the stream is down
+    _write_events(spark, src, [(3, _t(2), 2, "click", 3.0)])
+    run_once()
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
