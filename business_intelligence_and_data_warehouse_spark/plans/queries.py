@@ -272,12 +272,84 @@ ORDER BY g_year, year, g_month, month, g_cat, category_label
 def q2a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by (year, month, brand) + monthly/yearly/grand totals (ref 2A).
 
-    Expressed via spark.sql because arbitrary GROUPING SETS are not on
-    the DataFrame API; Catalyst expands them into a single Expand +
-    HashAggregate, i.e. one scan feeds all four aggregation levels.
+    The oracle states GROUPING SETS directly (Expand: 4 replicas of
+    every fact row through partial aggregation). This side computes the
+    FINEST grain once — keeping the exact DECIMAL partial — and derives
+    the three coarser levels by re-aggregating that tiny table:
+    identical values (decimal addition is associative; the double cast
+    happens once per level at presentation), but the fact table flows
+    through the aggregate once instead of four times. At 100 TB the
+    Expand costs 3 extra fact-volume passes through the hash table;
+    the re-agg costs |finest groups| rows.
     """
-    register_views(spark, sf_dir)
-    return spark.sql(_Q2A_SQL_BODY.format(dsum=o_dsum(REVENUE)))
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    detail = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("year"),
+            F.month("o_orderdate").cast("int").alias("month"),
+            F.col("p_brand").alias("category"),
+        )
+        .agg(F.sum(_rev().cast(DEC)).alias("sum_dec"))
+        .persist()  # feeds the detail level AND the re-agg chain
+    )
+    l1 = detail.groupBy("year", "month").agg(F.sum("sum_dec").alias("sum_dec"))
+    l2 = l1.groupBy("year").agg(F.sum("sum_dec").alias("sum_dec"))
+    l3 = l2.agg(F.sum("sum_dec").alias("sum_dec"))
+
+    def level(df, year, month, label, g_year, g_month, g_cat):
+        return df.select(
+            year.alias("year"),
+            month.alias("month"),
+            label.alias("category_label"),
+            F.col("sum_dec").cast("double").alias("revenue"),
+            F.lit(g_year).cast("int").alias("g_year"),
+            F.lit(g_month).cast("int").alias("g_month"),
+            F.lit(g_cat).cast("int").alias("g_cat"),
+        )
+
+    out = (
+        level(
+            detail,
+            F.col("year"),
+            F.col("month"),
+            F.coalesce(F.col("category"), F.lit("Uncategorized")),
+            0, 0, 0,
+        )
+        .unionByName(
+            level(
+                l1,
+                F.col("year"),
+                F.col("month"),
+                F.lit("All categories monthly total"),
+                0, 0, 1,
+            )
+        )
+        .unionByName(
+            level(
+                l2,
+                F.col("year"),
+                F.lit(None).cast("int"),
+                F.lit("All categories yearly total"),
+                0, 1, 1,
+            )
+        )
+        .unionByName(
+            level(
+                l3,
+                F.lit(None).cast("int"),
+                F.lit(None).cast("int"),
+                F.lit("Grand total"),
+                1, 1, 1,
+            )
+        )
+    )
+    return out.orderBy(
+        "g_year", "year", "g_month", "month", "g_cat", "category_label"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -301,38 +373,54 @@ ORDER BY GROUPING(p_brand), p_brand, GROUPING(l_partkey), l_partkey
 """,
 )
 def q2b_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brand -> product rollup with subtotal/grand-total labels (ref 2B)."""
+    """Brand -> product rollup with subtotal/grand-total labels (ref 2B).
+
+    Same finest-grain-re-aggregation strategy as q2a: the oracle states
+    ROLLUP (Expand, 3 fact replicas); here the (brand, product) grain
+    aggregates once with an exact DECIMAL partial, and the subtotal and
+    grand-total levels re-aggregate that small table — identical values
+    by decimal associativity, one fact pass instead of three.
+    """
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = lineitem.join(
-        F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left"
+    detail = (
+        lineitem.join(
+            F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left"
+        )
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(_rev().cast(DEC)).alias("sum_dec"))
+        .persist()
     )
-    rolled = joined.rollup("p_brand", "l_partkey").agg(
-        dsum(_rev()).alias("revenue"),
-        F.grouping("p_brand").cast("int").alias("g_brand"),
-        F.grouping("l_partkey").cast("int").alias("g_part"),
+    sub = detail.groupBy("p_brand").agg(F.sum("sum_dec").alias("sum_dec"))
+    grand = sub.agg(F.sum("sum_dec").alias("sum_dec"))
+    cat = F.coalesce(F.col("p_brand"), F.lit("Uncategorized"))
+    out = (
+        detail.select(
+            cat.alias("category"),
+            F.col("l_partkey").cast("string").alias("product_or_total"),
+            F.col("sum_dec").cast("double").alias("revenue"),
+            F.lit(0).alias("g_brand"),
+        )
+        .unionByName(
+            sub.select(
+                cat.alias("category"),
+                F.lit("Category Subtotal").alias("product_or_total"),
+                F.col("sum_dec").cast("double").alias("revenue"),
+                F.lit(0).alias("g_brand"),
+            )
+        )
+        .unionByName(
+            grand.select(
+                F.lit("All Categories").alias("category"),
+                F.lit("Grand Total").alias("product_or_total"),
+                F.col("sum_dec").cast("double").alias("revenue"),
+                F.lit(1).alias("g_brand"),
+            )
+        )
     )
     return (
-        rolled.select(
-            F.when(F.col("g_brand") == 1, F.lit("All Categories"))
-            .otherwise(F.coalesce(F.col("p_brand"), F.lit("Uncategorized")))
-            .alias("category"),
-            F.when(
-                (F.col("g_part") == 1) & (F.col("g_brand") == 0),
-                F.lit("Category Subtotal"),
-            )
-            .when(
-                (F.col("g_part") == 1) & (F.col("g_brand") == 1),
-                F.lit("Grand Total"),
-            )
-            .otherwise(F.col("l_partkey").cast("string"))
-            .alias("product_or_total"),
-            "revenue",
-            "g_brand",
-            "g_part",
-        )
-        .orderBy("g_brand", "category", "g_part", "product_or_total")
-        .drop("g_brand", "g_part")
+        out.orderBy("g_brand", "category", "product_or_total")
+        .drop("g_brand")
     )
 
 

@@ -195,3 +195,12 @@ def test_stream_enrich_broadcasts_dim(spark):
     # for an enrichment join
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_grouping_levels_reaggregate_not_expand(spark):
+    # q2a/q2b derive coarse levels by re-aggregating the finest-grain
+    # DECIMAL partial — the fact table must flow through ONE aggregate
+    # (no Expand replicating every fact row per grouping set)
+    for name in ("q2a_grouping_sets", "q2b_rollup"):
+        plan = plan_of(spark, name)
+        assert "Expand" not in plan, name
