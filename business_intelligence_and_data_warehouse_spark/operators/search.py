@@ -40,12 +40,22 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents for a bag-of-terms query under rational-idf
     BM25. Ties break on doc_id ascending."""
-    toked = docs.select(
+    # ONE tokenize pass, projected to narrow rows (doc length + the
+    # query-term hits only — never the full token array): both the
+    # corpus stats and the tf table read this, so the text column is
+    # scanned and tokenized once, and the persisted base is a few
+    # bytes per document even at corpus scale.
+    toks = tokens_ws(normalize_text(F.col(text_col)))
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
-        tokens_ws(normalize_text(F.col(text_col))).alias("toks"),
-    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.filter(F.col("toks"), lambda t: t.isin(*terms)).alias("hits"),
+    ).persist()
 
-    stats = toked.agg(
+    stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (
             F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
@@ -53,13 +63,7 @@ def bm25_topk(
     )
 
     tf = (
-        toked.select(
-            "doc_id",
-            "dl",
-            F.explode(
-                F.filter(F.col("toks"), lambda t: t.isin(*terms))
-            ).alias("term"),
-        )
+        base.select("doc_id", "dl", F.explode("hits").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
