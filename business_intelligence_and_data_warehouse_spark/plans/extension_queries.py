@@ -976,3 +976,72 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized statistics (outlier-robust aggregation)
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "analytics_winsorized",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+caps AS (
+  SELECT CAST(CAST(quantile_cont(revenue, 0.05e0) AS DECIMAL(18,6)) AS DOUBLE)
+           AS lo,
+         CAST(CAST(quantile_cont(revenue, 0.95e0) AS DECIMAL(18,6)) AS DOUBLE)
+           AS hi
+  FROM spend
+)
+SELECT COUNT(*) AS n_customers,
+       ANY_VALUE(lo) AS cap_lo,
+       ANY_VALUE(hi) AS cap_hi,
+       CAST(SUM(CAST(LEAST(GREATEST(revenue, lo), hi) AS DECIMAL(18,6)))
+            AS DOUBLE) / COUNT(*) AS winsorized_mean,
+       SUM(CASE WHEN revenue < lo OR revenue > hi THEN 1 ELSE 0 END)
+         AS n_capped
+FROM spend CROSS JOIN caps
+""",
+)
+def analytics_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized customer-spend mean: revenues capped at the exact
+    interpolated p05/p95 (decimal-snapped — the established
+    cross-engine percentile convention), counting how many were
+    capped. The caps are a broadcast 1-row scalar — no windowed
+    re-scan of the spend table."""
+    orders = load_table(spark, sf_dir, "orders")
+    from ..functions.parity import DEC
+
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue")
+        )
+    )
+    caps = spend.agg(
+        F.expr("percentile(revenue, 0.05)")
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("lo"),
+        F.expr("percentile(revenue, 0.95)")
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("hi"),
+    )
+    capped = F.least(F.greatest(F.col("revenue"), F.col("lo")), F.col("hi"))
+    return spend.crossJoin(F.broadcast(caps)).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.first("lo").alias("cap_lo"),
+        F.first("hi").alias("cap_hi"),
+        (F.sum(capped.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "winsorized_mean"
+        ),
+        F.sum(
+            ((F.col("revenue") < F.col("lo")) | (F.col("revenue") > F.col("hi")))
+            .cast("long")
+        ).alias("n_capped"),
+    )
