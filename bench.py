@@ -116,6 +116,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": 2,  # per-query minimum of 2 warm executions
                 "sf": sf_of(sf_dir),
             }
         )

@@ -43,18 +43,22 @@ def asof_join_backward(
     among equal-timestamp left rows (output determinism only).
     """
     payload = F.struct(*[F.col(c) for c in payload_cols])
+    # _lid keeps the LEFT id column's own type (it only needs to be
+    # orderable) — casting to long would silently NULL string/UUID ids
+    # and destroy both the output ids and the tie order.
+    lid_type = left.schema[left_id].dataType
     r = right.select(
         F.col(key),
         F.col(ts_col),
         F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("_lid"),
+        F.lit(None).cast(lid_type).alias("_lid"),
         payload.alias("_pay"),
     )
     l = left.select(
         F.col(key),
         F.col(ts_col),
         F.lit(1).alias("side"),
-        F.col(left_id).cast("long").alias("_lid"),
+        F.col(left_id).alias("_lid"),
         F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
     )
     w = (

@@ -52,6 +52,7 @@ from ..functions.text import (
     punct_ratio,
     tokens_ws,
 )
+from .caching import pin
 from .dedup import minhash_lsh_dedup
 
 STAGES = ("0_input", "1_lang", "2_quality", "3_exact_dedup", "4_near_dedup")
@@ -157,10 +158,10 @@ def curate_corpus(
     # project BEFORE persisting: the flag computation's norm/toks
     # columns are as wide as the documents themselves and are not
     # needed downstream
-    survivors = (
+    survivors = pin(
         flagged.filter(F.col("pass_exact"))
-        .select("doc_id", "text", "lang_pred", "n_tokens", "quality")
-        .persist(getattr(StorageLevel, survivor_storage))
+        .select("doc_id", "text", "lang_pred", "n_tokens", "quality"),
+        getattr(StorageLevel, survivor_storage),
     )
     pairs = minhash_lsh_dedup(
         survivors.select("doc_id", "text"),

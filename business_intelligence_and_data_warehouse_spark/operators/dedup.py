@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .caching import pin
 from ..functions.text import (
     fingerprint_md5,
     normalize_text,
@@ -118,7 +119,7 @@ def jaccard_pairs(
     # of the candidate self-join — persist so tokenize+shingle+anti
     # runs once, not once per consumer (DISK_ONLY-able at TB scale via
     # the same pattern as minhash_lsh_dedup's shingle_storage).
-    shingles = shingles.persist()
+    shingles = pin(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -177,7 +178,7 @@ def minhash_lsh_candidates(
     # aggregation — persist so the band self-join below doesn't run
     # that aggregation once per join side (same rule as SimHash/LSH
     # blocks; see SCALE.md).
-    sigs = minhash_signatures(shingles, bands * rows_per_band).persist()
+    sigs = pin(minhash_signatures(shingles, bands * rows_per_band))
     band_rows = sigs.select(
         "doc_id",
         F.explode(
@@ -269,8 +270,9 @@ def minhash_lsh_dedup(
     """
     from pyspark import StorageLevel
 
-    shingles = shingle_table(docs, k, id_col, text_col).persist(
-        getattr(StorageLevel, shingle_storage)
+    shingles = pin(
+        shingle_table(docs, k, id_col, text_col),
+        getattr(StorageLevel, shingle_storage),
     )
     candidates = minhash_lsh_candidates(shingles, bands, rows_per_band)
     return jaccard_for_pairs(candidates, shingles).filter(
@@ -355,7 +357,7 @@ def simhash_near_dups(
     # the self-join below would re-derive that pipeline once per join
     # side. Block rows are emitted in a single map-side pass (inline
     # explode), not a num_blocks-way union over the same subtree.
-    sigs = simhash(docs, num_bits, id_col, text_col).persist()
+    sigs = pin(simhash(docs, num_bits, id_col, text_col))
     width = num_bits // num_blocks
     block_structs = F.array(
         *[

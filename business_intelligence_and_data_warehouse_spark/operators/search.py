@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, tokens_ws
+from .caching import pin
 
 SCORE_SCALE = 1e9
 
@@ -53,7 +54,8 @@ def bm25_topk(
         "doc_id",
         F.size("toks").alias("dl"),
         F.filter(F.col("toks"), lambda t: t.isin(*terms)).alias("hits"),
-    ).persist()
+    )
+    base = pin(base)
 
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),

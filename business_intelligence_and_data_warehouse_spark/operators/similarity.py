@@ -229,26 +229,76 @@ def brute_force_topk(
 # IVF (inverted-file) approximate top-k
 # ---------------------------------------------------------------------------
 
+def _normed(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vid, vec, norm) — the reusable normed form of a vector table.
+    Prefix views for join sides are pure renames on top, so a persisted
+    normed table serves every consumer from one cache."""
+    return vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        norm_dec(F.col(vec_col)).alias("norm"),
+    )
+
+
+def _as_prefix(normed: DataFrame, prefix: str) -> DataFrame:
+    return normed.select(
+        F.col("vid").alias(f"{prefix}id"),
+        F.col("vec").alias(f"{prefix}vec"),
+        F.col("norm").alias(f"{prefix}norm"),
+    )
+
+
 def _nearest_centroids(
-    vectors: DataFrame, centroids: DataFrame, n: int
+    vectors_n: DataFrame, centroids_n: DataFrame, n: int
 ) -> DataFrame:
     """(vid, cvid) of each vector's n nearest centroids by cosine.
 
-    The centroid table is tiny (cells << corpus) and broadcast, so the
-    assignment is map-side: each corpus row scores all centroids with
-    array-native dots and keeps its top n via a per-vid window — the
-    same plan shape IVF coarse quantization has on a 1000-executor
-    cluster. Ties break on centroid id for cross-engine determinism.
+    Both inputs are pre-normed (vid, vec, norm) tables — the caller
+    persists the corpus-side one so this assign pass and the later
+    verify pass share a single norm computation.  The centroid table
+    is tiny (cells << corpus) and broadcast, so the assignment is
+    map-side: each corpus row scores all centroids with array-native
+    dots and keeps its top n via a per-vid window — the same plan
+    shape IVF coarse quantization has on a 1000-executor cluster.
+    Ties break on centroid id for cross-engine determinism.
     """
-    scored = cosine_pairs(
-        centroids.select(F.col("vid").alias("vec_id"), F.col("vec").alias("embedding")),
-        vectors.select(F.col("vid").alias("vec_id"), F.col("vec").alias("embedding")),
-    ).select(F.col("cid").alias("vid"), F.col("qid").alias("cvid"), "cosine")
+    c = _as_prefix(vectors_n, "c")
+    p = _as_prefix(centroids_n, "q")
+    scored = c.join(F.broadcast(p)).select(
+        F.col("cid").alias("vid"),
+        F.col("qid").alias("cvid"),
+        _cosine(
+            dot_dec_batch(F.col("qvec"), F.col("cvec")),
+            F.col("qnorm"),
+            F.col("cnorm"),
+        ).alias("cosine"),
+    )
     w = W.partitionBy("vid").orderBy(F.desc("cosine"), F.col("cvid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n)
         .select("vid", "cvid")
+    )
+
+
+def _cosine_for_pairs_normed(pairs: DataFrame, normed: DataFrame) -> DataFrame:
+    """:func:`cosine_for_pairs` over a pre-normed (and typically
+    persisted) vector table — both join sides are renames of the same
+    cached table, so the norm pass runs exactly once."""
+    q = _as_prefix(normed, "q").select("qid", "qvec", "qnorm")
+    c = _as_prefix(normed, "c").select("cid", "cvec", "cnorm")
+    return (
+        pairs.join(q, "qid")
+        .join(c, "cid")
+        .select(
+            "qid",
+            "cid",
+            _cosine(
+                dot_dec_batch(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm"),
+                F.col("cnorm"),
+            ).alias("cosine"),
+        )
     )
 
 
@@ -273,14 +323,19 @@ def ivf_topk(
     assignment is the only corpus-wide pass and it broadcasts just the
     centroid set; the probe-side join shuffles on cell id, which is
     uniformly loaded when ids are hash-distributed.
+
+    The normed corpus is persisted ONCE and consumed by all three
+    norm-hungry branches (cell assign, centroid set, pair verify) —
+    without the pin each branch re-derives the map-side norm over the
+    whole corpus, a ~2× constant-factor regression measured at sf0.1.
     """
-    corpus = vectors.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    )
-    cents = corpus.filter(F.col("vid") % centroid_stride == 0)
-    assign = _nearest_centroids(corpus, cents, 1)
-    probe_v = probes.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    probe_cells = _nearest_centroids(probe_v, cents, nprobe).withColumnRenamed(
+    from .caching import pin
+
+    corpus_n = pin(_normed(vectors, id_col, vec_col))
+    cents_n = corpus_n.filter(F.col("vid") % centroid_stride == 0)
+    assign = _nearest_centroids(corpus_n, cents_n, 1)
+    probes_n = _normed(probes, id_col, vec_col)
+    probe_cells = _nearest_centroids(probes_n, cents_n, nprobe).withColumnRenamed(
         "vid", "qid"
     )
     candidates = (
@@ -289,7 +344,7 @@ def ivf_topk(
         .select("qid", F.col("vid").alias("cid"))
         .distinct()
     )
-    pairs = cosine_for_pairs(candidates, vectors, id_col, vec_col)
+    pairs = _cosine_for_pairs_normed(candidates, corpus_n)
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -378,7 +433,9 @@ def lsh_ann_pairs(
     # One row per vector (vid + long sig), but its lineage is the Arrow
     # signature UDF — persist so the self-join below doesn't run the
     # UDF once per join side.
-    sigs = hyperplane_signatures(vectors, num_bits, id_col, vec_col).persist()
+    from .caching import pin
+
+    sigs = pin(hyperplane_signatures(vectors, num_bits, id_col, vec_col))
     r = num_bits // bands
     band_rows = sigs.select(
         "vid",
@@ -408,7 +465,10 @@ def lsh_ann_pairs(
         .select(F.col("x.vid").alias("qid"), F.col("y.vid").alias("cid"))
         .distinct()
     )
-    pairs = cosine_for_pairs(candidates, vectors, id_col, vec_col)
+    # verify against ONE persisted normed table (both join sides are
+    # renames over the same cache — the norm pass runs once, not twice)
+    corpus_n = pin(_normed(vectors, id_col, vec_col))
+    pairs = _cosine_for_pairs_normed(candidates, corpus_n)
     return pairs.filter(F.col("cosine") >= min_cosine).select(
         F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), "cosine"
     )
@@ -468,12 +528,24 @@ def quantized_ip_topk(
     """Top-k corpus vectors per probe by INTEGER inner product over the
     int8-quantized vectors (pure-integer scoring: no float parity
     concerns at all, and the physical analogue of int8-SIMD ANN
-    scoring). Probe side broadcast; ranking ties break on corpus id."""
-    qc = quantize_int8(vectors, id_col, vec_col).select(
-        F.col("vid").alias("cid"), F.col("qvec").alias("cq")
+    scoring). Probe side broadcast; ranking ties break on corpus id.
+
+    All-zero (or null) vectors quantize to NULL elements (the
+    symmetric scale divides by vmax, NULLIF-guarded), which would make
+    the Arrow batch an object array and crash ``np.stack`` — they
+    carry no direction anyway, so both sides drop rows with
+    scale 0/NULL before the pair join (the oracle applies the same
+    predicate)."""
+    nonzero = F.col("scale").isNotNull() & (F.col("scale") != 0)
+    qc = (
+        quantize_int8(vectors, id_col, vec_col)
+        .filter(nonzero)
+        .select(F.col("vid").alias("cid"), F.col("qvec").alias("cq"))
     )
-    qp = quantize_int8(probes, id_col, vec_col).select(
-        F.col("vid").alias("qid"), F.col("qvec").alias("pq")
+    qp = (
+        quantize_int8(probes, id_col, vec_col)
+        .filter(nonzero)
+        .select(F.col("vid").alias("qid"), F.col("qvec").alias("pq"))
     )
 
     @pandas_udf("long")

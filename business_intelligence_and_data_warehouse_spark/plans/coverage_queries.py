@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.caching import pin
 from ..sources.testdata import load_table
 from .queries import query_fn
 
@@ -82,7 +83,7 @@ def churn_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `active` feeds three consumers (counts, the shifted prev set, and
     # the churn anti-join); persist so the explode+distinct pipeline
     # runs once, not once per consumer.
-    active = (
+    active = pin(
         pairs.select(
             F.explode(
                 F.expr("sequence(m, add_months(m, 5), interval 1 month)")
@@ -91,7 +92,6 @@ def churn_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(months, "m", "left_semi")
         .distinct()
-        .persist()
     )
     counts = active.groupBy("m").agg(F.count(F.lit(1)).alias("n_active"))
     prev = active.select(F.add_months("m", 1).alias("m"), "c").join(

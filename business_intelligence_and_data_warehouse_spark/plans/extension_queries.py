@@ -247,9 +247,11 @@ _QIP_K = 10
     "sim_quantized_topk",
     oracle=f"""
 WITH {_O_QUANT},
+nz AS (SELECT vid FROM mx WHERE vmax IS NOT NULL AND vmax != 0),
 dots AS (
   SELECT p.vid AS qid, c.vid AS cid, SUM(p.qv * c.qv) AS dot_q
   FROM q p JOIN q c ON p.pos = c.pos AND p.vid % 100 = 0 AND p.vid != c.vid
+  JOIN nz pn ON pn.vid = p.vid JOIN nz cn ON cn.vid = c.vid
   GROUP BY 1, 2
 )
 SELECT qid AS query_id, cid AS neighbor_id,

@@ -50,11 +50,13 @@ aggregated map-side by Catalyst before the shuffle.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.caching import pin, release_pinned
 from ..sources.testdata import load_table, register_views
 
 # exact-decimal helpers shared with the analytics layer
@@ -77,10 +79,23 @@ ORACLES: dict[str, str] = {}
 
 
 def query_fn(name: str, oracle: str | None = None):
-    """Register an implementation (and optionally its DuckDB oracle)."""
+    """Register an implementation (and optionally its DuckDB oracle).
+
+    The registered wrapper releases the PREVIOUS query's pinned caches
+    (operators/caching.py) before building the new plan, so a session
+    that walks the whole registry (driver sweep, bench battery, oracle
+    pytest) holds at most one query's persisted working set at a time.
+    Direct function calls between queries bypass the wrapper, so a
+    query composing another query's builder keeps its own pins live.
+    """
 
     def deco(fn):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_pinned()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapper
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -285,7 +300,7 @@ def q2a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
-    detail = (
+    detail = pin(  # feeds the detail level AND the re-agg chain
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left")
         .groupBy(
@@ -294,7 +309,6 @@ def q2a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand").alias("category"),
         )
         .agg(F.sum(_rev().cast(DEC)).alias("sum_dec"))
-        .persist()  # feeds the detail level AND the re-agg chain
     )
     l1 = detail.groupBy("year", "month").agg(F.sum("sum_dec").alias("sum_dec"))
     l2 = l1.groupBy("year").agg(F.sum("sum_dec").alias("sum_dec"))
@@ -383,13 +397,12 @@ def q2b_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    detail = (
+    detail = pin(
         lineitem.join(
             F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left"
         )
         .groupBy("p_brand", "l_partkey")
         .agg(F.sum(_rev().cast(DEC)).alias("sum_dec"))
-        .persist()
     )
     sub = detail.groupBy("p_brand").agg(F.sum("sum_dec").alias("sum_dec"))
     grand = sub.agg(F.sum("sum_dec").alias("sum_dec"))
