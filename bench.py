@@ -63,6 +63,9 @@ HEADLINE = [
     "events_sessionize",
     "tfidf_top_terms",
     "incremental_agg_merge",
+    # r3 extension operators
+    "text_boilerplate_strip",
+    "corpus_source_report",
 ]
 
 

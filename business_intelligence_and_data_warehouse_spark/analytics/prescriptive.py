@@ -22,7 +22,7 @@ from ..functions.geo import (
     oracle_synth_coords,
     synth_coords,
 )
-from ..functions.parity import DEC, o_dsum
+from ..functions.parity import DEC, dpctl, o_dsum
 from ..sources.testdata import load_table
 
 BAND_EDGES = (0, 2000, 5000, 10000, 20000)
@@ -159,14 +159,8 @@ def risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     thresholds = pairs.agg(
-        F.expr("percentile(distance_km, 0.75)")
-        .cast("decimal(18,6)")
-        .cast("double")
-        .alias("p75_distance"),
-        F.expr("percentile(freight, 0.75)")
-        .cast("decimal(18,6)")
-        .cast("double")
-        .alias("p75_freight"),
+        dpctl("distance_km", 0.75).alias("p75_distance"),
+        dpctl("freight", 0.75).alias("p75_freight"),
     )
     flagged = (
         pairs.crossJoin(F.broadcast(thresholds))

@@ -55,3 +55,23 @@ def o_davg_money2(expr: str) -> str:
 
 def o_davg_ratio2(expr: str) -> str:
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE) / COUNT({expr}))"
+
+def dpctl(col_expr: str, p: float):
+    """Exact interpolated percentile, decimal-snapped for cross-engine
+    parity: Spark's ``percentile`` and DuckDB's ``quantile_cont`` both
+    compute lower + frac*(upper-lower) over the sorted values, but the
+    interpolation arithmetic can differ in the last double bit — the
+    DECIMAL(18,6) snap (micro precision, far above money ulp) makes
+    the value identical in both engines.  Shared by every exact-
+    percentile consumer (winsorized caps, risk-flag p75 thresholds) so
+    the convention cannot drift per query."""
+    return (
+        F.expr(f"percentile({col_expr}, {p!r})")
+        .cast(DEC)
+        .cast("double")
+    )
+
+
+def o_dpctl(expr: str, p: float) -> str:
+    """DuckDB twin of :func:`dpctl` (quantile_cont + the same snap)."""
+    return f"CAST(CAST(quantile_cont({expr}, {p!r}e0) AS DECIMAL(18,6)) AS DOUBLE)"

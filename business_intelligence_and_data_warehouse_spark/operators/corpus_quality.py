@@ -136,3 +136,85 @@ def contamination_check(
         rate.alias("contamination_rate"),
         (rate >= F.lit(flag_threshold)).alias("flag_contaminated"),
     )
+
+
+def boilerplate_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    min_doc_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Repeated-segment (boilerplate) detection and removal: split each
+    document into fixed-size token chunks, hash them, and strip every
+    chunk that appears in >= `min_doc_df` DISTINCT documents (headers,
+    footers, licence blocks, mirrored passages — the segment-level
+    complement of whole-doc dedup; cf. the paragraph filters of
+    RefinedWeb/Gopher-class curation pipelines).
+
+    Output: (doc_id, n_chunks, n_boilerplate, clean_text) — clean_text
+    is the surviving chunks rejoined in order ('' when everything was
+    boilerplate).
+
+    Scale design (100 TB):
+    * chunking is ARRAY-NATIVE and map-side (transform over a
+      sequence of slice()s — no explode until the chunk table, whose
+      rows are corpus_tokens/chunk_tokens, ~20x smaller than a token
+      table);
+    * the doc-frequency aggregate shuffles the chunk table once on
+      the chunk hash with map-side partial aggregation;
+    * the boilerplate hash set (df >= threshold) is tiny by
+      construction — boilerplate is repeated content — and broadcasts
+      back as a LEFT ANTI, so the reconstruction shuffle keys on
+      doc_id only.
+    """
+    k = int(chunk_tokens)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_ws(normalize_text(F.col(text_col))).alias("toks"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(toks)/{k}.0) as int) - 1),"
+            f" i -> array_join(slice(toks, i*{k}+1, {k}), ' '))"
+        ).alias("chunks"),
+    )
+    seg = base.select(
+        "doc_id",
+        F.size("chunks").alias("n_chunks"),
+        F.posexplode("chunks").alias("chunk_idx", "chunk_text"),
+    ).withColumn("h", F.md5("chunk_text"))
+    boiler = (
+        seg.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("doc_df"))
+        .filter(F.col("doc_df") >= min_doc_df)
+        .select("h")
+    )
+    kept = seg.join(F.broadcast(boiler), "h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.first("n_chunks").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s.chunk_text,
+            ),
+        ).alias("clean_text"),
+    )
+    all_docs = base.select("doc_id", F.size("chunks").alias("n_chunks"))
+    return (
+        all_docs.join(
+            rebuilt.select("doc_id", "n_kept", "clean_text"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("int").alias("n_chunks"),
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_boilerplate"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -14,14 +14,15 @@ components, where each component's label is its minimum member id.
 Scale design (100 TB):
 * Each round is one shuffle of the (symmetrized) edge table keyed on
   node id plus a min-aggregate — fully distributed, no driver state.
-* Rounds needed = graph diameter. Near-dup graphs are overwhelmingly
-  tiny cliques/stars (diameter <= ~3), so 3-5 rounds close almost any
-  real corpus; `max_iter` bounds the pathological chain case. For
-  adversarial long-path graphs the published fix is alternating
-  large-star/small-star (Kiveris et al., "Connected Components in
-  MapReduce and Beyond", SoCC'14) which converges in O(log^2 n)
-  rounds — the per-round plan here is the same shape, so swapping the
-  propagation rule is local to this function.
+* Rounds needed = graph diameter for plain min-propagation. Near-dup
+  graphs are overwhelmingly tiny cliques/stars (diameter <= ~3), so
+  3-5 rounds close almost any real corpus; `max_iter` bounds the
+  pathological chain case. For adversarial long-path graphs
+  ``method="two_phase"`` switches to alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14), which contracts path length geometrically and converges in
+  O(log^2 n) rounds — a 256-node chain closes in ~5 rounds instead of
+  255 (covered by tests/test_graph.py's chain test).
 * Lineage is truncated every round with an eager `localCheckpoint`:
   without it the plan doubles per iteration and the optimizer chokes
   long before the data does. (On a production cluster with HDFS/S3
@@ -41,17 +42,99 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. §3): every node u connects
+    each STRICTLY LARGER neighbor to m(u) = min(neighbors ∪ {u}).
+    Input/output are undirected edge sets (self-loops dropped). One
+    shuffle on node id for the min, one to join it back."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge (max, min); every node
+    connects its smaller neighbors AND itself to the minimum of that
+    set. Same two-shuffle plan shape as :func:`_large_star`."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    to_min = oriented.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_to_min = mins.select("u", F.col("m").alias("v"))
+    return (
+        to_min.unionByName(self_to_min)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _two_phase_components(
+    e: DataFrame, nodes: DataFrame, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star contraction: path lengths
+    shrink geometrically, so even adversarial chains close in
+    O(log^2 n) rounds. Converged when a round leaves the edge set
+    unchanged; at that point every edge is (node, component-min)."""
+    for _ in range(max_iter):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        delta = (
+            new_e.exceptAll(e).limit(1).count()
+            + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if delta == 0:
+            break
+    stars = e.select(
+        F.greatest("u", "v").alias("node"), F.least("u", "v").alias("comp")
+    ).groupBy("node").agg(F.min("comp").alias("comp"))
+    return (
+        nodes.join(stars, "node", "left")
+        .select("node", F.coalesce("comp", "node").alias("comp"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    method: str = "propagation",
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`, where
     component = minimum node id reachable. Deterministic: min over a
     total order, independent of partitioning and iteration count past
-    convergence."""
+    convergence.
+
+    ``method="propagation"`` (default) is one-shuffle-per-round min
+    propagation — optimal for the tiny-diameter clusters near-dup
+    graphs actually produce. ``method="two_phase"`` is the
+    large-star/small-star contraction for adversarial diameters
+    (O(log^2 n) rounds regardless of chain length).
+    """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if method == "two_phase":
+        # node set BEFORE the self-loop filter: a (k, k)-only node is
+        # still a (singleton) component and must get a label
+        nodes = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        real = e.filter(F.col("u") != F.col("v")).distinct()
+        return _two_phase_components(
+            real.localCheckpoint(eager=True), nodes, max_iter
+        )
     e = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()

@@ -199,6 +199,85 @@ def scd2_merge(
     )
 
 
+def scd2_merge_delta(
+    spark,
+    dim_path: str,
+    batch: DataFrame,
+    nat_key: Sequence[str],
+    tracked: Sequence[str],
+    load_date: str,
+) -> None:
+    """Route one SCD2 load through ``DeltaTable.merge`` — the ACID
+    in-place path for production lakes (the batch rewrite
+    :func:`scd2_merge` is the plan-equivalent fallback this engine
+    uses when the Delta runtime is absent; see
+    sources/warehouse.delta_available).
+
+    Two passes over the Delta table at ``dim_path``:
+
+    1. MERGE on (natural key, open window): a changed key whose open
+       version started before ``load_date`` gets its window CLOSED
+       (`effective_to = load_date`); one that started ON ``load_date``
+       gets its attributes REPLACED in place (the same-day-correction
+       rule of :func:`scd2_merge`, which avoids zero-length windows).
+    2. Append the successor/new versions, classified against the
+       pre-merge current slice (materialized before pass 1 runs so the
+       classification can't observe its own updates).
+
+    Equivalence with :func:`scd2_merge` is property-tested in
+    tests/test_warehouse.py::test_scd2_delta_merge_equivalence —
+    skipped (with reason) until the Delta jar is on the classpath.
+    """
+    from delta.tables import DeltaTable  # caller gates on delta_available
+
+    nat_key = list(nat_key)
+    tracked = list(tracked)
+    dt = DeltaTable.forPath(spark, dim_path)
+    dim = dt.toDF()
+
+    # freeze the classification inputs BEFORE mutating the table
+    pre = scd2_merge(dim, batch, nat_key, tracked, load_date).persist()
+    pre.count()
+
+    key_cond = " AND ".join(f"t.{k} = s.{k}" for k in nat_key)
+    open_cond = f"t.effective_to = DATE'{HIGH_DATE}'"
+    changed_cond = "NOT (" + " AND ".join(
+        f"t.{c} <=> s.{c}" for c in tracked
+    ) + ")"
+    (
+        dt.alias("t")
+        .merge(batch.alias("s"), f"({key_cond}) AND {open_cond}")
+        .whenMatchedUpdate(
+            condition=(
+                f"{changed_cond} AND t.effective_from < DATE'{load_date}'"
+            ),
+            set={"effective_to": f"DATE'{load_date}'"},
+        )
+        .whenMatchedUpdate(
+            condition=(
+                f"{changed_cond} AND t.effective_from = DATE'{load_date}'"
+            ),
+            set={c: f"s.{c}" for c in tracked},
+        )
+        .execute()
+    )
+    # successor + first versions = exactly the rows of the batch
+    # rewrite that opened on load_date with the batch's attributes
+    inserts = pre.filter(
+        (F.col("effective_from") == F.to_date(F.lit(load_date)))
+        & (F.col("effective_to") == F.to_date(F.lit(HIGH_DATE)))
+    ).join(
+        dim.filter(
+            (F.col("effective_from") == F.to_date(F.lit(load_date)))
+            & (F.col("effective_to") == F.to_date(F.lit(HIGH_DATE)))
+        ).select(*nat_key),
+        nat_key,
+        "left_anti",  # same-day corrections were updated in place
+    )
+    inserts.write.format("delta").mode("append").save(dim_path)
+    pre.unpersist()
+
+
 def scd2_asof_lookup(
     facts: DataFrame,
     dim: DataFrame,

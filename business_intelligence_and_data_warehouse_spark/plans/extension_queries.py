@@ -1024,15 +1024,11 @@ def analytics_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue")
         )
     )
+    from ..functions.parity import dpctl
+
     caps = spend.agg(
-        F.expr("percentile(revenue, 0.05)")
-        .cast("decimal(18,6)")
-        .cast("double")
-        .alias("lo"),
-        F.expr("percentile(revenue, 0.95)")
-        .cast("decimal(18,6)")
-        .cast("double")
-        .alias("hi"),
+        dpctl("revenue", 0.05).alias("lo"),
+        dpctl("revenue", 0.95).alias("hi"),
     )
     capped = F.least(F.greatest(F.col("revenue"), F.col("lo")), F.col("hi"))
     return spend.crossJoin(F.broadcast(caps)).agg(
@@ -1046,4 +1042,135 @@ def analytics_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("revenue") < F.col("lo")) | (F.col("revenue") > F.col("hi")))
             .cast("long")
         ).alias("n_capped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate segment removal (round 3)
+# ---------------------------------------------------------------------------
+
+_BP_K = 20  # tokens per chunk
+_BP_DF = 2  # chunks in >= this many distinct docs are boilerplate
+
+
+@query_fn(
+    "text_boilerplate_strip",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split({_O_NORM}, ' ') AS toks FROM documents
+),
+chunked AS (
+  SELECT doc_id, len(toks) AS n_toks,
+         unnest(range(0, CAST(ceil(len(toks)/{_BP_K}.0) AS BIGINT)))
+           AS chunk_idx,
+         toks
+  FROM base
+),
+seg AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(
+           list_slice(toks, chunk_idx*{_BP_K}+1, chunk_idx*{_BP_K}+{_BP_K}),
+           ' ') AS chunk_text
+  FROM chunked
+),
+boiler AS (
+  SELECT md5(chunk_text) AS h
+  FROM seg GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {_BP_DF}
+),
+kept AS (
+  SELECT s.* FROM seg s WHERE md5(s.chunk_text) NOT IN (SELECT h FROM boiler)
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM seg GROUP BY 1),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(t.n_chunks AS INTEGER) AS n_chunks,
+       CAST(t.n_chunks - COALESCE(r.n_kept, 0) AS INTEGER) AS n_boilerplate,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-chunk boilerplate removal: chunks repeated
+    across >= 2 distinct documents are stripped (segment-level
+    complement of whole-doc dedup; map-side chunking, one hash-df
+    shuffle, broadcast anti-join back)."""
+    from ..operators.corpus_quality import boilerplate_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_chunks(
+        docs, chunk_tokens=_BP_K, min_doc_df=_BP_DF
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus mixture report (round 3)
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "corpus_source_report",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, source, lang, n_chars,
+         len(string_split({_O_NORM}, ' ')) AS n_tokens,
+         md5({_O_NORM}) AS h
+  FROM documents
+),
+dupes AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) > 1)
+SELECT source,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN h IN (SELECT h FROM dupes) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_dup_docs,
+       round(100.0 * SUM(CASE WHEN h IN (SELECT h FROM dupes) THEN 1 ELSE 0
+                         END) / COUNT(*), 2) AS dup_pct
+FROM fp
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus mixture dashboard: doc/token/char
+    volumes and the exact-duplicate share — the report a 100 TB
+    curation run uses to set per-domain sampling quotas. The dup hash
+    set (content hashes seen twice) is aggregated once and broadcast
+    back as a semi-joinable flag; everything else is one group-by."""
+    from ..functions.text import fingerprint_md5, token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        token_count_ws(F.col("text")).alias("n_tokens"),
+        fingerprint_md5(F.col("text")).alias("h"),
+    )
+    dupes = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    flagged = fp.join(
+        F.broadcast(dupes.withColumn("is_dup", F.lit(1))), "h", "left"
+    ).withColumn("is_dup", F.coalesce("is_dup", F.lit(0)))
+    return (
+        flagged.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("is_dup").cast("long").alias("n_exact_dup_docs"),
+            F.round(
+                100.0 * F.sum("is_dup") / F.count(F.lit(1)), 2
+            ).alias("dup_pct"),
+        )
+        .orderBy("source", "lang")
     )

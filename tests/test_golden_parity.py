@@ -182,3 +182,49 @@ def test_golden_3b_windows_byte_parity(spark):
     assert len(ours) == len(gold) == 616
     for mine, theirs in zip(ours, gold):
         assert mine == theirs, (mine, theirs)
+
+
+def test_golden_5b_internal_kpi_consistency():
+    """5B's input grain isn't published, so it can't be replayed — but
+    its KPI columns constrain each other arithmetically (reference SQL
+    `TASK 2A SQL Analytical Queries.sql:253-293`): the on-time rate is
+    round(100*k/m, 2) for integer on-time/known-delivery counts
+    k <= m <= orders; a 100.00 rate forces k == m, which forces the
+    late-only delay average to be NULL; and the delay average is a
+    mean of integer day-counts over <= orders rows, so some
+    denominator d <= orders makes it integral."""
+    from fractions import Fraction
+
+    rows = golden(
+        "5B. Business Intelligence Metrics Performance KPI calculations "
+        "specific to your domain.CSV"
+    )
+    assert len(rows) == 24
+    for year, month, orders, _aov, rate_s, delay_s, _rev in rows:
+        n = int(orders)
+        if rate_s == "NULL":
+            # no known deliveries at all -> no late rows either
+            assert delay_s == "NULL", (year, month)
+            continue
+        rate = Decimal(rate_s)
+        assert Decimal("0") <= rate <= Decimal("100"), (year, month)
+        # rate must be a 2-dp rounding of k/m for integers k<=m<=n
+        feasible = any(
+            abs(Fraction(100 * k, m) - Fraction(rate)) <= Fraction(1, 200)
+            for m in range(1, n + 1)
+            for k in range(0, m + 1)
+        ) if n <= 400 else True  # cap the O(n^2) scan on big months
+        assert feasible, (year, month, rate_s)
+        if rate == Decimal("100") and n <= 400:
+            # all known deliveries on time -> no late rows -> NULL avg
+            assert delay_s == "NULL", (year, month, delay_s)
+        if delay_s != "NULL":
+            # the CSV prints 16 decimal digits of the exact rational
+            # sum(delays)/late_count; recover the small-denominator
+            # rational (late_count <= n) and require it to round back
+            # within half an ulp of the printed value
+            delay = Fraction(Decimal(delay_s))
+            best = delay.limit_denominator(n)
+            assert best.denominator <= n and abs(best - delay) <= Fraction(
+                1, 10**15
+            ), (year, month, delay_s)

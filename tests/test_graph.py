@@ -36,6 +36,29 @@ def test_partitioning_invariance(spark):
     assert {r.comp for r in out.collect()} == {1}
 
 
+def test_two_phase_matches_propagation(spark):
+    # random-ish mixed graph: both methods must produce identical labels
+    pairs = [(1, 2), (2, 3), (7, 9), (9, 8), (8, 7), (40, 41), (50, 50)]
+    e = _edges(spark, pairs)
+    prop = {r.node: r.comp for r in connected_components(e).collect()}
+    two = {
+        r.node: r.comp
+        for r in connected_components(e, method="two_phase").collect()
+    }
+    assert prop == two
+
+
+def test_two_phase_chain_converges_in_log_rounds(spark):
+    # 256-node path: diameter 255, so plain propagation needs ~255
+    # rounds. Large-star/small-star contracts geometrically — cap the
+    # round budget at 10 (~2·log2 n) and require full convergence.
+    n = 256
+    edges = _edges(spark, [(i, i + 1) for i in range(n - 1)]).repartition(5)
+    out = connected_components(edges, max_iter=10, method="two_phase")
+    rows = {r.node: r.comp for r in out.collect()}
+    assert rows == {i: 0 for i in range(n)}
+
+
 def test_cluster_assignments_mark_keeper(spark):
     pairs = spark.createDataFrame(
         [(5, 9), (9, 7), (2, 3)], "doc_a long, doc_b long"

@@ -204,3 +204,23 @@ def test_grouping_levels_reaggregate_not_expand(spark):
     for name in ("q2a_grouping_sets", "q2b_rollup"):
         plan = plan_of(spark, name)
         assert "Expand" not in plan, name
+
+
+def test_boilerplate_broadcasts_hash_set(spark):
+    # the repeated-chunk hash set must come back as a BROADCAST anti
+    # join (it is small by construction); a shuffled anti join or a
+    # cartesian means the corpus is being re-shuffled per chunk table
+    plan = plan_of(spark, "text_boilerplate_strip")
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"Broadcast\w*Join LeftAnti", plan) or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), plan
+
+
+def test_source_report_single_group_pass(spark):
+    # dup-hash set broadcast back; the per-(source,lang) aggregate
+    # partial-aggregates map-side before its one shuffle
+    plan = plan_of(spark, "corpus_source_report")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_" in plan, plan

@@ -89,3 +89,39 @@ def test_orc_round_trip_preserves_values_and_prunes(spark, sf_dir, tmp_path):
     plan = back.filter(back.o_orderkey == 7)._jdf.queryExecution().toString()
     assert "orc" in plan.lower()
     assert "PushedFilters" in plan or "pushed" in plan.lower()
+
+
+def test_scd2_delta_merge_equivalence(spark, tmp_path):
+    """DeltaTable.merge routing must produce the same dimension as the
+    batch rewrite. Runs only when the Delta runtime lands on the
+    classpath; until then the import-guarded path stays documented and
+    this test records the skip reason."""
+    import pytest
+
+    if not delta_available(spark):
+        pytest.skip("Delta jar not on classpath (delta_available=False)")
+
+    from business_intelligence_and_data_warehouse_spark.operators.scd import (
+        scd2_initial_load,
+        scd2_merge,
+        scd2_merge_delta,
+    )
+
+    dim0 = scd2_initial_load(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")], "k int, attr string, extra string"
+        ),
+        effective_from="2024-01-01",
+    )
+    path = str(tmp_path / "dim_delta")
+    dim0.write.format("delta").save(path)
+    batch = spark.createDataFrame(
+        [(1, "a2", "x"), (3, "c", "z")], "k int, attr string, extra string"
+    )
+    expected = scd2_merge(dim0, batch, ["k"], ["attr", "extra"], "2024-06-01")
+    scd2_merge_delta(spark, path, batch, ["k"], ["attr", "extra"], "2024-06-01")
+    got = spark.read.format("delta").load(path)
+    cols = sorted(got.columns)
+    assert sorted(
+        tuple(r) for r in got.select(*cols).collect()
+    ) == sorted(tuple(r) for r in expected.select(*cols).collect())
