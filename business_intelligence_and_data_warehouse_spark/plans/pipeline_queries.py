@@ -136,8 +136,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup: MinHash + LSH (4 bands x 2 rows) with exact verification
 # ---------------------------------------------------------------------------
 
+# one md5 per shingle, 8 disjoint 16-bit hex slices as the hash family
+# (must mirror operators/dedup.minhash_signatures exactly)
 _MH = ",\n  ".join(
-    f"MIN(md5('{h}|' || s)) AS mh{h}" for h in range(8)
+    f"MIN(substr(md5(s), {4 * h + 1}, 4)) AS mh{h}" for h in range(8)
 )
 _BANDS = "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band, mh{2*b} || '|' || mh{2*b+1} AS sig FROM mh"
