@@ -79,7 +79,10 @@ def flag_stages(
     sets are compile-time constants), and the quality features are
     array math over the bound token column (SCALE.md HOF rule). The
     only shuffle in stages 1-3 is the content-hash window of exact
-    dedup."""
+    dedup — and the derived norm/toks columns (each as wide as the
+    document itself) are PROJECTED OUT before that window, so the
+    exchange carries text + a hash + scalars, not 3x the corpus
+    bytes."""
     langs = sorted(LANG_MARKERS)
     toked = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -110,23 +113,28 @@ def flag_stages(
         )
         .drop(*[f"hits_{lang}" for lang in langs])
     )
-    flagged = base.withColumn(
-        "pass_lang", F.col("lang_pred") == target_lang
-    ).withColumn(
-        "pass_quality",
-        F.col("pass_lang")
-        & (F.col("quality") >= min_quality)
-        & (F.col("n_tokens") >= min_tokens),
+    flagged = (
+        base.withColumn("pass_lang", F.col("lang_pred") == target_lang)
+        .withColumn(
+            "pass_quality",
+            F.col("pass_lang")
+            & (F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens),
+        )
+        # stage the content hash, then DROP the wide derived columns
+        # before the window shuffle below
+        .withColumn("content_h", F.md5(F.col("norm")))
+        .drop("norm", "toks")
     )
     # exact dedup among quality survivors: keep the min surviving
     # doc_id per content hash — one window over the hash shuffle, no
     # second scan
     kept = F.min(F.when(F.col("pass_quality"), F.col("doc_id"))).over(
-        W.partitionBy(F.md5(F.col("norm")))
+        W.partitionBy(F.col("content_h"))
     )
     return flagged.withColumn(
         "pass_exact", F.col("pass_quality") & (F.col("doc_id") == kept)
-    )
+    ).drop("content_h")
 
 
 def curate_corpus(
