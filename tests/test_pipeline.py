@@ -120,3 +120,72 @@ def test_multimodal_plumbing_roundtrip(spark):
     assert feats[1].first_byte == ord("a")
     assert feats[1].digest == "900150983cd24fb0d6963f7d28e17f72"  # md5('abc')
     assert feats[2].n_bytes == 0 and feats[2].first_byte == -1
+
+
+def test_simhash_blocking_is_exact_vs_brute_force(spark):
+    """Two-level pigeonhole recall proof on a varied corpus: the
+    blocked operator must return EXACTLY the pairs brute-force
+    all-pairs Hamming <= 3 returns over the same signatures."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+        simhash,
+        simhash_near_dups,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    # clusters of perturbed docs -> plenty of near-dup pairs at many
+    # different Hamming distances, plus singletons
+    rows = []
+    did = 0
+    for c in range(12):
+        base = rng.sample(vocab, 12)
+        for v in range(rng.randint(1, 5)):
+            words = list(base)
+            for _ in range(rng.randint(0, 2)):
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            rows.append((did, " ".join(words * 3)))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, 32).collect()}
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dups(docs, 32, max_hamming=3).collect()
+    }
+    assert got == expected
+    assert expected, "fixture produced no near-dup pairs; weaken perturbation"
+
+
+def test_minhash_slices_extend_past_one_digest(spark):
+    """num_hashes > 8 rolls over to salted digests: hash h reads hex
+    slice (h%8) of digest md5(f'{h//8}|' + s) (digest 0 unsalted)."""
+    import hashlib
+
+    from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    sh = spark.createDataFrame(
+        [(1, "alpha"), (1, "beta"), (2, "alpha")], "doc_id long, s string"
+    )
+    out = {r.doc_id: r for r in minhash_signatures(sh, 16).collect()}
+
+    def slices(salt, s):
+        base = (f"{salt}|" + s) if salt else s
+        d = hashlib.md5(base.encode()).hexdigest()
+        return [d[4 * i : 4 * i + 4] for i in range(8)]
+
+    for doc, words in ((1, ["alpha", "beta"]), (2, ["alpha"])):
+        for h in range(16):
+            exp = min(slices(h // 8, w)[h % 8] for w in words)
+            assert out[doc][f"mh{h}"] == exp, (doc, h)
