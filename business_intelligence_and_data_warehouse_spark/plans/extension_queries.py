@@ -1174,3 +1174,58 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# snowflake dimension chain: region -> nation -> customer (round 3)
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "region_snowflake_rollup",
+    oracle="""
+SELECT r_name AS region,
+       n_name AS nation,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name, n_name
+ORDER BY region, nation
+""",
+)
+def region_snowflake_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region and nation through the full snowflake chain
+    (fact -> orders -> customer -> nation -> region). Every dimension
+    hop is a BROADCAST hash join — the fact table keeps its scan
+    partitioning through all four lookups and shuffles only for the
+    final two-key aggregate, which partial-aggregates map-side. The
+    nation->region hop resolves inside the broadcast build side, so
+    chaining snowflake dims costs nothing extra at fact scale."""
+    from ..functions.parity import DEC
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = F.broadcast(
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(dim, orders.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(rev.cast(DEC)).cast("double").alias("revenue"),
+        )
+        .orderBy("region", "nation")
+    )

@@ -224,3 +224,12 @@ def test_source_report_single_group_pass(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_" in plan, plan
+
+
+def test_snowflake_chain_broadcasts_every_hop(spark):
+    # region->nation->customer resolves inside broadcast build sides;
+    # the fact table must reach the aggregate without a join shuffle
+    plan = plan_of(spark, "region_snowflake_rollup")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_" in plan, plan
