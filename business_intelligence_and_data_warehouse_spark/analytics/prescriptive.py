@@ -154,7 +154,14 @@ ORDER BY band
 
 def risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation delivery-risk roll-up: pairs above p75 distance OR
-    p75 freight (exact percentiles, snapped for parity)."""
+    p75 freight (exact percentiles, snapped for parity).
+
+    The pair table feeds both the percentile scalar and the flag scan,
+    but both consumers live in ONE plan (the threshold is a broadcast
+    crossJoin input), so Catalyst's ReuseExchange already shares the
+    pair subtree — measured: adding an explicit pin only added
+    cache-write overhead. The multi-consumer pin rule applies to
+    subtrees consumed by SEPARATE actions, not within one plan."""
     pairs = _pair_facts(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")

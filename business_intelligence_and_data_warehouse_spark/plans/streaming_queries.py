@@ -88,9 +88,7 @@ def stream_sliding_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_sums(events).orderBy("window_start")
 
 
-@query_fn(
-    "stream_session_windows",
-    oracle=f"""
+_O_SESSION = f"""
 WITH {_O_EV},
 seq AS (
   SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -115,8 +113,10 @@ SELECT user_id,
 FROM sess
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
-""",
-)
+"""
+
+
+@query_fn("stream_session_windows", oracle=_O_SESSION)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window sessionization (1-day gap), checked against
     a hand-rolled lag/cumsum oracle — pins the merge semantics."""
@@ -124,6 +124,20 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(events, gap="1 day").orderBy(
         "user_id", "session_start"
     )
+
+
+@query_fn("stream_session_live", oracle=_O_SESSION)
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME session_window sessionization executed as a real
+    watermarked stream (readStream -> session_window merge state ->
+    memory sink). Session-merge state is bounded by the watermark:
+    a session finalizes once the watermark passes its end. Must match
+    the batch lag/cumsum oracle exactly."""
+    stream = read_event_stream(spark, sf_dir)
+    out = run_stream_to_table(
+        session_windows(stream, gap="1 day"), mode="complete"
+    )
+    return out.orderBy("user_id", "session_start")
 
 
 @query_fn(

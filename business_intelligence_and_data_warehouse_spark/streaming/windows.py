@@ -96,9 +96,16 @@ def sliding_sums(
     )
 
 
-def session_windows(events: DataFrame, gap: str = "1 day") -> DataFrame:
+def session_windows(
+    events: DataFrame, gap: str = "1 day", watermark: str = "30 minutes"
+) -> DataFrame:
     """Gap-based sessionization per user via the native session_window
-    (merges events closer than `gap`; session end = last event + gap)."""
+    (merges events closer than `gap`; session end = last event + gap).
+    On a stream the watermark bounds session-merge state: a session
+    closes once the watermark passes its end, so state is
+    O(open sessions), not O(events)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(
             F.session_window("ts", gap).alias("w"), "user_id"
