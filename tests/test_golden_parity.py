@@ -228,3 +228,62 @@ def test_golden_5b_internal_kpi_consistency():
             assert best.denominator <= n and abs(best - delay) <= Fraction(
                 1, 10**15
             ), (year, month, delay_s)
+
+
+def test_golden_1b_seasonal_index_consistency():
+    """1B publishes its own numerator and denominator: seasonal_index
+    must equal round(avg_rev_month / avg_rev_overall, 3) (Postgres
+    numeric round = half-up), and the overall average must be one
+    constant across all 12 rows."""
+    from decimal import ROUND_HALF_UP
+
+    rows = golden(
+        "1B.Time-based Trend Analysis seasonal pattern identification.csv"
+    )
+    assert len(rows) == 12
+    overall = {r[3] for r in rows}
+    assert len(overall) == 1, overall
+    for _m, _name, m_avg, o_avg, idx in rows:
+        got = (Decimal(m_avg) / Decimal(o_avg)).quantize(
+            Decimal("0.001"), rounding=ROUND_HALF_UP
+        )
+        assert str(got) == idx, (m_avg, o_avg, idx, got)
+
+
+def test_golden_4b_rows_above_category_average():
+    """4B's defining predicate is recomputable from its own columns:
+    every emitted product's average price must exceed its category's
+    average price."""
+    rows = golden(
+        "4B. Complex Filtering and Subqueries correlated subqueries "
+        "for comparative analysis.CSV"
+    )
+    assert rows
+    for _pid, _cat, p_avg, c_avg in rows:
+        assert Decimal(p_avg) > Decimal(c_avg), (_pid, p_avg, c_avg)
+
+
+def test_golden_5a_receipt_value_consistency():
+    """5A computes avg_receipt_value = AVG over PAYMENT rows while
+    orders counts DISTINCT order ids (reference SQL `TASK 2A SQL
+    Analytical Queries.sql:241-251`), so installments make the
+    receipt denominator >= orders. The recomputable invariant: some
+    integer payment count p >= orders satisfies
+    round(ltv_revenue / p, 2) == avg_receipt_value."""
+    from decimal import ROUND_HALF_UP
+
+    rows = golden(
+        "5A. Business Intelligence Metrics CustomerProduct "
+        "profitability analysis.CSV"
+    )
+    assert len(rows) == 20  # top-20 by LTV
+    for _cid, _state, ltv, orders, receipt in rows:
+        n = int(orders)
+        assert n > 0
+        p = int(round(Decimal(ltv) / Decimal(receipt)))
+        got = (Decimal(ltv) / p).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+        assert p >= n and str(got) == receipt, (
+            _cid, ltv, orders, receipt, p, got,
+        )
