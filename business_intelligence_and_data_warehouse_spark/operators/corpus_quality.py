@@ -179,11 +179,19 @@ def boilerplate_chunks(
             f" i -> array_join(slice(toks, i*{k}+1, {k}), ' '))"
         ).alias("chunks"),
     )
-    seg = base.select(
-        "doc_id",
-        F.size("chunks").alias("n_chunks"),
-        F.posexplode("chunks").alias("chunk_idx", "chunk_text"),
-    ).withColumn("h", F.md5("chunk_text"))
+    # seg feeds three consumers through DIFFERENT paths (the hash-df
+    # aggregate, the anti-join probe side, the per-doc totals), so the
+    # tokenize+chunk pipeline is pinned — ReuseExchange cannot share
+    # map-side work across unlike exchanges (SCALE.md refined rule)
+    from .caching import pin
+
+    seg = pin(
+        base.select(
+            "doc_id",
+            F.size("chunks").alias("n_chunks"),
+            F.posexplode("chunks").alias("chunk_idx", "chunk_text"),
+        ).withColumn("h", F.md5("chunk_text"))
+    )
     boiler = (
         seg.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("doc_df"))
@@ -192,7 +200,6 @@ def boilerplate_chunks(
     )
     kept = seg.join(F.broadcast(boiler), "h", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
-        F.first("n_chunks").alias("n_chunks"),
         F.count(F.lit(1)).alias("n_kept"),
         F.concat_ws(
             " ",
@@ -204,11 +211,11 @@ def boilerplate_chunks(
             ),
         ).alias("clean_text"),
     )
-    all_docs = base.select("doc_id", F.size("chunks").alias("n_chunks"))
+    # every document has >= 1 chunk row, so per-doc totals come from
+    # seg itself — no third scan of the corpus
+    totals = seg.groupBy("doc_id").agg(F.first("n_chunks").alias("n_chunks"))
     return (
-        all_docs.join(
-            rebuilt.select("doc_id", "n_kept", "clean_text"), "doc_id", "left"
-        )
+        totals.join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_chunks").cast("int").alias("n_chunks"),

@@ -144,7 +144,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    survivor_storage: str = "MEMORY_AND_DISK",
+    survivor_storage: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline; returns (curated, funnel).
 
@@ -153,24 +153,25 @@ def curate_corpus(
     funnel:  (stage, n_docs) — documents remaining after each stage,
     5 rows ('0_input' .. '4_near_dedup').
 
-    The exact-dedup survivor set feeds both the near-dup shingling and
-    the final anti-join, but both land in one output plan, so
-    ReuseExchange shares the lineage without a persist (see the inline
-    note). `survivor_storage` names the persist level a caller should
-    use if it drives curated and funnel as separate actions."""
+    `survivor_storage`: None (default) does NOT persist the exact-dedup
+    survivor set — when a caller collects ONE of the two outputs, every
+    survivor consumer lands in a single plan and ReuseExchange shares
+    the flag pipeline's content-hash exchange (an explicit persist
+    measured ~25% slower). Pass a StorageLevel name ("DISK_ONLY" at TB
+    scale) when driving curated AND funnel as separate actions — then
+    the flag lineage would otherwise recompute once per action."""
     flagged = flag_stages(
         docs, target_lang, min_quality, min_tokens, id_col, text_col
     )
-    # NOT pinned: every survivor consumer (near-dup shingling, the
-    # final anti-join, the funnel counts) lands in one output plan, so
-    # Catalyst's ReuseExchange shares the flag pipeline's content-hash
-    # exchange — an explicit persist measured ~25% slower (cache
-    # write/read vs free reuse). `survivor_storage` is kept in the
-    # signature for callers who drive the two outputs as SEPARATE
-    # actions at TB scale (then pin(survivors, DISK_ONLY) applies).
     survivors = flagged.filter(F.col("pass_exact")).select(
         "doc_id", "text", "lang_pred", "n_tokens", "quality"
     )
+    if survivor_storage is not None:
+        from pyspark import StorageLevel
+
+        from .caching import pin
+
+        survivors = pin(survivors, getattr(StorageLevel, survivor_storage))
     pairs = minhash_lsh_dedup(
         survivors.select("doc_id", "text"),
         k=3,

@@ -154,17 +154,22 @@ def jaccard_pairs(
 def minhash_signatures(shingles: DataFrame, num_hashes: int) -> DataFrame:
     """num_hashes min-hash values per document.
 
-    Hash family: DISJOINT 4-hex-digit (16-bit) slices of ONE md5
-    digest per shingle — 8 independent hash functions from a single
-    digest evaluation, so the dominant CPU pass of the pipeline
-    (hashing every (doc, shingle) row) runs once, not once per hash
-    (measured ~8× less hashing vs the salted-per-hash form at equal
-    sketch quality; the md5 bits are independent across slice ranges).
-    Past 8 hashes, additional salted digests are sliced the same way.
+    Hash family: DISJOINT 8-hex-digit (32-bit) slices of md5 digests —
+    4 independent hash functions per digest evaluation, so the
+    dominant CPU pass of the pipeline (hashing every (doc, shingle)
+    row) runs num_hashes/4 times, not num_hashes times (2 digests for
+    the default 8 hashes — a 4× hashing cut vs the salted-per-hash
+    form; md5 bits are independent across slice ranges). Past 4 hashes
+    per digest, additional salted digests are sliced the same way.
+
+    Slice width matters: a 16-bit slice min degenerates once documents
+    carry shingle counts approaching 2^16 (most large docs would share
+    min 0, re-creating hot band buckets); 32-bit slices push that
+    regime to ~4B shingles per document — beyond any real document.
     The min is lexicographic over fixed-width hex — identical to the
-    16-bit integer min, and bit-identical across engines.
+    32-bit integer min, and bit-identical across engines.
     """
-    n_digests = (num_hashes + 7) // 8
+    n_digests = (num_hashes + 3) // 4
     staged = shingles.select(
         "doc_id",
         *[
@@ -178,7 +183,7 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int) -> DataFrame:
     )
     mins = [
         F.min(
-            F.substring(F.col(f"d{h // 8}"), (h % 8) * 4 + 1, 4)
+            F.substring(F.col(f"d{h // 4}"), (h % 4) * 8 + 1, 8)
         ).alias(f"mh{h}")
         for h in range(num_hashes)
     ]

@@ -84,7 +84,11 @@ def _two_phase_components(
     """Alternating large-star/small-star contraction: path lengths
     shrink geometrically, so even adversarial chains close in
     O(log^2 n) rounds. Converged when a round leaves the edge set
-    unchanged; at that point every edge is (node, component-min)."""
+    unchanged; at that point every edge is (node, component-min).
+    Raises on non-convergence: the star extraction below is only
+    correct on a converged (star-forest) edge set, and silently
+    mislabeling components would look valid."""
+    converged = False
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         delta = (
@@ -93,7 +97,13 @@ def _two_phase_components(
         )
         e = new_e
         if delta == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"two-phase connected components did not converge within "
+            f"{max_iter} rounds (O(log^2 n) expected — raise max_iter)"
+        )
     stars = e.select(
         F.greatest("u", "v").alias("node"), F.least("u", "v").alias("comp")
     ).groupBy("node").agg(F.min("comp").alias("comp"))
@@ -144,6 +154,7 @@ def connected_components(
         "node", F.col("node").alias("comp")
     )
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             e.join(labels, e.v == labels.node)
@@ -162,8 +173,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     e.unpersist()
+    if not converged:
+        # labels from a non-converged propagation look valid but split
+        # true components — fail loud (graph diameter > max_iter means
+        # the caller should switch to method="two_phase")
+        raise RuntimeError(
+            f"min-label propagation did not converge within {max_iter} "
+            f'rounds; diameter exceeds budget — use method="two_phase"'
+        )
     return labels
 
 

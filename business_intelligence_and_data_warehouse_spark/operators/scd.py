@@ -221,8 +221,9 @@ def scd2_merge_delta(
        gets its attributes REPLACED in place (the same-day-correction
        rule of :func:`scd2_merge`, which avoids zero-length windows).
     2. Append the successor/new versions, classified against the
-       pre-merge current slice (materialized before pass 1 runs so the
-       classification can't observe its own updates).
+       pre-merge snapshot PINNED BY VERSION (Delta time travel), so
+       the classification can never observe pass 1's updates — not
+       even after a cache eviction recomputes its lineage.
 
     Equivalence with :func:`scd2_merge` is property-tested in
     tests/test_warehouse.py::test_scd2_delta_merge_equivalence —
@@ -233,11 +234,19 @@ def scd2_merge_delta(
     nat_key = list(nat_key)
     tracked = list(tracked)
     dt = DeltaTable.forPath(spark, dim_path)
-    dim = dt.toDF()
 
-    # freeze the classification inputs BEFORE mutating the table
-    pre = scd2_merge(dim, batch, nat_key, tracked, load_date).persist()
-    pre.count()
+    # Freeze the PRE-merge snapshot BY VERSION, not by cache: the MERGE
+    # below rewrites the table in place, and a cached DataFrame whose
+    # blocks are evicted would silently recompute its lineage against
+    # the POST-merge snapshot — the classification must never observe
+    # its own updates. versionAsOf is a durable pin (Delta time travel).
+    version = dt.history(1).select("version").first()[0]
+    dim = (
+        spark.read.format("delta")
+        .option("versionAsOf", version)
+        .load(dim_path)
+    )
+    pre = scd2_merge(dim, batch, nat_key, tracked, load_date)
 
     key_cond = " AND ".join(f"t.{k} = s.{k}" for k in nat_key)
     open_cond = f"t.effective_to = DATE'{HIGH_DATE}'"
@@ -262,7 +271,10 @@ def scd2_merge_delta(
         .execute()
     )
     # successor + first versions = exactly the rows of the batch
-    # rewrite that opened on load_date with the batch's attributes
+    # rewrite that opened on load_date with the batch's attributes,
+    # minus keys whose PRE-merge open version also started on
+    # load_date (unchanged same-day rows and same-day corrections —
+    # the latter were updated in place by pass 1)
     inserts = pre.filter(
         (F.col("effective_from") == F.to_date(F.lit(load_date)))
         & (F.col("effective_to") == F.to_date(F.lit(HIGH_DATE)))
@@ -272,10 +284,9 @@ def scd2_merge_delta(
             & (F.col("effective_to") == F.to_date(F.lit(HIGH_DATE)))
         ).select(*nat_key),
         nat_key,
-        "left_anti",  # same-day corrections were updated in place
+        "left_anti",
     )
     inserts.write.format("delta").mode("append").save(dim_path)
-    pre.unpersist()
 
 
 def scd2_asof_lookup(

@@ -1141,15 +1141,19 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation run uses to set per-domain sampling quotas. The dup hash
     set (content hashes seen twice) is aggregated once and broadcast
     back as a semi-joinable flag; everything else is one group-by."""
-    from ..functions.text import fingerprint_md5, token_count_ws
+    from ..functions.text import fingerprint_md5, normalize_text, tokens_ws
 
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize the NORMALIZED text (same convention as every other doc
+    # query and as the oracle's _O_NORM split) — raw-text splitting
+    # diverges on tab/newline-edged documents because trim() strips
+    # only spaces
     fp = docs.select(
         "doc_id",
         "source",
         "lang",
         "n_chars",
-        token_count_ws(F.col("text")).alias("n_tokens"),
+        F.size(tokens_ws(normalize_text(F.col("text")))).alias("n_tokens"),
         fingerprint_md5(F.col("text")).alias("h"),
     )
     dupes = (

@@ -7,8 +7,9 @@ multimodal blob plumbing — every entry paired with a DuckDB oracle.
 
 Oracle-parity techniques used here (beyond plans/queries.py):
 * all hashing via md5 (identical hex in both engines);
-* MinHash = lexicographic MIN over salted md5 digests — a valid
-  permutation-min sketch that is portable;
+* MinHash = lexicographic MIN over disjoint 32-bit (8-hex) slices of
+  md5 digests, 4 hash functions per digest (salted second digest past
+  4) — a portable permutation-min sketch at 1/4 the hashing cost;
 * SimHash bits come from hex-digit tests on md5 (pure string ops);
 * cosine terms explode to an element table and snap per-element
   products to DECIMAL(18,6) (order-independent sums; raw double
@@ -136,10 +137,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup: MinHash + LSH (4 bands x 2 rows) with exact verification
 # ---------------------------------------------------------------------------
 
-# one md5 per shingle, 8 disjoint 16-bit hex slices as the hash family
+# 4 disjoint 32-bit (8-hex) slices per md5 digest as the hash family;
+# hashes 4-7 read the salted second digest
 # (must mirror operators/dedup.minhash_signatures exactly)
 _MH = ",\n  ".join(
-    f"MIN(substr(md5(s), {4 * h + 1}, 4)) AS mh{h}" for h in range(8)
+    f"MIN(substr(md5({'s' if h < 4 else chr(39) + '1|' + chr(39) + ' || s'}),"
+    f" {(h % 4) * 8 + 1}, 8)) AS mh{h}"
+    for h in range(8)
 )
 _BANDS = "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band, mh{2*b} || '|' || mh{2*b+1} AS sig FROM mh"

@@ -130,9 +130,16 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME session_window sessionization executed as a real
     watermarked stream (readStream -> session_window merge state ->
-    memory sink). Session-merge state is bounded by the watermark:
-    a session finalizes once the watermark passes its end. Must match
-    the batch lag/cumsum oracle exactly."""
+    memory sink). Must match the batch lag/cumsum oracle exactly.
+
+    Output-mode honesty: this harness runs COMPLETE mode (the memory
+    sink keeps every session so the one-shot result is comparable to
+    the batch oracle), and complete mode retains ALL aggregation state
+    — the watermark does not evict here. The watermark added by
+    session_windows bounds state in the APPEND/UPDATE modes a
+    production deployment would use (sessions finalize and evict once
+    the watermark passes their end); complete mode is the test-harness
+    trade-off, not the scale posture."""
     stream = read_event_stream(spark, sf_dir)
     out = run_stream_to_table(
         session_windows(stream, gap="1 day"), mode="complete"

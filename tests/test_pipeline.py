@@ -167,8 +167,10 @@ def test_simhash_blocking_is_exact_vs_brute_force(spark):
 
 
 def test_minhash_slices_extend_past_one_digest(spark):
-    """num_hashes > 8 rolls over to salted digests: hash h reads hex
-    slice (h%8) of digest md5(f'{h//8}|' + s) (digest 0 unsalted)."""
+    """num_hashes > 4 rolls over to salted digests: hash h reads the
+    8-hex (32-bit) slice (h%4) of digest md5(f'{h//4}|' + s) (digest 0
+    unsalted). 32-bit slices keep the min non-degenerate for any real
+    per-document shingle count."""
     import hashlib
 
     from business_intelligence_and_data_warehouse_spark.operators.dedup import (
@@ -178,14 +180,14 @@ def test_minhash_slices_extend_past_one_digest(spark):
     sh = spark.createDataFrame(
         [(1, "alpha"), (1, "beta"), (2, "alpha")], "doc_id long, s string"
     )
-    out = {r.doc_id: r for r in minhash_signatures(sh, 16).collect()}
+    out = {r.doc_id: r for r in minhash_signatures(sh, 12).collect()}
 
     def slices(salt, s):
         base = (f"{salt}|" + s) if salt else s
         d = hashlib.md5(base.encode()).hexdigest()
-        return [d[4 * i : 4 * i + 4] for i in range(8)]
+        return [d[8 * i : 8 * i + 8] for i in range(4)]
 
     for doc, words in ((1, ["alpha", "beta"]), (2, ["alpha"])):
-        for h in range(16):
-            exp = min(slices(h // 8, w)[h % 8] for w in words)
+        for h in range(12):
+            exp = min(slices(h // 4, w)[h % 4] for w in words)
             assert out[doc][f"mh{h}"] == exp, (doc, h)
