@@ -71,3 +71,19 @@ def test_cluster_assignments_mark_keeper(spark):
         (7, 5, False),
         (9, 5, False),
     ]
+
+
+def test_propagation_raises_on_diameter_over_budget(spark):
+    import pytest
+
+    edges = _edges(spark, [(i, i + 1) for i in range(30)])
+    with pytest.raises(RuntimeError, match="two_phase"):
+        connected_components(edges, max_iter=3)
+
+
+def test_two_phase_raises_on_round_budget_exhaustion(spark):
+    import pytest
+
+    edges = _edges(spark, [(i, i + 1) for i in range(256)])
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1, method="two_phase")
