@@ -66,6 +66,8 @@ HEADLINE = [
     # r3 extension operators
     "text_boilerplate_strip",
     "corpus_source_report",
+    "region_snowflake_rollup",
+    "stream_session_live",
 ]
 
 
