@@ -68,6 +68,7 @@ HEADLINE = [
     "corpus_source_report",
     "region_snowflake_rollup",
     "stream_session_live",
+    "dedup_semantic",
 ]
 
 

@@ -572,3 +572,42 @@ def quantized_ip_topk(
             "dot_q",
         )
     )
+
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    centroid_stride: int = 25,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-then-dedup semantic near-duplicate pairs (the
+    SemDeDup-shaped pipeline, Abbas et al. 2023, arXiv:2303.09540):
+    assign every vector to its nearest centroid cell, score exact
+    cosine only WITHIN cells, and emit pairs >= threshold
+    (vec_a < vec_b). Pairs straddling a cell boundary are the accepted
+    recall loss — that locality assumption is what makes semantic
+    dedup linear instead of quadratic at corpus scale.
+
+    Plan shape: one persisted normed corpus feeds centroid scoring,
+    cell assignment, and the pair verify (same single-norm-pass rule
+    as :func:`ivf_topk`); the within-cell self-join shuffles on the
+    cell id, so per-cell population — not corpus size — bounds the
+    quadratic term (the hot-cell caveat and its sub-clustering fix
+    are the same as documented for blocking in operators/dedup.py).
+    """
+    from .caching import pin
+
+    corpus_n = pin(_normed(vectors, id_col, vec_col))
+    cents_n = corpus_n.filter(F.col("vid") % centroid_stride == 0)
+    assign = _nearest_centroids(corpus_n, cents_n, 1)
+    a, b = assign.alias("a"), assign.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cvid") == F.col("b.cvid"))
+        & (F.col("a.vid") < F.col("b.vid")),
+    ).select(F.col("a.vid").alias("qid"), F.col("b.vid").alias("cid"))
+    scored = _cosine_for_pairs_normed(pairs, corpus_n)
+    return scored.filter(F.col("cosine") >= threshold).select(
+        F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), "cosine"
+    )

@@ -989,3 +989,67 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_phones.alias("n_phones"),
         redact_pii(F.col("text")).alias("redacted"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup: semantic (cluster-then-dedup, SemDeDup-shaped) — round 3
+# ---------------------------------------------------------------------------
+
+_SEM_STRIDE, _SEM_T = 25, 0.4
+
+
+@query_fn(
+    "dedup_semantic",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+adots AS (
+  SELECT v.vid AS vid, c.vid AS cvid,
+         CAST(SUM(CAST(FLOOR(v.val * c.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM el v JOIN el c ON v.pos = c.pos AND c.vid % {_SEM_STRIDE} = 0
+  GROUP BY 1, 2
+),
+acos AS (
+  SELECT adots.vid AS vid, cvid, dot / NULLIF(nv.norm * nc.norm, 0.0) AS cosine
+  FROM adots
+  JOIN nrm nv ON nv.vid = adots.vid
+  JOIN nrm nc ON nc.vid = cvid
+),
+assign AS (
+  SELECT vid, cvid FROM acos
+  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cvid) = 1
+),
+cellpairs AS (
+  SELECT a.vid AS va, b.vid AS vb
+  FROM assign a JOIN assign b ON a.cvid = b.cvid AND a.vid < b.vid
+),
+pdots AS (
+  SELECT cp.va, cp.vb,
+         CAST(SUM(CAST(FLOOR(x.val * y.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM cellpairs cp
+  JOIN el x ON x.vid = cp.va
+  JOIN el y ON y.vid = cp.vb AND y.pos = x.pos
+  GROUP BY 1, 2
+)
+SELECT va AS vec_a, vb AS vec_b,
+       dot / NULLIF(na.norm * nb.norm, 0.0) AS cosine
+FROM pdots
+JOIN nrm na ON na.vid = va
+JOIN nrm nb ON nb.vid = vb
+WHERE dot / NULLIF(na.norm * nb.norm, 0.0) >= {_SEM_T}e0
+ORDER BY vec_a, vec_b
+""",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-dedup semantic near-dup pairs (SemDeDup-shaped,
+    Abbas et al. 2023): nearest-centroid cell assignment, exact cosine
+    only within cells, pairs >= 0.4. Recall loss = pairs straddling a
+    cell boundary — the locality trade that keeps the pipeline linear
+    at 100 TB (see operators/similarity.semantic_dedup_pairs)."""
+    from ..operators.similarity import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, centroid_stride=_SEM_STRIDE, threshold=_SEM_T
+    ).orderBy("vec_a", "vec_b")
