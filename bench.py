@@ -69,6 +69,7 @@ HEADLINE = [
     "region_snowflake_rollup",
     "stream_session_live",
     "dedup_semantic",
+    "doc_chunk_windows",
 ]
 
 

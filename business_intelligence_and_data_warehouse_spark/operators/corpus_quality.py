@@ -225,3 +225,55 @@ def boilerplate_chunks(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-size token windows per document — the
+    retrieval/embedding chunking pass of a RAG or embedding-index
+    pipeline: (doc_id, chunk_idx, chunk_text, n_tokens, chunk_hash).
+
+    Windows start every ``chunk_tokens - overlap`` tokens; the last
+    window may be short; a document shorter than one window yields
+    exactly one chunk. Chunk count = max(1, ceil((n - overlap) /
+    stride)), so every token belongs to at least one chunk and
+    consecutive chunks share ``overlap`` tokens.
+
+    Entirely MAP-SIDE (array slice + inline explode — no shuffle at
+    all until a downstream consumer aggregates), so chunking 100 TB is
+    a pure scan: the fan-out is rows × chunks-per-doc with no exchange.
+    """
+    c, o = int(chunk_tokens), int(overlap)
+    if not 0 <= o < c:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {o}, {c}")
+    s = c - o
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_ws(normalize_text(F.col(text_col))).alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("n"))
+    k = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("n") - F.lit(o)) / F.lit(s)).cast("int"),
+    )
+    chunk_structs = F.expr(
+        f"transform(sequence(0, k - 1), i -> struct("
+        f"i AS chunk_idx,"
+        f" array_join(slice(toks, i*{s}+1, {c}), ' ') AS chunk_text,"
+        f" least({c}, n - i*{s}) AS n_tokens))"
+    )
+    return (
+        base.withColumn("k", k)
+        .select("doc_id", F.inline(chunk_structs))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "chunk_text",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.md5("chunk_text").alias("chunk_hash"),
+        )
+    )

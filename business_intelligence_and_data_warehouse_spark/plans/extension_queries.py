@@ -1233,3 +1233,50 @@ def region_snowflake_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking: overlapping fixed-size token windows (round 3)
+# ---------------------------------------------------------------------------
+
+_CHUNK_C, _CHUNK_O = 32, 8
+_CHUNK_S = _CHUNK_C - _CHUNK_O
+
+
+@query_fn(
+    "doc_chunk_windows",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split({_O_NORM}, ' ') AS toks,
+         len(string_split({_O_NORM}, ' ')) AS n
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, greatest(1,
+           CAST(ceil((n - {_CHUNK_O}) / {_CHUNK_S}.0) AS BIGINT)))) AS i
+  FROM base
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       array_to_string(
+         list_slice(toks, i*{_CHUNK_S}+1, i*{_CHUNK_S}+{_CHUNK_C}), ' ')
+         AS chunk_text,
+       CAST(least({_CHUNK_C}, n - i*{_CHUNK_S}) AS INTEGER) AS n_tokens,
+       md5(array_to_string(
+         list_slice(toks, i*{_CHUNK_S}+1, i*{_CHUNK_S}+{_CHUNK_C}), ' '))
+         AS chunk_hash
+FROM idx
+ORDER BY doc_id, chunk_idx
+""",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token windows with 8-token overlap per document
+    (the RAG/embedding-index chunking pass) — pure map-side array
+    slicing, no shuffle (operators/corpus_quality.chunk_documents)."""
+    from ..operators.corpus_quality import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_C, overlap=_CHUNK_O
+    ).orderBy("doc_id", "chunk_idx")

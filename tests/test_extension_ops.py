@@ -127,3 +127,35 @@ def test_incremental_merge_equals_full_recompute(spark, cut):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_chunk_documents_overlap_invariants(spark):
+    from business_intelligence_and_data_warehouse_spark.operators.corpus_quality import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(70))),  # 3 windows
+            (2, "only five little tokens here"),  # shorter than one window
+            (3, " ".join(f"x{i}" for i in range(32))),  # exactly one window
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens) for r in out.collect())
+    )
+    by_doc = {}
+    for d, i, t, n in rows:
+        by_doc.setdefault(d, []).append((i, t.split(" "), n))
+    # doc 1: ceil((70-8)/24) = 3 chunks; consecutive chunks share 8 toks
+    assert [i for i, _, _ in by_doc[1]] == [0, 1, 2]
+    assert by_doc[1][0][1][24:] == by_doc[1][1][1][:8]
+    assert by_doc[1][1][1][24:] == by_doc[1][2][1][:8]
+    # full coverage: last chunk ends at token 69 with length 70-48=22
+    assert by_doc[1][2][2] == 22 and by_doc[1][2][1][-1] == "w69"
+    # short doc -> exactly one whole-doc chunk
+    assert by_doc[2] == [(0, "only five little tokens here".split(), 5)]
+    # exact-fit doc -> one chunk, no empty tail window
+    assert len(by_doc[3]) == 1 and by_doc[3][0][2] == 32
