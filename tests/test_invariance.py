@@ -28,6 +28,11 @@ INVARIANCE_SET = [
     "search_bm25",
     "incremental_agg_merge",
     "analytics_elasticity",
+    # round-3 float-producing additions
+    "dedup_semantic",
+    "analytics_winsorized",
+    "region_snowflake_rollup",
+    "corpus_source_report",
 ]
 
 
