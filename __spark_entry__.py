@@ -23,7 +23,7 @@ from business_intelligence_and_data_warehouse_spark.plans.queries import (
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver hash-checks the first 50 entries of ``queries()`` in dict
-# order.  The registry holds 92 queries (90 oracled), so we rotate
+# order.  The registry holds 93 queries (90 oracled), so we rotate
 # which ones occupy that window each round until every query has been
 # driver-checked at least once.  Round 3 window = 17 section-2 anchor
 # sentinels (kept so the core battery stays continuously verified,
@@ -34,7 +34,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # stream_session_live, dedup_semantic, and doc_chunk_windows queue for the r04 window).  Names missing from
 # the registry are skipped; everything else follows in registration
 # order, so the local oracle harness (tests/test_queries_oracle.py)
-# still covers all 92.
+# still covers all 93.
 _DRIVER_WINDOW: list[str] = [
     # -- sentinels: one anchor per SURVEY §2 family --
     "q1a_yoy_growth",

@@ -247,3 +247,42 @@ def churn_random_forest(
         ],
         "n_train long, n_test long, auc double, accuracy double, top_features string",
     )
+
+
+def kmeans_embedding_clusters(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Seeded KMeans over the embedding column (pyspark.ml) — the
+    LEARNED-centroid corpus clustering a SemDeDup-style pipeline
+    trains before per-cluster dedup (operators/similarity uses the
+    deterministic stride-centroid variant for its oracle-checkable
+    paths; this is the trained twin). Returns one row per cluster:
+    (cluster_id, n_members, min_vec_id) ordered by cluster size desc
+    then min id — deterministic under the fixed seed because KMeans
+    init and Arrow batching are both seed/partition-stable for a
+    given input. No SQL oracle (iterative training is not
+    SQL-expressible); the driver records a rows-only check and
+    pytest asserts determinism + full coverage.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
+    assigned = model.transform(feats)
+    return (
+        assigned.groupBy(F.col("prediction").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy(F.desc("n_members"), "min_vec_id")
+    )

@@ -130,3 +130,15 @@ def analytics_risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_churn_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RandomForest churn classifier metrics (M4-M6)."""
     return churn_random_forest(spark, build_order_mart(spark, sf_dir))
+
+
+@query_fn("ml_kmeans_embeddings")  # pyspark.ml — rows-only, no SQL oracle
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded KMeans corpus clustering over the embeddings table
+    (k=8, seed 42): per-cluster sizes + canonical member — the trained
+    complement of the stride-centroid IVF cells (see
+    analytics/predictive.kmeans_embedding_clusters)."""
+    from ..analytics.predictive import kmeans_embedding_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_embedding_clusters(spark, emb, k=8, seed=42)

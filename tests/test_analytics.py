@@ -106,3 +106,19 @@ def test_balanced_weights_equalize_class_mass(spark):
     # each class carries equal total weight == n/2
     assert abs(mass[0.0] - 500.0) < 1e-6
     assert abs(mass[1.0] - 500.0) < 1e-6
+
+
+def test_kmeans_clusters_deterministic_and_cover_corpus(spark, sf_dir):
+    from business_intelligence_and_data_warehouse_spark.analytics.predictive import (
+        kmeans_embedding_clusters,
+    )
+    from business_intelligence_and_data_warehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = [tuple(r) for r in kmeans_embedding_clusters(spark, emb).collect()]
+    b = [tuple(r) for r in kmeans_embedding_clusters(spark, emb).collect()]
+    assert a == b, "seeded KMeans must be run-to-run deterministic"
+    assert len(a) == 8
+    assert sum(n for _cid, n, _mid in a) == emb.count()
