@@ -28,13 +28,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # driver-checked at least once.  Round 3 window = 17 section-2 anchor
 # sentinels (kept so the core battery stays continuously verified,
 # incl. sim_ann_ivf whose perf fix lands this round) + the 31 queries
-# that had no driver row in CORRECTNESS_r01/r02 + 2 of the 4 queries
+# that had no driver row in CORRECTNESS_r01/r02 + 2 of the 7 queries
 # new in round 3 (q2b_rollup and q3a_rank_ntile rotate out — both were
-# driver-green in r01 AND r02; region_snowflake_rollup,
-# stream_session_live, dedup_semantic, and doc_chunk_windows queue for the r04 window).  Names missing from
-# the registry are skipped; everything else follows in registration
-# order, so the local oracle harness (tests/test_queries_oracle.py)
-# still covers all 93.
+# driver-green in r01 AND r02).  The other 5 round-3 queries queue for
+# the r04 window: region_snowflake_rollup, stream_session_live,
+# dedup_semantic, doc_chunk_windows, ml_kmeans_embeddings.  Names
+# missing from the registry are skipped; everything else follows in
+# registration order, so the local oracle harness
+# (tests/test_queries_oracle.py) still covers all 93.
 _DRIVER_WINDOW: list[str] = [
     # -- sentinels: one anchor per SURVEY §2 family --
     "q1a_yoy_growth",

@@ -261,20 +261,36 @@ def kmeans_embedding_clusters(
     LEARNED-centroid corpus clustering a SemDeDup-style pipeline
     trains before per-cluster dedup (operators/similarity uses the
     deterministic stride-centroid variant for its oracle-checkable
-    paths; this is the trained twin). Returns one row per cluster:
+    paths; this is the trained twin). Returns one row per NON-EMPTY
+    cluster (KMeans can converge with fewer than k occupied clusters):
     (cluster_id, n_members, min_vec_id) ordered by cluster size desc
-    then min id — deterministic under the fixed seed because KMeans
-    init and Arrow batching are both seed/partition-stable for a
-    given input. No SQL oracle (iterative training is not
-    SQL-expressible); the driver records a rows-only check and
-    pytest asserts determinism + full coverage.
+    then min id.
+
+    Determinism scope: run-to-run deterministic WITHIN an environment
+    (fixed seed + fixed input partitioning), because KMeans|| init
+    samples per partition — a different parallelism can legitimately
+    yield a different (equally valid) clustering, which is why the
+    driver check is rows-only and no cross-environment value hash is
+    claimed. No SQL oracle (iterative training is not
+    SQL-expressible); pytest asserts same-session determinism and
+    that cluster sizes cover the corpus.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    from ..operators.caching import pin
+
+    # KMeans.fit consumes the features iteratively (maxIter passes) and
+    # transform() reads them once more — pin so the scan + array cast
+    # runs once, not once per iteration (released at the next query
+    # invocation by the ledger).
+    feats = pin(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                "features"
+            ),
+        )
     )
     model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
     assigned = model.transform(feats)

@@ -322,7 +322,11 @@ def ivf_topk(
     per-probe work is ~nprobe/cells of the corpus. At 100 TB the cell
     assignment is the only corpus-wide pass and it broadcasts just the
     centroid set; the probe-side join shuffles on cell id, which is
-    uniformly loaded when ids are hash-distributed.
+    uniformly loaded when ids are hash-distributed. Note the stride
+    quantizer's centroid count grows as corpus/stride — a production
+    run pins a FIXED-SIZE centroid set (trained KMeans or a bounded
+    sample) so the broadcast and the O(n·k) assign stay bounded (see
+    :func:`semantic_dedup_pairs` for the full caveat).
 
     The normed corpus is persisted ONCE and consumed by all three
     norm-hungry branches (cell assign, centroid set, pair verify) —
@@ -586,15 +590,26 @@ def semantic_dedup_pairs(
     assign every vector to its nearest centroid cell, score exact
     cosine only WITHIN cells, and emit pairs >= threshold
     (vec_a < vec_b). Pairs straddling a cell boundary are the accepted
-    recall loss — that locality assumption is what makes semantic
-    dedup linear instead of quadratic at corpus scale.
+    recall loss — that locality assumption is what keeps the WITHIN-
+    CELL pair term linear: stride-derived centroids give constant
+    expected cell population (~centroid_stride), so pair count is
+    O(n · stride), not O(n²).
+
+    Honest scale caveat: the stride centroid set itself grows as
+    n/stride, so the ASSIGN pass here is O(n²/stride) and the centroid
+    broadcast is unbounded — fine at test scale and for the DuckDB
+    oracle, but a 100 TB run must swap in a FIXED-SIZE centroid set
+    (the trained twin, analytics/predictive.kmeans_embedding_clusters,
+    or a coarse sample), which makes assignment O(n·k) with a k-row
+    broadcast. The same caveat applies to :func:`ivf_topk`'s stride
+    quantizer. Everything downstream of `assign` is unchanged either
+    way.
 
     Plan shape: one persisted normed corpus feeds centroid scoring,
     cell assignment, and the pair verify (same single-norm-pass rule
     as :func:`ivf_topk`); the within-cell self-join shuffles on the
-    cell id, so per-cell population — not corpus size — bounds the
-    quadratic term (the hot-cell caveat and its sub-clustering fix
-    are the same as documented for blocking in operators/dedup.py).
+    cell id (hot-cell caveat and its sub-clustering fix as documented
+    for blocking in operators/dedup.py).
     """
     from .caching import pin
 

