@@ -70,6 +70,10 @@ HEADLINE = [
     "stream_session_live",
     "dedup_semantic",
     "doc_chunk_windows",
+    "ts_gap_fill",
+    "events_lookback_join",
+    "dedup_keep_best",
+    "corpus_pack_sequences",
 ]
 
 

@@ -1,4 +1,7 @@
-"""Backward as-of join: attach to each left row the most recent right
+"""Backward as-of join and bounded lookback-window join: temporal
+joins Spark lacks as operators, decomposed into shuffle-friendly plans.
+
+`asof_join_backward`: attach to each left row the most recent right
 row (same key, right_ts <= left_ts).
 
 Spark has no ASOF JOIN operator (DuckDB/QuestDB/kdb do), but the
@@ -76,3 +79,58 @@ def asof_join_backward(
         *[F.col("_match").getField(c).alias(f"asof_{c}") for c in payload_cols],
     )
     return out
+
+
+def lookback_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback_seconds: int,
+) -> DataFrame:
+    """Candidate pairs (left row, right row) where both share ``key``
+    and ``left_ts - lookback < right_ts <= left_ts``.
+
+    A naive formulation — join on the equality key with the range as
+    the only temporal predicate — is correct but unbounded: one hot
+    key joins its full history against every probe.  This operator
+    TILES time into buckets exactly ``lookback_seconds`` wide, so a
+    right row can only match left rows in its own bucket or the next
+    one.  The right side therefore emits exactly TWO (key, bucket)
+    rows map-side, the join is a pure equality hash/sort-merge join on
+    (key, bucket) — Catalyst never falls back to a nested-loop/range
+    scan — and the exact interval predicate is applied as a post-join
+    filter on candidates that are already bucket-local.
+
+    Scale notes (100 TB): shuffle key is (key, time-bucket), so even a
+    pathologically hot key spreads across the time axis — the skew
+    bound per task is one key-bucket's traffic, not one key's history.
+    Cost is linear: |right| x 2 emitted rows, candidates bounded by
+    per-bucket density.  Suffixes: left columns keep their names,
+    right payload columns arrive with ``r_`` prefix.
+    """
+    bucket = lambda c: F.floor(  # noqa: E731
+        F.unix_timestamp(F.col(c)) / F.lit(int(lookback_seconds))
+    )
+    l = left.withColumn("_b", bucket(left_ts))
+    r_base = right.select(
+        F.col(key),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c != key
+        ],
+    ).withColumn("_rb", bucket(f"r_{right_ts}"))
+    # a right row at bucket b can serve probes in buckets {b, b+1}
+    r = r_base.withColumn(
+        "_b", F.explode(F.array(F.col("_rb"), F.col("_rb") + 1))
+    ).drop("_rb")
+    pairs = l.join(r, [key, "_b"]).filter(
+        (F.col(f"r_{right_ts}") <= F.col(left_ts))
+        & (
+            F.col(f"r_{right_ts}")
+            > F.col(left_ts) - F.expr(f"interval {int(lookback_seconds)} seconds")
+        )
+    )
+    return pairs.drop("_b")

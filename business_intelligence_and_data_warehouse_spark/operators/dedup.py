@@ -32,6 +32,7 @@ verification is not needed.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W_
 from pyspark.sql import functions as F
 
 from .caching import pin
@@ -452,4 +453,60 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-duplicate RESOLUTION: keep the best copy, not the first
+# ---------------------------------------------------------------------------
+
+def keep_best_dedup(
+    docs: DataFrame,
+    score: Column,
+    priority: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per distinct normalized text, keeping the BEST copy.
+
+    `exact_dedup` keeps the minimum id — fine for counting, wrong for
+    curation: when the same document arrives from several sources, the
+    pipeline should keep the copy with the highest quality ``score``
+    (ties broken by ascending source ``priority``, then id).  Output:
+    (content_hash, n_copies, n_sources, kept_id, kept_priority,
+    dropped_ids) where dropped_ids is a stable comma-joined list.
+
+    Scale: one shuffle on content_hash (uniform by construction); the
+    rank is a window over groups whose size equals the duplicate
+    multiplicity (bounded, typically tiny), and the dropped-id list
+    aggregates within the same partitioning, so the whole resolution
+    is a single exchange.  ``score``/``priority`` are evaluated
+    map-side before the shuffle.
+    """
+    scored = docs.select(
+        F.col(id_col).alias("_id"),
+        fingerprint_md5(F.col(text_col)).alias("content_hash"),
+        score.alias("_score"),
+        priority.alias("_prio"),
+    )
+    w = W_.partitionBy("content_hash").orderBy(
+        F.col("_score").desc(), F.col("_prio").asc(), F.col("_id").asc()
+    )
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("_prio").alias("n_sources"),
+            F.max(F.when(F.col("_rn") == 1, F.col("_id"))).alias("kept_id"),
+            F.max(F.when(F.col("_rn") == 1, F.col("_prio"))).alias(
+                "kept_priority"
+            ),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.when(F.col("_rn") > 1, F.col("_id")))
+                ),
+            ).alias("dropped_ids"),
+        )
     )

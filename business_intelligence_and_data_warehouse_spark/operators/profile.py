@@ -79,7 +79,7 @@ def oracle_profile_sql(table: str, cols: list[tuple[str, str]]) -> str:
         f"""
 SELECT '{name}' AS "column",
        COUNT(*) AS n,
-       SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        COUNT(DISTINCT {name}) AS n_distinct,
        {render(f"MIN({name})", kind)} AS min_repr,
        {render(f"MAX({name})", kind)} AS max_repr

@@ -1,0 +1,281 @@
+"""Round-3 advanced operator queries:
+
+* ts_gap_fill            — dense calendar spine + forward fill
+* events_lookback_join   — bounded interval join via time-bucket tiling
+* dedup_keep_best        — exact-dup resolution by quality + source rank
+* corpus_pack_sequences  — greedy token packing (applyInPandas recurrence)
+
+Each pairs a Spark-first plan with a DuckDB oracle.  Oracle-parity
+notes: event values and order totals are 2/4-decimal money doubles,
+so DECIMAL(18,6)-cast sums are exact and order-independent (the
+engine-wide rule, plans/queries.py module docstring); the packing
+oracle replays the greedy recurrence with a recursive CTE — sequential
+semantics the Spark side computes in Arrow-batched ``applyInPandas``
+because a bin boundary RESETS the accumulator (not expressible as a
+prefix-sum window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.parity import dsum, o_dsum
+from ..functions.text import (
+    EN_STOPWORDS,
+    normalize_text,
+    punct_ratio,
+    tokens_ws,
+)
+from ..operators.asof import lookback_window_join
+from ..operators.dedup import keep_best_dedup
+from ..operators.packing import pack_sequences
+from ..operators.timeseries import period_spine_fill
+from ..sources.testdata import load_table
+from .pipeline_queries import _O_NORM
+from .queries import query_fn
+
+# ---------------------------------------------------------------------------
+# time-series gap fill: dense nation x week revenue with forward fill
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "ts_gap_fill",
+    oracle=f"""
+WITH weekly AS (
+  SELECT n_name AS nation,
+         CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+         {o_dsum("o_totalprice")} AS revenue
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2
+),
+bounds AS (SELECT min(week) AS lo, max(week) AS hi FROM weekly),
+spine AS (
+  SELECT k.nation, CAST(unnest(generate_series(
+           CAST(b.lo AS TIMESTAMP), CAST(b.hi AS TIMESTAMP),
+           INTERVAL 7 DAY)) AS DATE) AS week
+  FROM (SELECT DISTINCT nation FROM weekly) k, bounds b
+)
+SELECT s.nation AS nation,
+       s.week AS week,
+       w.revenue,
+       LAST_VALUE(w.revenue IGNORE NULLS) OVER (
+         PARTITION BY s.nation ORDER BY s.week
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS revenue_filled,
+       w.revenue IS NULL AS is_gap
+FROM spine s LEFT JOIN weekly w ON w.nation = s.nation AND w.week = s.week
+ORDER BY s.nation, s.week
+""",
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense nation x week revenue grid: the spine regenerates every
+    week in the global order-date range per nation, gap weeks carry
+    the last observed revenue forward (operators/timeseries.py — the
+    spine explode is map-side, the fill window shares the join's
+    (nation, week) shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    weekly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week"),
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    return period_spine_fill(
+        weekly, key_col="nation", period_col="week",
+        measure_col="revenue", step_days=7,
+    ).orderBy("nation", "week")
+
+
+# ---------------------------------------------------------------------------
+# bounded lookback interval join: views within 1h before each purchase
+# ---------------------------------------------------------------------------
+
+_LOOKBACK_S = 3600
+
+
+@query_fn(
+    "events_lookback_join",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(COUNT(v.ts) AS BIGINT) AS n_prior_views,
+       {o_dsum("v.value")} AS prior_view_value
+FROM p LEFT JOIN v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts > p.ts - INTERVAL {_LOOKBACK_S} SECOND
+GROUP BY 1, 2, 3
+ORDER BY event_id
+""",
+)
+def events_lookback_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: count + value of the same user's views in the
+    preceding hour.  Both sides are the (large) events table; the
+    interval predicate is executed as an EQUALITY join on
+    (user_id, hour-tile) with the exact range as a residual filter
+    (operators/asof.lookback_window_join) — never a nested-loop range
+    join, and a hot user spreads across time tiles."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    pairs = lookback_window_join(
+        purchases, views,
+        key="user_id", left_ts="ts", right_ts="ts",
+        lookback_seconds=_LOOKBACK_S,
+    )
+    matched = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        dsum(F.col("r_value")).alias("prior_view_value"),
+    )
+    return (
+        purchases.join(matched, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce(F.col("_cnt"), F.lit(0)).alias("n_prior_views"),
+            "prior_view_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-dup resolution: keep the best copy across sources
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+
+
+@query_fn(
+    "dedup_keep_best",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(substr(source, 4) AS INTEGER) AS prio,
+         text,
+         string_split({_O_NORM}, ' ') AS toks,
+         md5({_O_NORM}) AS h
+  FROM documents
+),
+q AS (
+  SELECT doc_id, prio, h,
+         0.4 * (len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1))
+         + 0.4 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                        / greatest(length(text), 1))
+         + 0.2 * (len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0
+                  / greatest(len(toks), 1)) AS score
+  FROM t
+),
+r AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY h ORDER BY score DESC, prio ASC, doc_id ASC
+         ) AS rn
+  FROM q
+)
+SELECT h AS content_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT prio) AS BIGINT) AS n_sources,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_id,
+       MAX(CASE WHEN rn = 1 THEN prio END) AS kept_priority,
+       COALESCE(string_agg(CASE WHEN rn > 1 THEN CAST(doc_id AS VARCHAR) END,
+                           ',' ORDER BY doc_id), '') AS dropped_ids
+FROM r
+GROUP BY h
+ORDER BY content_hash
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate resolution for curation: within each
+    identical-content group keep the copy with the highest composite
+    quality score (same formula as text_quality_score), ties to the
+    lowest-numbered source then id.  One content-hash shuffle;
+    score/priority evaluated map-side (operators/dedup.keep_best_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_ws(normalize_text(F.col("text")))
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) * 1.0 / n
+    )
+    uniq = F.size(F.array_distinct(toks)) * 1.0 / n
+    score = 0.4 * uniq + 0.4 * (1.0 - punct_ratio(F.col("text"))) + 0.2 * stop_ratio
+    priority = F.substring(F.col("source"), 4, 10).cast("int")
+    return keep_best_dedup(docs, score=score, priority=priority).orderBy(
+        "content_hash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# greedy token packing into fixed-budget training sequences
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 200
+
+
+@query_fn(
+    "corpus_pack_sequences",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split({_O_NORM}, ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+),
+t AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM toks
+),
+pack AS (
+  SELECT source, doc_id, n_tokens, rn,
+         0 AS seq_id, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.fill + t.n_tokens > {_PACK_BUDGET}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill + t.n_tokens > {_PACK_BUDGET}
+              THEN t.n_tokens ELSE p.fill + t.n_tokens END
+  FROM t JOIN pack p ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tokens,
+       CAST(seq_id AS INTEGER) AS seq_id,
+       CAST(fill AS INTEGER) AS seq_fill
+FROM pack
+ORDER BY source, doc_id
+""",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit-in-order packing of each source's documents
+    into <=200-token training sequences.  Token counts are computed
+    JVM-side; only (source, doc_id, n_tokens) crosses the Arrow
+    boundary into the per-group recurrence
+    (operators/packing.pack_sequences; shard knob for 100-TB groups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens_ws(normalize_text(F.col("text")))).alias("n_tokens"),
+    )
+    return pack_sequences(
+        with_tokens, budget=_PACK_BUDGET, group_col="source",
+        id_col="doc_id", tokens_col="n_tokens", shards=1,
+    ).orderBy("source", "doc_id")

@@ -119,7 +119,7 @@ scored AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_shingles,
-       SUM(hit) AS n_contaminated,
+       CAST(SUM(hit) AS BIGINT) AS n_contaminated,
        CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
          AS contamination_rate,
        CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) >= {_CONTAM_T}e0
@@ -844,11 +844,11 @@ flags AS (
 )
 SELECT 'n_users' AS metric, COUNT(*) AS n FROM flags
 UNION ALL
-SELECT '1_viewed', SUM(CASE WHEN s1 THEN 1 ELSE 0 END) FROM flags
+SELECT '1_viewed', CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
 UNION ALL
-SELECT '2_then_clicked', SUM(CASE WHEN s2 THEN 1 ELSE 0 END) FROM flags
+SELECT '2_then_clicked', CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
 UNION ALL
-SELECT '3_then_purchased', SUM(CASE WHEN s3 THEN 1 ELSE 0 END) FROM flags
+SELECT '3_then_purchased', CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
 ORDER BY metric
 """,
 )
@@ -1004,8 +1004,8 @@ SELECT COUNT(*) AS n_customers,
        ANY_VALUE(hi) AS cap_hi,
        CAST(SUM(CAST(LEAST(GREATEST(revenue, lo), hi) AS DECIMAL(18,6)))
             AS DOUBLE) / COUNT(*) AS winsorized_mean,
-       SUM(CASE WHEN revenue < lo OR revenue > hi THEN 1 ELSE 0 END)
-         AS n_capped
+       CAST(SUM(CASE WHEN revenue < lo OR revenue > hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped
 FROM spend CROSS JOIN caps
 """,
 )

@@ -66,6 +66,19 @@ def assert_matches_oracle(spark_df, oracle_con, sql: str, *, exact: bool = True)
         f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
     )
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    # integer-vs-float dtype drift (e.g. an un-CAST DuckDB SUM coming
+    # back HUGEINT -> float64) stringifies differently under the
+    # driver's value hash (150 vs 150.0) even when values agree —
+    # catch it here, not in CORRECTNESS_r{N}
+    for c in got.columns:
+        g_int = pd.api.types.is_integer_dtype(got[c])
+        w_int = pd.api.types.is_integer_dtype(want[c])
+        g_f = pd.api.types.is_float_dtype(got[c])
+        w_f = pd.api.types.is_float_dtype(want[c])
+        assert not (g_int and w_f) and not (g_f and w_int), (
+            f"dtype class mismatch on {c}: spark={got[c].dtype} "
+            f"oracle={want[c].dtype} (CAST the oracle aggregate)"
+        )
     pd.testing.assert_frame_equal(
         got,
         want,

@@ -1,0 +1,149 @@
+"""Edge-case unit tests for the round-3 advanced operators — the
+behaviors the DuckDB oracle battery can't isolate: packing boundary
+rules, spine fill before the first observation, interval-join boundary
+inclusivity across tile edges, and best-copy tie-breaking."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from business_intelligence_and_data_warehouse_spark.operators.asof import (
+    lookback_window_join,
+)
+from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+    keep_best_dedup,
+)
+from business_intelligence_and_data_warehouse_spark.operators.packing import (
+    pack_sequences,
+)
+from business_intelligence_and_data_warehouse_spark.operators.timeseries import (
+    period_spine_fill,
+)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+def _pack_rows(spark, sizes, budget, shards=1):
+    df = spark.createDataFrame(
+        [("s", i, n) for i, n in enumerate(sizes)],
+        "source string, doc_id long, n_tokens int",
+    )
+    out = pack_sequences(df, budget=budget, shards=shards)
+    return {r.doc_id: (r.seq_id, r.seq_fill) for r in out.collect()}
+
+
+def test_pack_exact_fit_stays_in_bin(spark):
+    # 100 + 100 == budget: second doc stays (boundary is >, not >=)
+    got = _pack_rows(spark, [100, 100, 1], budget=200)
+    assert got[0] == (0, 100)
+    assert got[1] == (0, 200)
+    assert got[2] == (1, 1)
+
+
+def test_pack_oversized_doc_gets_own_sequence(spark):
+    got = _pack_rows(spark, [50, 500, 50], budget=200)
+    assert got[0] == (0, 50)
+    assert got[1] == (1, 500)  # never split, never merged
+    assert got[2] == (2, 50)
+
+
+def test_pack_sharded_respects_budget_within_shard(spark):
+    df = spark.range(200).select(
+        F.lit("s").alias("source"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 90 + 10).cast("int").alias("n_tokens"),
+    )
+    out = pack_sequences(df, budget=200, shards=4).collect()
+    assert {r.shard for r in out} <= {0, 1, 2, 3}
+    # every multi-doc sequence respects the budget (oversized
+    # singletons are allowed by contract; none exist here: max 99)
+    fills = {}
+    for r in out:
+        fills.setdefault((r.shard, r.seq_id), []).append(r.n_tokens)
+    for docs in fills.values():
+        assert sum(docs) <= 200
+    # no document lost or duplicated across shards
+    assert sorted(r.doc_id for r in out) == list(range(200))
+
+
+# ---------------------------------------------------------------------------
+# period_spine_fill
+# ---------------------------------------------------------------------------
+
+def test_spine_fill_null_before_first_observation(spark):
+    d = dt.date
+    actuals = spark.createDataFrame(
+        [
+            ("a", d(2024, 1, 1), 10.0),
+            ("a", d(2024, 1, 15), 20.0),
+            ("b", d(2024, 1, 15), 7.0),
+        ],
+        "k string, p date, m double",
+    )
+    out = period_spine_fill(actuals, "k", "p", "m", step_days=7)
+    rows = {(r.k, str(r.p)): (r.m, r.m_filled, r.is_gap) for r in out.collect()}
+    # dense grid: 3 weeks x 2 keys
+    assert len(rows) == 6
+    # key b has no observation before Jan 15: filled stays NULL
+    assert rows[("b", "2024-01-01")] == (None, None, True)
+    assert rows[("b", "2024-01-08")] == (None, None, True)
+    assert rows[("b", "2024-01-15")] == (7.0, 7.0, False)
+    # key a carries 10.0 across its gap week
+    assert rows[("a", "2024-01-08")] == (None, 10.0, True)
+    assert rows[("a", "2024-01-15")] == (20.0, 20.0, False)
+
+
+# ---------------------------------------------------------------------------
+# lookback_window_join
+# ---------------------------------------------------------------------------
+
+def test_lookback_boundaries_and_tile_crossing(spark):
+    ts = dt.datetime
+    left = spark.createDataFrame(
+        [(1, 7, ts(2024, 1, 1, 10, 0, 30))], "event_id long, u long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 7, ts(2024, 1, 1, 9, 0, 30)),   # == lower bound: excluded
+            (101, 7, ts(2024, 1, 1, 9, 0, 31)),   # just inside, previous tile
+            (102, 7, ts(2024, 1, 1, 9, 59, 0)),   # previous hour tile
+            (103, 7, ts(2024, 1, 1, 10, 0, 30)),  # == left ts: included
+            (104, 7, ts(2024, 1, 1, 10, 0, 31)),  # after: excluded
+            (105, 8, ts(2024, 1, 1, 10, 0, 0)),   # other key: excluded
+        ],
+        "rid long, u long, ts timestamp",
+    )
+    got = lookback_window_join(
+        left, right, key="u", left_ts="ts", right_ts="ts", lookback_seconds=3600
+    )
+    assert sorted(r.r_rid for r in got.collect()) == [101, 102, 103]
+
+
+# ---------------------------------------------------------------------------
+# keep_best_dedup
+# ---------------------------------------------------------------------------
+
+def test_keep_best_prefers_score_then_priority(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", 5, 0.5),
+            (2, "same text", 3, 0.9),   # highest score wins
+            (3, "same text", 1, 0.9),   # equal score: lower priority wins
+            (9, "unique", 2, 0.1),
+        ],
+        "doc_id long, text string, prio int, score double",
+    )
+    out = keep_best_dedup(
+        docs, score=F.col("score"), priority=F.col("prio")
+    ).collect()
+    groups = {r.n_copies: r for r in out}
+    trio = groups[3]
+    assert trio.kept_id == 3  # score 0.9 tie -> prio 1 beats prio 3
+    assert trio.kept_priority == 1
+    assert trio.dropped_ids == "1,2"
+    assert groups[1].kept_id == 9
+    assert groups[1].dropped_ids == ""

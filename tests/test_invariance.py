@@ -33,6 +33,12 @@ INVARIANCE_SET = [
     "analytics_winsorized",
     "region_snowflake_rollup",
     "corpus_source_report",
+    # round-3 advanced ops: forward fill, Arrow recurrence, interval
+    # join, score-ranked resolution — all must not depend on layout
+    "ts_gap_fill",
+    "corpus_pack_sequences",
+    "events_lookback_join",
+    "dedup_keep_best",
 ]
 
 

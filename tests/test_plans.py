@@ -233,3 +233,50 @@ def test_snowflake_chain_broadcasts_every_hop(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "partial_" in plan, plan
+
+
+def test_gap_fill_is_union_merge_not_join(spark):
+    # the dense-spine fill must be the union + running-window merge:
+    # an equi-join on (key, period) would co-partition both sides on
+    # both keys and then reshuffle for the window
+    plan = plan_of(spark, "ts_gap_fill")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "Union" in plan, plan
+    # the weekly aggregate feeds bounds/keys/union once, via the pin
+    assert "InMemoryRelation" in plan, plan
+
+
+def test_lookback_join_is_equality_tiled(spark):
+    # the 1-hour interval join must run as an equality join on
+    # (user, time-tile) with the range as residual filter — never a
+    # nested-loop/cartesian range join over the events history
+    plan = plan_of(spark, "events_lookback_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate" in plan, plan  # the 2-tile explode
+
+
+def test_keep_best_shares_one_hash_exchange(spark):
+    # rank window + resolution aggregate both run on the content_hash
+    # partitioning: one data exchange + the presentation sort only
+    # (formatted plans list each node twice: tree + detail)
+    plan = plan_of(spark, "dedup_keep_best")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 4, plan
+
+
+def test_pack_sequences_ships_narrow_columns(spark):
+    # the greedy recurrence is ONE Arrow stage; token counts are
+    # computed JVM-side so only (source, doc_id, n_tokens) cross the
+    # Arrow boundary — never the document text
+    plan = plan_of(spark, "corpus_pack_sequences")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan
+    m = re.search(
+        r"\(\d+\) FlatMapGroupsInPandas\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    # (grouping key appears twice: once as key, once as data column)
+    assert m and "text" not in m.group(1), plan
+    assert m and len(m.group(1).split(",")) <= 4, plan
