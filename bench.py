@@ -74,6 +74,8 @@ HEADLINE = [
     "events_lookback_join",
     "dedup_keep_best",
     "corpus_pack_sequences",
+    "events_hourly_ohlc",
+    "basket_pair_lift",
 ]
 
 

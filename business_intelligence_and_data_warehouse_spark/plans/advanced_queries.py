@@ -279,3 +279,124 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_tokens, budget=_PACK_BUDGET, group_col="source",
         id_col="doc_id", tokens_col="n_tokens", shards=1,
     ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# hourly OHLC candles: arg-min/arg-max (first/last-by-order) aggregates
+# ---------------------------------------------------------------------------
+
+# fixed-width sortable event key: zero-padded epoch-micros || event_id —
+# lexicographic VARCHAR order == (ts, id) numeric order in BOTH engines
+# (arg_min/min_by need a SCALAR ordering key; structs don't bind in
+# DuckDB's arg_min)
+_O_EVKEY = (
+    "lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+
+@query_fn(
+    "events_hourly_ohlc",
+    oracle=f"""
+SELECT event_type,
+       CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       arg_min(value, {_O_EVKEY}) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, {_O_EVKEY}) AS close,
+       {o_dsum("value")} AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, hour
+""",
+)
+def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, hour) OHLC candle: open/close are the values
+    of the chronologically first/last event (ties broken by event_id
+    via a fixed-width sortable key), high/low are exact double
+    min/max.  min_by/max_by are single-pass map-side-combining
+    aggregates — the whole candle table is ONE shuffle on the group
+    key, no window, no self-join.  (Their string-typed buffer makes
+    Spark pick SortAggregate over HashAggregate: a per-partition sort
+    by group key, still partial-aggregated before the exchange — no
+    extra shuffle at any scale.)"""
+    events = load_table(spark, sf_dir, "events")
+    evkey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        events.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", evkey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", evkey).alias("close"),
+            dsum(F.col("value")).alias("value_sum"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# market-basket pair lift: bounded self-join association mining
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_PAIRS = 2
+_BASKET_TOPK = 50
+
+
+@query_fn(
+    "basket_pair_lift",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+totals AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM items),
+freq AS (SELECT item, COUNT(*) AS n_item FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN_PAIRS}
+)
+SELECT p.item_a, p.item_b,
+       fa.n_item AS n_baskets_a,
+       fb.n_item AS n_baskets_b,
+       p.n_both AS n_baskets_both,
+       p.n_both / CAST(t.n_baskets AS DOUBLE) AS support,
+       p.n_both / CAST(fa.n_item AS DOUBLE) AS confidence_a_to_b,
+       (p.n_both * t.n_baskets) / CAST(fa.n_item * fb.n_item AS DOUBLE)
+         AS lift
+FROM pairs p
+JOIN freq fa ON fa.item = p.item_a
+JOIN freq fb ON fb.item = p.item_b
+CROSS JOIN totals t
+ORDER BY lift DESC, item_a, item_b
+LIMIT {_BASKET_TOPK}
+""",
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 part pairs by lift over order baskets.  The pair
+    self-join fans out C(k,2) per basket with k bounded by basket
+    size, so candidate volume stays linear in baskets
+    (operators/basket.py); lift is pure integer products divided once
+    — bit-identical cross-engine."""
+    from ..operators.basket import basket_pair_lift as pair_lift
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        pair_lift(
+            lineitem,
+            basket_col="l_orderkey",
+            item_col="l_partkey",
+            min_pair_count=_BASKET_MIN_PAIRS,
+        )
+        .orderBy(F.col("lift").desc(), "item_a", "item_b")
+        .limit(_BASKET_TOPK)
+    )

@@ -39,6 +39,8 @@ INVARIANCE_SET = [
     "corpus_pack_sequences",
     "events_lookback_join",
     "dedup_keep_best",
+    "events_hourly_ohlc",
+    "basket_pair_lift",
 ]
 
 

@@ -280,3 +280,23 @@ def test_pack_sequences_ships_narrow_columns(spark):
     # (grouping key appears twice: once as key, once as data column)
     assert m and "text" not in m.group(1), plan
     assert m and len(m.group(1).split(",")) <= 4, plan
+
+
+def test_ohlc_is_single_aggregate_pass(spark):
+    # open/high/low/close resolve in ONE grouped aggregate (min_by /
+    # max_by with map-side partials) — no window, no self-join; the
+    # only exchanges are the aggregate's and the presentation sort's
+    plan = plan_of(spark, "events_hourly_ohlc")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 4, plan
+
+
+def test_basket_pairs_pin_and_topk(spark):
+    # the distinct basket-item table feeds five consumers through one
+    # materialization; the only nested loop is the 1-row totals
+    # scalar; top-k is a TakeOrdered, not a global sort
+    plan = plan_of(spark, "basket_pair_lift")
+    assert "CartesianProduct" not in plan, plan
+    assert "InMemoryRelation" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
