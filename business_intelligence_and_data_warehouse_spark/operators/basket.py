@@ -13,9 +13,10 @@ The classic association-mining first stage, DataFrame-first:
    with a small constant — this is NOT the unbounded shingle-style
    self-join, and needs no frequency cap;
 3. item-frequency table is aggregated once and joined back to the
-   pairs twice (item_a, item_b).  At testdata scale it broadcasts;
-   at a 100-TB catalog the same joins run as shuffles on item id —
-   both sides are aggregates, already small relative to the fact.
+   pairs twice (item_a, item_b).  No broadcast hint is forced: AQE
+   broadcasts the frequency table while it fits (testdata scale) and
+   degrades to a shuffle join on item id at a 100-TB catalog — both
+   sides are aggregates, already small relative to the fact.
 
 Lift = (n_ab * N) / (n_a * n_b): pure integer products (< 2^53)
 divided once — bit-identical across engines, no decimal snap needed.
@@ -63,9 +64,12 @@ def basket_pair_lift(
     fb = freq.select(
         F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
     )
+    # no broadcast hint on the frequency joins: a forced hint would
+    # override autoBroadcastJoinThreshold and OOM on a huge catalog
+    # instead of falling back to the documented item-id shuffle join
     joined = (
-        pairs.join(F.broadcast(fa), "item_a")
-        .join(F.broadcast(fb), "item_b")
+        pairs.join(fa, "item_a")
+        .join(fb, "item_b")
         .crossJoin(F.broadcast(totals))
     )
     return joined.select(

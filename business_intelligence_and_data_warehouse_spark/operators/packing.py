@@ -22,8 +22,8 @@ Scale design (100 TB):
 * one shuffle on the group column; the Python stage is O(n) per group
   over a 3-column frame (~24 bytes/doc — a 1-billion-doc source is
   ~24 GB, too big for ONE group but fine sharded);
-* ``shards > 1`` subdivides each group by a deterministic content
-  hash (xxhash64 % shards) and packs each (group, shard)
+* ``shards > 1`` subdivides each group by a deterministic id hash
+  (xxhash64 of ``id_col`` % shards) and packs each (group, shard)
   independently — full parallelism, bounded per-task state, at the
   cost of at most one underfilled sequence per shard.  Sequence ids
   are then unique per (group, shard) — globally qualified by both
@@ -86,13 +86,20 @@ def pack_sequences(
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         seq_ids, fills = [], []
-        seq, fill = 0, 0
+        seq, fill, in_seq = 0, 0, 0
         for n in pdf[tokens_col].astype("int64"):
             n = int(n)
-            if fill > 0 and fill + n > cap:
+            # non-empty is tracked by DOC count, not fill: a
+            # zero-token document still opens a sequence, matching
+            # both the docstring contract and the recursive-CTE
+            # oracle (which applies the boundary test to every
+            # non-anchor row)
+            if in_seq > 0 and fill + n > cap:
                 seq += 1
                 fill = 0
+                in_seq = 0
             fill += n
+            in_seq += 1
             seq_ids.append(seq)
             fills.append(fill)
         pdf["seq_id"] = pd.Series(seq_ids, dtype="int32")

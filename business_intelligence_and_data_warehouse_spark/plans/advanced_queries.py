@@ -17,10 +17,11 @@ prefix-sum window).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.parity import dsum, o_dsum
+from ..operators.caching import pin
 from ..functions.text import (
     EN_STOPWORDS,
     normalize_text,
@@ -131,8 +132,12 @@ def events_lookback_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/asof.lookback_window_join) — never a nested-loop range
     join, and a hot user spreads across time tiles."""
     events = load_table(spark, sf_dir, "events")
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    # two consumers (lookback-join probe side + the final left join
+    # back): pin so the events scan+filter runs once
+    purchases = pin(
+        events.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
     )
     views = events.filter(F.col("event_type") == "view").select(
         "user_id", "ts", "value"

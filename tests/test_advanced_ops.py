@@ -44,6 +44,17 @@ def test_pack_exact_fit_stays_in_bin(spark):
     assert got[2] == (1, 1)
 
 
+def test_pack_zero_token_doc_still_opens_its_sequence(spark):
+    # "non-empty" is doc count, not fill: a zero-token doc opens seq 0,
+    # and the next oversized doc must still split (matches the
+    # recursive-CTE oracle, which boundary-tests every non-anchor row)
+    got = _pack_rows(spark, [0, 300, 0, 5], budget=200)
+    assert got[0] == (0, 0)
+    assert got[1] == (1, 300)
+    assert got[2] == (2, 0)
+    assert got[3] == (2, 5)
+
+
 def test_pack_oversized_doc_gets_own_sequence(spark):
     got = _pack_rows(spark, [50, 500, 50], budget=200)
     assert got[0] == (0, 50)
