@@ -158,3 +158,49 @@ def test_keep_best_prefers_score_then_priority(spark):
     assert trio.dropped_ids == "1,2"
     assert groups[1].kept_id == 9
     assert groups[1].dropped_ids == ""
+
+
+# ---------------------------------------------------------------------------
+# randomized property: packing invariants for any size sequence
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SIZES = st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=24)
+
+
+def _greedy_reference(sizes, cap):
+    """Independent plain-Python reimplementation of the contract."""
+    out, seq, fill, ndocs = [], 0, 0, 0
+    for n in sizes:
+        if ndocs > 0 and fill + n > cap:
+            seq, fill, ndocs = seq + 1, 0, 0
+        fill += n
+        ndocs += 1
+        out.append((seq, fill))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sizes=_SIZES)
+def test_pack_matches_reference_and_invariants(spark, sizes):
+    cap = 200
+    got = _pack_rows(spark, sizes, budget=cap)
+    ref = _greedy_reference(sizes, cap)
+    assert [got[i] for i in range(len(sizes))] == ref
+    # invariants: seq ids dense + non-decreasing in doc order; every
+    # multi-doc sequence within budget; no doc lost
+    seqs = [got[i][0] for i in range(len(sizes))]
+    assert seqs[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))
+    by_seq: dict[int, list[int]] = {}
+    for i, n in enumerate(sizes):
+        by_seq.setdefault(seqs[i], []).append(n)
+    for docs in by_seq.values():
+        if len(docs) > 1:
+            assert sum(docs) <= cap
