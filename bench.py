@@ -76,6 +76,7 @@ HEADLINE = [
     "corpus_pack_sequences",
     "events_hourly_ohlc",
     "basket_pair_lift",
+    "stream_ohlc_live",
 ]
 
 

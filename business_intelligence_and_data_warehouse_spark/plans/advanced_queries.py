@@ -300,9 +300,7 @@ _O_EVKEY = (
 )
 
 
-@query_fn(
-    "events_hourly_ohlc",
-    oracle=f"""
+_O_OHLC = f"""
 SELECT event_type,
        CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -314,8 +312,29 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 ORDER BY event_type, hour
-""",
-)
+"""
+
+
+def _ohlc_candles(events: DataFrame) -> DataFrame:
+    """The unified batch/stream OHLC aggregation (one grouped agg)."""
+    evkey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return events.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("value", evkey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", evkey).alias("close"),
+        dsum(F.col("value")).alias("value_sum"),
+    )
+
+
+@query_fn("events_hourly_ohlc", oracle=_O_OHLC)
 def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (event_type, hour) OHLC candle: open/close are the values
     of the chronologically first/last event (ties broken by event_id
@@ -327,25 +346,23 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     by group key, still partial-aggregated before the exchange — no
     extra shuffle at any scale.)"""
     events = load_table(spark, sf_dir, "events")
-    evkey = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
-    return (
-        events.groupBy(
-            "event_type",
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min_by("value", evkey).alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.max_by("value", evkey).alias("close"),
-            dsum(F.col("value")).alias("value_sum"),
-        )
-        .orderBy("event_type", "hour")
-    )
+    return _ohlc_candles(events).orderBy("event_type", "hour")
+
+
+@query_fn("stream_ohlc_live", oracle=_O_OHLC)
+def stream_ohlc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME OHLC aggregation executed as a real Structured
+    Streaming query (readStream -> memory sink, availableNow trigger,
+    complete mode) — min_by/max_by run incrementally inside the
+    streaming aggregate, and the result must match the batch oracle
+    exactly.  In production append mode the grouping key becomes an
+    event-time window + watermark so candle state is bounded by the
+    horizon (same shape as streaming/windows.tumbling_counts)."""
+    from ..streaming.windows import read_event_stream, run_stream_to_table
+
+    stream = read_event_stream(spark, sf_dir)
+    out = run_stream_to_table(_ohlc_candles(stream), mode="complete")
+    return out.orderBy("event_type", "hour")
 
 
 # ---------------------------------------------------------------------------
