@@ -77,6 +77,7 @@ HEADLINE = [
     "events_hourly_ohlc",
     "basket_pair_lift",
     "stream_ohlc_live",
+    "stream_upsert_sink",
 ]
 
 

@@ -293,3 +293,59 @@ def stream_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched_segment_windows(stream, dim), mode="complete"
     )
     return out.orderBy("window_start", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch idempotent upsert sink (round 3)
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "stream_upsert_sink",
+    oracle=f"""
+WITH {_O_EV},
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM ev
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       ts AS last_ts,
+       value AS last_value
+FROM r WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed last-state UPSERT through a real foreachBatch sink: every
+    micro-batch merges into a versioned parquet snapshot with an
+    atomic current-pointer and a batch-id ledger (idempotent replay —
+    the production exactly-once recipe; streaming/sinks.py).  The
+    final snapshot must equal the batch last-row-per-user query."""
+    import tempfile
+
+    from ..streaming.sinks import run_upsert_stream
+    from ..streaming.windows import read_event_stream
+
+    stream = read_event_stream(spark, sf_dir)
+    order = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    root = tempfile.mkdtemp(prefix="bidw_upsert_sink_")
+    snap = run_upsert_stream(
+        stream.withColumn("_ord", order),
+        spark,
+        key_cols=["user_id"],
+        order_col="_ord",
+        root=root,
+    )
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    ).orderBy("user_id")

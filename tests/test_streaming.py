@@ -206,3 +206,76 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
 
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch idempotent upsert sink
+# ---------------------------------------------------------------------------
+
+def test_foreach_batch_upsert_accumulates_and_is_idempotent(spark, tmp_path):
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        _SnapshotStore,
+        merge_last_state,
+        run_upsert_stream,
+    )
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "sink")
+    # two files -> two micro-batches with maxFilesPerTrigger=1: the
+    # upsert must accumulate state ACROSS batches
+    _write_events(spark, src, [(1, _t(0), 7, "view", 1.0),
+                               (2, _t(1), 8, "view", 2.0)])
+    _write_events(spark, src, [(3, _t(2), 7, "click", 3.0)])
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    out = run_upsert_stream(
+        stream.withColumn("_ord", key), spark,
+        key_cols=["user_id"], order_col="_ord", root=root,
+    )
+    state = {r.user_id: (r.event_id, r.event_type) for r in out.collect()}
+    assert state == {7: (3, "click"), 8: (2, "view")}
+
+    store = _SnapshotStore(spark, root)
+    assert store.last_batch_id() >= 1  # two micro-batches ran
+    before = sorted(map(tuple, store.read().collect()))
+
+    # re-running the SAME stream over the same checkpoint is a no-op
+    stream2 = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out2 = run_upsert_stream(
+        stream2.withColumn("_ord", key), spark,
+        key_cols=["user_id"], order_col="_ord", root=root,
+    )
+    assert sorted(map(tuple, out2.collect())) == before
+
+    # merge_last_state replay of an ALREADY-APPLIED batch is also a
+    # no-op by construction (belt and braces under the ledger)
+    replay = merge_last_state(
+        store.read(),
+        spark.createDataFrame(
+            [(3, _t(2), 7, "click", 3.0)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).withColumn("_ord", key),
+        ["user_id"],
+        "_ord",
+    )
+    assert sorted(map(tuple, replay.drop("_rn", "_ord").collect())) == sorted(
+        map(tuple, store.read().drop("_ord").collect())
+    )
