@@ -78,6 +78,7 @@ HEADLINE = [
     "basket_pair_lift",
     "stream_ohlc_live",
     "stream_upsert_sink",
+    "embedding_label_centroids",
 ]
 
 

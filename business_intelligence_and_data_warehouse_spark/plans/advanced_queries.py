@@ -422,3 +422,57 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "item_a", "item_b")
         .limit(_BASKET_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids: element-wise vector mean
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "embedding_label_centroids",
+    oracle="""
+WITH el AS (
+  SELECT label, CAST(i AS INTEGER) AS pos,
+         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+)
+SELECT label,
+       pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(FLOOR(val * 1e6) AS BIGINT)) AS DOUBLE)
+         / (1e6 * COUNT(*)) AS centroid
+FROM el
+GROUP BY 1, 2
+ORDER BY label, pos
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label (class centroids /
+    mean-pooling): posexplode to (label, pos, val) rows, one grouped
+    aggregate.  The 64x explode is map-side and Catalyst's partial
+    aggregation collapses it to labels x dims rows per partition
+    BEFORE the shuffle, so the exchange is tiny at any corpus scale
+    (for 1000+-dim embeddings the same partial-sum runs as an
+    Arrow-batched mapInPandas — the plumbing similarity.py already
+    uses).  Sums are floor-quantized (FLOOR(val*1e6) as BIGINT — the
+    engine's embedding parity rule: decimal casts of float32 values
+    are NOT exact, integer floors are)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return (
+        el.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(F.floor(F.col("val") * 1e6).cast("long")).cast("double")
+                / (1e6 * F.count(F.lit(1)))
+            ).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )

@@ -41,6 +41,7 @@ INVARIANCE_SET = [
     "dedup_keep_best",
     "events_hourly_ohlc",
     "basket_pair_lift",
+    "embedding_label_centroids",
 ]
 
 

@@ -300,3 +300,14 @@ def test_basket_pairs_pin_and_topk(spark):
     assert "CartesianProduct" not in plan, plan
     assert "InMemoryRelation" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_label_centroids_partial_aggregate_before_shuffle(spark):
+    # the 64x element explode must collapse map-side: partial_sum runs
+    # in the same stage as Generate, so the exchange carries only
+    # labels x dims partials — no join, no window
+    plan = plan_of(spark, "embedding_label_centroids")
+    assert "Join" not in plan, plan
+    assert "Generate" in plan, plan
+    assert "partial_" in plan, plan
+    assert plan.count("Exchange") <= 4, plan
