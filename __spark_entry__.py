@@ -11,6 +11,10 @@ this module only adapts them to the driver's calling convention.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,21 +27,27 @@ from business_intelligence_and_data_warehouse_spark.plans.queries import (
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver hash-checks the first 50 entries of ``queries()`` in dict
-# order.  The registry holds 93 queries (90 oracled), so we rotate
-# which ones occupy that window each round until every query has been
-# driver-checked at least once.  Round 3 window = 17 section-2 anchor
-# sentinels (kept so the core battery stays continuously verified,
-# incl. sim_ann_ivf whose perf fix lands this round) + the 31 queries
-# that had no driver row in CORRECTNESS_r01/r02 + 2 of the 7 queries
-# new in round 3 (q2b_rollup and q3a_rank_ntile rotate out — both were
-# driver-green in r01 AND r02).  The other 5 round-3 queries queue for
-# the r04 window: region_snowflake_rollup, stream_session_live,
-# dedup_semantic, doc_chunk_windows, ml_kmeans_embeddings.  Names
-# missing from the registry are skipped; everything else follows in
-# registration order, so the local oracle harness
-# (tests/test_queries_oracle.py) still covers all 93.
-_DRIVER_WINDOW: list[str] = [
-    # -- sentinels: one anchor per SURVEY §2 family --
+# order; the registry is larger (102 queries as of round 3), so the
+# checked window ROTATES each round until every query has been
+# driver-checked at least once, then keeps cycling by staleness.
+#
+# The window is COMPUTED from the CORRECTNESS_r{N}.json history:
+#   1. the §2-family anchor sentinels below are always in (the core
+#      battery stays continuously verified);
+#   2. then every query with NO driver row in any past round, in
+#      registry order (new operators enter the window the round after
+#      they land);
+#   3. remaining slots fill with the least-recently-checked queries
+#      (ties in registry order) — so after full coverage the window
+#      keeps rotating instead of freezing.
+# Fully deterministic given the repo files; if the history files are
+# unreadable the window degrades to sentinels + registry order, which
+# is still a valid (if rotation-free) contract.
+
+_WINDOW_SIZE = 50
+
+_SENTINELS: list[str] = [
+    # -- one anchor per SURVEY §2 family --
     "q1a_yoy_growth",
     "q2a_grouping_sets",
     "q4a_multi_exists",
@@ -55,47 +65,61 @@ _DRIVER_WINDOW: list[str] = [
     "sim_ann_ivf",
     "corpus_curation",
     "analytics_mart",
-    # -- never driver-checked before round 3 --
-    "stream_dedup_exactly_once",
-    "stream_dedup_live",
-    "stream_attribution_join",
-    "stream_attribution_live",
-    "stream_enrich_join",
-    "stream_enrich_live",
-    "share_of_total",
-    "approx_sketches",
-    "pivot_event_matrix",
-    "skew_salted_agg",
-    "text_repetition_filter",
-    "contamination_check",
-    "search_bm25",
-    "embedding_quantize",
-    "sim_quantized_topk",
-    "events_asof_join",
-    "events_sessionize",
-    "corpus_mixture_sample",
-    "incremental_agg_merge",
-    "tfidf_top_terms",
-    "unpivot_monthly_measures",
-    "intersect_repeat_buyers",
-    "profile_orders",
-    "fuzzy_match_customers",
-    "window_battery",
-    "q2c_cube",
-    "multimodal_frame_sample",
-    "events_funnel",
-    "corpus_sample_fixed_k",
-    "cohort_retention",
-    "analytics_winsorized",
-    # -- new in round 3 --
-    "text_boilerplate_strip",
-    "corpus_source_report",
 ]
 
 
+def _last_checked_round(repo_dir: str) -> dict[str, int]:
+    """query name -> highest round number with a CORRECTNESS row."""
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
+        base = os.path.basename(path)
+        try:
+            rnd = int(base[len("CORRECTNESS_r"):].split(".")[0])
+            names = json.load(open(path))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(names, dict):
+            continue
+        for name in names:
+            last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
+def _build_window(
+    registry: list[str], last: dict[str, int] | None = None
+) -> list[str]:
+    if last is None:
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        try:
+            last = _last_checked_round(repo_dir)
+        except Exception:
+            last = {}
+    window = [n for n in _SENTINELS if n in registry]
+    seen = set(window)
+    # never driver-checked first, registry order
+    for name in registry:
+        if len(window) >= _WINDOW_SIZE:
+            return window
+        if name not in seen and name not in last:
+            window.append(name)
+            seen.add(name)
+    # then least-recently-checked (stable on registry order)
+    rest = sorted(
+        (n for n in registry if n not in seen),
+        key=lambda n: last.get(n, -1),
+    )
+    for name in rest:
+        if len(window) >= _WINDOW_SIZE:
+            break
+        window.append(name)
+        seen.add(name)
+    return window
+
+
 def _windowed(mapping: dict) -> dict:
-    """Reorder ``mapping`` so `_DRIVER_WINDOW` names come first."""
-    front = {k: mapping[k] for k in _DRIVER_WINDOW if k in mapping}
+    """Reorder ``mapping`` so the computed window names come first."""
+    window = _build_window(list(QUERIES))
+    front = {k: mapping[k] for k in window if k in mapping}
     rest = {k: v for k, v in mapping.items() if k not in front}
     return {**front, **rest}
 

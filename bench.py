@@ -79,6 +79,7 @@ HEADLINE = [
     "stream_ohlc_live",
     "stream_upsert_sink",
     "embedding_label_centroids",
+    "events_anomaly_daily",
 ]
 
 

@@ -476,3 +476,95 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# monitoring: trailing-window z-score anomaly flags on daily volumes
+# ---------------------------------------------------------------------------
+
+_ANOM_W = 7  # trailing observed days
+_ANOM_Z = 2.0
+
+
+@query_fn(
+    "events_anomaly_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2
+),
+trail AS (
+  SELECT *,
+         SUM(n_events) OVER w AS s,
+         SUM(n_events * n_events) OVER w AS ss,
+         COUNT(*) OVER w AS wn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {_ANOM_W} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events,
+       CAST(wn AS INTEGER) AS trail_days,
+       CASE WHEN wn >= 2 THEN CAST(s AS DOUBLE) / wn END AS trail_mean,
+       CASE WHEN wn >= 2 THEN
+         (n_events - CAST(s AS DOUBLE) / wn)
+         / NULLIF(sqrt(greatest(
+             (CAST(ss AS DOUBLE) - CAST(s * s AS DOUBLE) / wn) / (wn - 1),
+             0e0)), 0e0)
+       END AS z,
+       COALESCE(abs(
+         (n_events - CAST(s AS DOUBLE) / wn)
+         / NULLIF(sqrt(greatest(
+             (CAST(ss AS DOUBLE) - CAST(s * s AS DOUBLE) / wn) / (wn - 1),
+             0e0)), 0e0)
+       ) >= {_ANOM_Z}e0 AND wn >= 2, FALSE) AS is_anomaly
+FROM trail
+ORDER BY event_type, day
+""",
+)
+def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type event volumes flagged against a trailing
+    7-observed-day z-score.  Parity design: the mean/variance come
+    from INTEGER window sums (s, ss) pushed through the IDENTICAL
+    expression tree in both engines — IEEE double ops in a fixed
+    order plus sqrt (correctly rounded by the standard) are
+    bit-identical, where each engine's own stddev_samp would not be.
+    One shuffle (the day aggregate); the trailing window reuses the
+    same event_type partitioning."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_ANOM_W, -1)
+    )
+    s = F.sum("n_events").over(w)
+    ss = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    wn = F.count(F.lit(1)).over(w)
+    mean = s.cast("double") / wn
+    var = (ss.cast("double") - (s * s).cast("double") / wn) / (wn - 1)
+    z = (F.col("n_events") - mean) / F.nullif(
+        F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(0.0)
+    )
+    base = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        wn.cast("int").alias("trail_days"),
+        F.when(wn >= 2, mean).alias("trail_mean"),
+        F.when(wn >= 2, z).alias("z"),
+    )
+    return base.withColumn(
+        "is_anomaly",
+        F.coalesce(
+            (F.abs(F.col("z")) >= F.lit(_ANOM_Z)) & (F.col("trail_days") >= 2),
+            F.lit(False),
+        ),
+    ).orderBy("event_type", "day")

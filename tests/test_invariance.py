@@ -42,6 +42,7 @@ INVARIANCE_SET = [
     "events_hourly_ohlc",
     "basket_pair_lift",
     "embedding_label_centroids",
+    "events_anomaly_daily",
 ]
 
 

@@ -32,3 +32,31 @@ def test_entry_contract(spark):
     assert df.schema is not None
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_driver_window_rotation():
+    """The computed first-50 window: sentinels always in, then
+    never-driver-checked queries in registry order, then
+    least-recently-checked — so coverage converges and keeps cycling."""
+    import __spark_entry__ as e
+
+    registry = list(QUERIES)
+    # real repo history: window is full and sentinels lead
+    w = list(e.queries())[:50]
+    assert len(w) == 50 and w[: len(e._SENTINELS)] == [
+        s for s in e._SENTINELS if s in registry
+    ]
+    # the oracle dict leads with the same window (minus rows-only names)
+    in_window_oracled = [n for n in w if n in ORACLES]
+    assert list(e.oracle_sql())[: len(in_window_oracled)] == in_window_oracled
+    # synthetic history: unseen names outrank stale ones, stale
+    # outrank fresh
+    names = [f"q{i:03d}" for i in range(60)]
+    last = {n: 1 for n in names[:30]} | {n: 2 for n in names[30:55]}
+    # names[55:] never checked
+    w2 = e._build_window(names, last=dict(last))
+    sent = [s for s in e._SENTINELS if s in names]  # none
+    assert sent == []
+    assert w2[:5] == names[55:60]  # never-checked first
+    assert w2[5:35] == names[:30]  # round-1 (stalest) next
+    assert w2[35:50] == names[30:45]  # then round-2, registry order
