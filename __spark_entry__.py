@@ -27,9 +27,10 @@ from business_intelligence_and_data_warehouse_spark.plans.queries import (
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver hash-checks the first 50 entries of ``queries()`` in dict
-# order; the registry is larger (102 queries as of round 3), so the
-# checked window ROTATES each round until every query has been
-# driver-checked at least once, then keeps cycling by staleness.
+# order; the registry is about twice that size (see README/SCALE for
+# the current count), so the checked window ROTATES each round until
+# every query has been driver-checked at least once, then keeps
+# cycling by staleness.
 #
 # The window is COMPUTED from the CORRECTNESS_r{N}.json history:
 #   1. the §2-family anchor sentinels below are always in (the core
@@ -69,19 +70,30 @@ _SENTINELS: list[str] = [
 
 
 def _last_checked_round(repo_dir: str) -> dict[str, int]:
-    """query name -> highest round number with a CORRECTNESS row."""
+    """query name -> highest round with a PASSING CORRECTNESS row.
+
+    A failed row (hash mismatch / error other than the deliberate
+    rows-only ``no_oracle``) does NOT count as checked: the query
+    stays in the highest-priority tier so the round that ships its
+    fix re-verifies it immediately instead of LRU-aging back in.
+    """
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
         base = os.path.basename(path)
         try:
             rnd = int(base[len("CORRECTNESS_r"):].split(".")[0])
-            names = json.load(open(path))
+            rows = json.load(open(path))
         except (ValueError, OSError, json.JSONDecodeError):
             continue
-        if not isinstance(names, dict):
+        if not isinstance(rows, dict):
             continue
-        for name in names:
-            last[name] = max(last.get(name, -1), rnd)
+        for name, row in rows.items():
+            passed = isinstance(row, dict) and (
+                row.get("hash_match") is True
+                or row.get("err") == "no_oracle"
+            )
+            if passed:
+                last[name] = max(last.get(name, -1), rnd)
     return last
 
 

@@ -75,3 +75,23 @@ def dpctl(col_expr: str, p: float):
 def o_dpctl(expr: str, p: float) -> str:
     """DuckDB twin of :func:`dpctl` (quantile_cont + the same snap)."""
     return f"CAST(CAST(quantile_cont({expr}, {p!r}e0) AS DECIMAL(18,6)) AS DOUBLE)"
+
+
+def event_order_key(ts_col="ts", id_col="event_id"):
+    """Fixed-width sortable event key: zero-padded epoch-micros ||
+    id.  Lexicographic VARCHAR order == (ts, id) numeric order in
+    both engines — the scalar ordering key min_by/arg_min need
+    (structs don't bind in DuckDB's arg_min).  Keep widths in sync
+    with ``o_event_order_key``."""
+    return F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+    )
+
+
+def o_event_order_key(ts_expr: str = "ts", id_expr: str = "event_id") -> str:
+    """DuckDB twin of ``event_order_key``."""
+    return (
+        f"lpad(CAST(epoch_us(CAST({ts_expr} AS TIMESTAMP)) AS VARCHAR), 20, '0') || "
+        f"lpad(CAST({id_expr} AS VARCHAR), 12, '0')"
+    )

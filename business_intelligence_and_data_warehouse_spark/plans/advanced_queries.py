@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.parity import dsum, o_dsum
+from ..functions.parity import (
+    dsum,
+    event_order_key,
+    o_dsum,
+    o_event_order_key,
+)
 from ..operators.caching import pin
 from ..functions.text import (
     EN_STOPWORDS,
@@ -290,14 +295,8 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hourly OHLC candles: arg-min/arg-max (first/last-by-order) aggregates
 # ---------------------------------------------------------------------------
 
-# fixed-width sortable event key: zero-padded epoch-micros || event_id —
-# lexicographic VARCHAR order == (ts, id) numeric order in BOTH engines
-# (arg_min/min_by need a SCALAR ordering key; structs don't bind in
-# DuckDB's arg_min)
-_O_EVKEY = (
-    "lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0') || "
-    "lpad(CAST(event_id AS VARCHAR), 12, '0')"
-)
+# fixed-width sortable event key (functions/parity.event_order_key)
+_O_EVKEY = o_event_order_key()
 
 
 _O_OHLC = f"""
@@ -317,10 +316,7 @@ ORDER BY event_type, hour
 
 def _ohlc_candles(events: DataFrame) -> DataFrame:
     """The unified batch/stream OHLC aggregation (one grouped agg)."""
-    evkey = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    evkey = event_order_key()
     return events.groupBy(
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("hour"),
@@ -499,7 +495,9 @@ WITH daily AS (
 trail AS (
   SELECT *,
          SUM(n_events) OVER w AS s,
-         SUM(n_events * n_events) OVER w AS ss,
+         CAST(SUM(CAST(n_events AS DECIMAL(19,0))
+                  * CAST(n_events AS DECIMAL(19,0))) OVER w
+              AS DOUBLE) AS ssd,
          COUNT(*) OVER w AS wn
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY day
@@ -511,13 +509,13 @@ SELECT event_type, day, n_events,
        CASE WHEN wn >= 2 THEN
          (n_events - CAST(s AS DOUBLE) / wn)
          / NULLIF(sqrt(greatest(
-             (CAST(ss AS DOUBLE) - CAST(s * s AS DOUBLE) / wn) / (wn - 1),
+             (ssd - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / wn) / (wn - 1),
              0e0)), 0e0)
        END AS z,
        COALESCE(abs(
          (n_events - CAST(s AS DOUBLE) / wn)
          / NULLIF(sqrt(greatest(
-             (CAST(ss AS DOUBLE) - CAST(s * s AS DOUBLE) / wn) / (wn - 1),
+             (ssd - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / wn) / (wn - 1),
              0e0)), 0e0)
        ) >= {_ANOM_Z}e0 AND wn >= 2, FALSE) AS is_anomaly
 FROM trail
@@ -526,10 +524,12 @@ ORDER BY event_type, day
 )
 def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily per-type event volumes flagged against a trailing
-    7-observed-day z-score.  Parity design: the mean/variance come
-    from INTEGER window sums (s, ss) pushed through the IDENTICAL
-    expression tree in both engines — IEEE double ops in a fixed
-    order plus sqrt (correctly rounded by the standard) are
+    7-observed-day z-score.  Parity design: mean/variance come from
+    EXACT window sums (s BIGINT; squares summed as DECIMAL(38,0) —
+    a BIGINT square wraps once daily counts pass ~3e9) pushed through
+    the IDENTICAL expression tree in both engines — s*s squares AFTER
+    the double cast for the same overflow reason; IEEE double ops in
+    a fixed order plus sqrt (correctly rounded by the standard) are
     bit-identical, where each engine's own stddev_samp would not be.
     One shuffle (the day aggregate); the trailing window reuses the
     same event_type partitioning."""
@@ -545,11 +545,16 @@ def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-_ANOM_W, -1)
     )
+    # overflow discipline: s*s squares AFTER the double cast (a
+    # BIGINT square wraps once the 7-day count sum passes ~3e9), and
+    # ss sums exact DECIMAL(38,0) squares — both expression trees are
+    # verbatim in the oracle, so parity survives any count magnitude
     s = F.sum("n_events").over(w)
-    ss = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    dec_n = F.col("n_events").cast("decimal(19,0)")
+    ssd = F.sum(dec_n * dec_n).over(w).cast("double")
     wn = F.count(F.lit(1)).over(w)
     mean = s.cast("double") / wn
-    var = (ss.cast("double") - (s * s).cast("double") / wn) / (wn - 1)
+    var = (ssd - s.cast("double") * s.cast("double") / wn) / (wn - 1)
     z = (F.col("n_events") - mean) / F.nullif(
         F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(0.0)
     )

@@ -330,22 +330,31 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import read_event_stream
 
     stream = read_event_stream(spark, sf_dir)
-    order = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    from ..functions.parity import event_order_key
+
+    order = event_order_key()
     root = tempfile.mkdtemp(prefix="bidw_upsert_sink_")
-    snap = run_upsert_stream(
-        stream.withColumn("_ord", order),
-        spark,
-        key_cols=["user_id"],
-        order_col="_ord",
-        root=root,
-    )
-    return snap.select(
-        "user_id",
-        F.col("event_id").alias("last_event_id"),
-        F.col("event_type").alias("last_event_type"),
-        F.col("ts").alias("last_ts"),
-        F.col("value").alias("last_value"),
-    ).orderBy("user_id")
+    try:
+        snap = run_upsert_stream(
+            stream.withColumn("_ord", order),
+            spark,
+            key_cols=["user_id"],
+            order_col="_ord",
+            root=root,
+        )
+        out = snap.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        ).orderBy("user_id")
+        # materialize before deleting the snapshot the plan reads from:
+        # one row per DISTINCT KEY (bounded — the upsert state itself),
+        # not per event, so this is the scalar-class driver roundtrip
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)

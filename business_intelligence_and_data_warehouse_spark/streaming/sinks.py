@@ -5,10 +5,15 @@ need transactional MERGE semantics Spark's built-in sinks don't offer.
 micro-batch merges into a snapshot table keeping, per key, the row
 with the highest (order key).  The classic exactly-once recipe:
 
-* the batch handler is IDEMPOTENT — a batch-id ledger records the
-  last applied micro-batch, and a redelivered batch id is skipped
-  outright (foreachBatch gives at-least-once delivery on restart;
-  idempotence upgrades it to effectively-exactly-once);
+* the batch handler is IDEMPOTENT — a (lineage, batch-id) ledger
+  records the last applied micro-batch, and a redelivered batch id is
+  skipped outright (foreachBatch gives at-least-once delivery on
+  restart; idempotence upgrades it to effectively-exactly-once).  The
+  ledger is scoped to the CHECKPOINT LINEAGE (the query id in the
+  checkpoint metadata): batch ids restart at 0 when a checkpoint is
+  reset, so an unscoped id comparison would silently drop the first N
+  batches of a rebuilt stream — the same scoping rule as Delta's
+  (txnAppId, txnVersion) idempotent writes;
 * the merge itself is pure DataFrame logic (union + row_number keep
   latest), so replaying the SAME batch through the merge is also a
   no-op by construction — the ledger saves the re-read cost, not
@@ -29,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -54,7 +60,14 @@ def merge_last_state(
 
 
 class _SnapshotStore:
-    """Versioned parquet snapshot with an atomic current-pointer."""
+    """Versioned parquet snapshot with an atomic current-pointer.
+
+    The ledger records (lineage, batch_id): micro-batch ids are only
+    monotone WITHIN one checkpoint lineage (a reset checkpoint
+    restarts them at 0), so the skip decision must be scoped to the
+    lineage — the same reason Delta's idempotent writes key on
+    (txnAppId, txnVersion), not version alone.
+    """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -64,28 +77,54 @@ class _SnapshotStore:
     def _pointer(self) -> str:
         return os.path.join(self.root, "_CURRENT")
 
-    def read(self) -> DataFrame | None:
+    def _state(self) -> dict | None:
         try:
             with open(self._pointer()) as fh:
-                state = json.load(fh)
+                return json.load(fh)
         except FileNotFoundError:
+            return None
+
+    def read(self) -> DataFrame | None:
+        state = self._state()
+        if state is None:
             return None
         return self.spark.read.parquet(state["path"])
 
-    def last_batch_id(self) -> int:
-        try:
-            with open(self._pointer()) as fh:
-                return int(json.load(fh)["batch_id"])
-        except FileNotFoundError:
-            return -1
+    def already_applied(self, lineage: str, batch_id: int) -> bool:
+        state = self._state()
+        return (
+            state is not None
+            and state.get("lineage") == lineage
+            and batch_id <= int(state["batch_id"])
+        )
 
-    def commit(self, df: DataFrame, batch_id: int) -> None:
+    def commit(self, df: DataFrame, lineage: str, batch_id: int) -> None:
+        state = self._state()
         path = os.path.join(self.root, f"v{batch_id}_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(path)
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"path": path, "batch_id": batch_id}, fh)
+            json.dump(
+                {"path": path, "lineage": lineage, "batch_id": batch_id}, fh
+            )
         os.replace(tmp, self._pointer())  # atomic pointer swap
+        if state is not None and state["path"] != path:
+            # prune the superseded version — the pointer no longer
+            # references it, so the rewrite stays O(|snapshot|) disk,
+            # not O(batches x |snapshot|)
+            shutil.rmtree(state["path"], ignore_errors=True)
+
+
+def _checkpoint_lineage(checkpoint_dir: str) -> str:
+    """The streaming query id stored in the checkpoint's metadata file
+    — stable across restarts FROM that checkpoint, different for a
+    reset/rebuilt checkpoint, which is exactly the scope batch ids are
+    monotone in."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            return str(json.load(fh)["id"])
+    except (OSError, ValueError, KeyError):
+        return "unknown-lineage"
 
 
 def run_upsert_stream(
@@ -99,19 +138,18 @@ def run_upsert_stream(
     last-state upsert into a snapshot store at ``root``; returns the
     final snapshot."""
     store = _SnapshotStore(spark, root)
+    checkpoint_dir = os.path.join(root, "_checkpoint")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= store.last_batch_id():
-            return  # redelivered batch: idempotent skip
+        lineage = _checkpoint_lineage(checkpoint_dir)
+        if store.already_applied(lineage, batch_id):
+            return  # redelivered batch within this lineage: skip
         merged = merge_last_state(store.read(), batch_df, key_cols, order_col)
-        store.commit(merged, batch_id)
+        store.commit(merged, lineage, batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(handle)
-        .option(
-            "checkpointLocation",
-            os.path.join(root, "_checkpoint"),
-        )
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )

@@ -60,3 +60,23 @@ def test_driver_window_rotation():
     assert w2[:5] == names[55:60]  # never-checked first
     assert w2[5:35] == names[:30]  # round-1 (stalest) next
     assert w2[35:50] == names[30:45]  # then round-2, registry order
+
+
+def test_failed_driver_rows_stay_priority(tmp_path):
+    """A hash-mismatch/error row must NOT count as driver-checked, so
+    the fixed query re-enters the window immediately next round."""
+    import json
+
+    import __spark_entry__ as e
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "good": {"hash_match": True, "err": None},
+        "rows_only": {"hash_match": None, "err": "no_oracle"},
+        "broken": {"hash_match": False, "err": None},
+        "crashed": {"hash_match": None, "err": "SomeException"},
+    }))
+    last = e._last_checked_round(str(tmp_path))
+    assert last == {"good": 1, "rows_only": 1}
+    # window priority: never/failed-checked ahead of the green ones
+    w = e._build_window(["good", "rows_only", "broken", "crashed"], last=last)
+    assert w[:2] == ["broken", "crashed"]

@@ -246,7 +246,8 @@ def test_foreach_batch_upsert_accumulates_and_is_idempotent(spark, tmp_path):
     assert state == {7: (3, "click"), 8: (2, "view")}
 
     store = _SnapshotStore(spark, root)
-    assert store.last_batch_id() >= 1  # two micro-batches ran
+    state_file = store._state()
+    assert state_file is not None and int(state_file["batch_id"]) >= 1
     before = sorted(map(tuple, store.read().collect()))
 
     # re-running the SAME stream over the same checkpoint is a no-op
@@ -279,3 +280,42 @@ def test_foreach_batch_upsert_accumulates_and_is_idempotent(spark, tmp_path):
     assert sorted(map(tuple, replay.drop("_rn", "_ord").collect())) == sorted(
         map(tuple, store.read().drop("_ord").collect())
     )
+
+
+def test_foreach_batch_upsert_survives_checkpoint_reset(spark, tmp_path):
+    """Batch ids restart at 0 when the checkpoint is wiped; the
+    lineage-scoped ledger must APPLY those batches (new lineage), not
+    skip them as 'already seen ids'."""
+    import shutil
+
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        run_upsert_stream,
+    )
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "sink")
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        return run_upsert_stream(
+            stream.withColumn("_ord", key), spark,
+            key_cols=["user_id"], order_col="_ord", root=root,
+        )
+
+    _write_events(spark, src, [(1, _t(0), 7, "view", 1.0)])
+    run()
+    # ops recovery: checkpoint wiped, snapshot survives, new data lands
+    shutil.rmtree(str(tmp_path / "sink" / "_checkpoint"))
+    _write_events(spark, src, [(2, _t(5), 7, "click", 2.0)])
+    out = run()  # fresh lineage re-reads src from scratch: ids 0..N again
+    state = {r.user_id: (r.event_id, r.event_type) for r in out.collect()}
+    # the new event must NOT have been dropped by a stale-id skip
+    assert state == {7: (2, "click")}
