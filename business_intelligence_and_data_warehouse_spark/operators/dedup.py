@@ -44,6 +44,21 @@ from ..functions.text import (
 )
 
 
+def _maybe_pin(df: DataFrame, storage: str | None) -> DataFrame:
+    """Persist only when the caller opts in.  Under the per-invocation
+    cache ledger, ReuseExchange already shares identical single-plan
+    exchanges, so an unconditional persist measured 10-25% pure
+    overhead across the dedup battery at sf0.1 (round-3 A/B with pin
+    patched to identity).  Pass a StorageLevel name when consumers run
+    as SEPARATE ACTIONS, or when the re-derived subtree is scan-bound
+    (a 100-TB corpus re-tokenized per consumer)."""
+    if storage is None:
+        return df
+    from pyspark import StorageLevel
+
+    return pin(df, getattr(StorageLevel, storage))
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -94,6 +109,7 @@ def jaccard_pairs(
     shingles: DataFrame,
     threshold: float,
     max_df: int | None = 50,
+    capped_storage: str | None = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Document pairs with shingle-set Jaccard >= threshold.
 
@@ -117,10 +133,12 @@ def jaccard_pairs(
         stop = freq.filter(F.col("df") > max_df).select("s")
         shingles = shingles.join(F.broadcast(stop), "s", "left_anti")
     # The capped shingle table feeds the size aggregate AND both sides
-    # of the candidate self-join — persist so tokenize+shingle+anti
-    # runs once, not once per consumer (DISK_ONLY-able at TB scale via
-    # the same pattern as minhash_lsh_dedup's shingle_storage).
-    shingles = pin(shingles)
+    # of the candidate self-join. The self-join sides share one
+    # exchange via ReuseExchange, but the sizes aggregate's exchange
+    # DIFFERS — so unlike the MinHash path the persist pays here
+    # (interleaved A/B at sf0.1: pinned ~2.9s vs unpinned ~3.3s);
+    # capped_storage=None opts out, "DISK_ONLY" for TB corpora.
+    shingles = _maybe_pin(shingles, capped_storage)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -192,7 +210,10 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int) -> DataFrame:
 
 
 def minhash_lsh_candidates(
-    shingles: DataFrame, bands: int = 4, rows_per_band: int = 2
+    shingles: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    sig_storage: str | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash signatures.
 
@@ -200,11 +221,13 @@ def minhash_lsh_candidates(
     concatenates `rows_per_band` min-hashes; any shared band signature
     makes a candidate pair. Collision probability 1-(1-J^r)^b.
     """
-    # One narrow row per doc, but derived through the signature
-    # aggregation — persist so the band self-join below doesn't run
-    # that aggregation once per join side (same rule as SimHash/LSH
-    # blocks; see SCALE.md).
-    sigs = pin(minhash_signatures(shingles, bands * rows_per_band))
+    # One narrow row per doc derived through the signature
+    # aggregation; the band self-join's two sides are identical
+    # exchanges that ReuseExchange shares within the plan, so the
+    # persist is opt-in (sig_storage) for scan-bound corpora.
+    sigs = _maybe_pin(
+        minhash_signatures(shingles, bands * rows_per_band), sig_storage
+    )
     band_rows = sigs.select(
         "doc_id",
         F.explode(
@@ -279,7 +302,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    shingle_storage: str = "MEMORY_AND_DISK",
+    shingle_storage: str | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band join ->
     verify ONLY the candidate pairs with exact Jaccard >= threshold.
@@ -288,17 +311,16 @@ def minhash_lsh_dedup(
     all-pairs shingle self-join — a stop-shingle shared by f documents
     would otherwise contribute f² verify rows regardless of banding.
 
-    ``shingle_storage`` sets the persist level of the shared shingle
-    table (it feeds signatures, sizes and the verify join, so it is
-    materialized once). The shingle table is the widest intermediate of
-    the pipeline — at TB corpus scale pass ``"DISK_ONLY"`` so executors
-    don't evict it under memory pressure.
+    ``shingle_storage``: None (default) relies on ReuseExchange — the
+    band self-join sides and the verify join read IDENTICAL exchanges
+    of the shingle/signature subtrees, so a forced persist measured
+    ~15-20% slower at sf0.1 under the cache ledger (interleaved A/B:
+    unpinned ~1.7s vs pinned ~2.0s).  At TB corpus scale pass
+    ``"DISK_ONLY"`` — the shingle table is the widest intermediate,
+    and re-deriving it where exchanges differ is scan-bound there.
     """
-    from pyspark import StorageLevel
-
-    shingles = pin(
-        shingle_table(docs, k, id_col, text_col),
-        getattr(StorageLevel, shingle_storage),
+    shingles = _maybe_pin(
+        shingle_table(docs, k, id_col, text_col), shingle_storage
     )
     candidates = minhash_lsh_candidates(shingles, bands, rows_per_band)
     return jaccard_for_pairs(candidates, shingles).filter(
@@ -362,6 +384,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_blocks: int = 4,
+    sig_storage: str | None = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Pairs of documents within a Hamming ball of the SimHash.
 
@@ -397,11 +420,15 @@ def simhash_near_dups(
             f"for max_hamming <= {num_blocks - 1}, got {max_hamming}"
         )
     # The signature table is tiny (one row per doc: id + long) but its
-    # lineage is the whole tokenize/tf/vote pipeline; without a persist
-    # the self-join below would re-derive that pipeline once per join
-    # side. Block+sub rows are emitted in a single map-side pass
-    # (inline explode), not a union over the same subtree.
-    sigs = pin(simhash(docs, num_bits, id_col, text_col))
+    # lineage is the whole tokenize/tf/vote pipeline, and unlike the
+    # MinHash band join the two sides here explode DIFFERENT column
+    # sets (block vs complement sub-block), so their exchanges are NOT
+    # identical and ReuseExchange cannot share them — measured: pinned
+    # ~3.0s vs unpinned ~5.0s at sf0.1. Persist stays the default;
+    # sig_storage=None opts out. Block+sub rows are emitted in a
+    # single map-side pass (inline explode), not a union over the
+    # same subtree.
+    sigs = _maybe_pin(simhash(docs, num_bits, id_col, text_col), sig_storage)
     width = num_bits // num_blocks
     n_sub = max_hamming + 1
     sub_width = max((num_bits - width) // n_sub, 1)
