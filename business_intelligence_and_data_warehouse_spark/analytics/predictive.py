@@ -16,7 +16,7 @@ no SQL oracle — it is exposed as a rows-only check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 CHURN_DAYS = 90
@@ -179,31 +179,25 @@ def with_balanced_weights(
     return train.withColumn(weight_col, expr)
 
 
-def churn_random_forest(
-    spark: SparkSession, mart: DataFrame, num_trees: int = 50, seed: int = 42
-) -> DataFrame:
-    """RandomForest churn classifier (pyspark.ml Pipeline): stratified
-    70/30 split, balanced class weights, ROC-AUC + accuracy + top
-    feature importances — the reference's sklearn setup
-    (`PythonAnalysis.py:281-311`: train_test_split(stratify=y),
-    class_weight='balanced') in pyspark.ml terms. Returns a one-row
-    metrics DataFrame (no SQL oracle — model internals are not
-    SQL-expressible; the driver records a rows-only check)."""
+CHURN_FEATURE_COLS = [
+    "recency_days_capped",
+    "frequency",
+    "monetary",
+    "active_span_days",
+    "on_time_rate",
+    "avg_delay_days",
+]
+
+
+def fit_churn_model(mart: DataFrame, num_trees: int = 50, seed: int = 42):
+    """Shared churn-RF fit: stratified 70/30 split, balanced class
+    weights, RandomForest — returns ``(model, train, pred)`` where
+    ``pred`` is the scored TEST set.  Factored out of
+    :func:`churn_random_forest` so the ROC-points query scores the
+    same model instead of re-deriving a twin."""
     from pyspark.ml.classification import RandomForestClassifier
-    from pyspark.ml.evaluation import (
-        BinaryClassificationEvaluator,
-        MulticlassClassificationEvaluator,
-    )
     from pyspark.ml.feature import VectorAssembler
 
-    feature_cols = [
-        "recency_days_capped",
-        "frequency",
-        "monetary",
-        "active_span_days",
-        "on_time_rate",
-        "avg_delay_days",
-    ]
     feats = (
         churn_features(mart)
         .withColumn("label", F.col("churned").cast("double"))
@@ -215,7 +209,9 @@ def churn_random_forest(
         )
         .na.fill(0.0)
     )
-    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    assembler = VectorAssembler(
+        inputCols=CHURN_FEATURE_COLS, outputCol="features"
+    )
     data = assembler.transform(feats).select("customer_id", "features", "label")
     train, test = stratified_split(data, "label", 0.7, seed)
     train = with_balanced_weights(train, "label", "weight")
@@ -226,7 +222,27 @@ def churn_random_forest(
         labelCol="label",
         weightCol="weight",
     ).fit(train)
-    pred = model.transform(test)
+    return model, train, model.transform(test)
+
+
+def churn_random_forest(
+    spark: SparkSession, mart: DataFrame, num_trees: int = 50, seed: int = 42
+) -> DataFrame:
+    """RandomForest churn classifier (pyspark.ml Pipeline): stratified
+    70/30 split, balanced class weights, ROC-AUC + accuracy + top
+    feature importances — the reference's sklearn setup
+    (`PythonAnalysis.py:281-311`: train_test_split(stratify=y),
+    class_weight='balanced') in pyspark.ml terms. Returns a one-row
+    metrics DataFrame (no SQL oracle — model internals are not
+    SQL-expressible; the driver records a rows-only check)."""
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+
+    feature_cols = CHURN_FEATURE_COLS
+    model, train, pred = fit_churn_model(mart, num_trees, seed)
+    test = pred
     auc = BinaryClassificationEvaluator(
         labelCol="label", metricName="areaUnderROC"
     ).evaluate(pred)
@@ -247,6 +263,72 @@ def churn_random_forest(
         ],
         "n_train long, n_test long, auc double, accuracy double, top_features string",
     )
+
+
+def churn_roc_points(
+    spark: SparkSession, mart: DataFrame, num_trees: int = 50, seed: int = 42
+) -> DataFrame:
+    """ROC curve points for the churn RF — the dataset behind the
+    reference's ROC figure (`PythonAnalysis.py:301-311` plots
+    roc_curve(y_test, y_proba)); exported as rows instead of a PNG so
+    it is testable without a plotting dependency.
+
+    One row per DISTINCT model score (threshold), descending, plus the
+    (0,0) anchor: ``(threshold, fpr, tpr, cum_pos, cum_neg)`` with
+    tpr/fpr the rates when predicting positive at ``score >=
+    threshold``.  Built sklearn-style: group by score (one shuffle on
+    a tiny scored test set), then cumulative sums ordered by score
+    descending.  The curve table is bounded by the number of DISTINCT
+    scores — an RF with T trees emits at most ~T·leaves distinct
+    probabilities, so the single-partition cumulative window is over a
+    small bounded table, not the corpus; at extreme score
+    cardinalities, quantize the score to a fixed grid first and the
+    same plan holds.
+
+    Scores are not cross-engine reproducible (pyspark.ml internals),
+    so there is no SQL oracle; pytest pins the curve invariants
+    instead: fpr/tpr nondecreasing, endpoints (0,0) and (1,1), and
+    trapezoid area == the exact Mann-Whitney AUC of the scores.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    _model, _train, pred = fit_churn_model(mart, num_trees, seed)
+    scored = pred.select(
+        vector_to_array("probability")[1].alias("score"),
+        F.col("label").cast("long").alias("pos"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
+    )
+    w_cum = (
+        W.orderBy(F.desc("score"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.orderBy(F.desc("score")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    curve = by_score.select(
+        F.col("score").alias("threshold"),
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+        F.sum("n_neg").over(w_cum).alias("cum_neg"),
+        F.sum("n_pos").over(w_all).alias("total_pos"),
+        F.sum("n_neg").over(w_all).alias("total_neg"),
+    ).select(
+        "threshold",
+        (F.col("cum_neg") / F.col("total_neg")).alias("fpr"),
+        (F.col("cum_pos") / F.col("total_pos")).alias("tpr"),
+        "cum_pos",
+        "cum_neg",
+    )
+    # (0,0) anchor: a threshold above every score predicts nothing
+    # positive; the (1,1) endpoint is the min-score row (score >= min
+    # always holds), already present
+    anchor = spark.createDataFrame(
+        [(2.0, 0.0, 0.0, 0, 0)],
+        "threshold double, fpr double, tpr double, cum_pos long, cum_neg long",
+    )
+    return anchor.unionByName(curve).orderBy(F.desc("threshold"))
 
 
 def kmeans_embedding_clusters(
@@ -287,6 +369,7 @@ def kmeans_embedding_clusters(
     feats = pin(
         embeddings.select(
             F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
             array_to_vector(F.col(vec_col).cast("array<double>")).alias(
                 "features"
             ),
@@ -294,11 +377,38 @@ def kmeans_embedding_clusters(
     )
     model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
     assigned = model.transform(feats)
+
+    # assignment-optimality invariant, machine-checked IN the result:
+    # for every member, the assigned centroid must be its argmin over
+    # all k centroids.  Centroids are k tiny literal arrays (driver
+    # state of the fitted model), so the distance sweep is pure
+    # map-side HOF arithmetic — no join, no shuffle beyond the final
+    # per-cluster aggregate.
+    def _d2(c: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    dists = F.array(*[_d2(c) for c in centers])
+    checked = assigned.withColumn("_d", dists).withColumn(
+        "assigned_optimal",
+        # <= min + eps: float-asymmetric tie order must not fail the check
+        F.element_at("_d", F.col("prediction") + 1)
+        <= F.array_min("_d") + F.lit(1e-9),
+    )
     return (
-        assigned.groupBy(F.col("prediction").alias("cluster_id"))
+        checked.groupBy(F.col("prediction").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.min("vec_id").alias("min_vec_id"),
+            F.bool_and("assigned_optimal").alias("all_assignments_optimal"),
         )
         .orderBy(F.desc("n_members"), "min_vec_id")
     )

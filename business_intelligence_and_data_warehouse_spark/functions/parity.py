@@ -77,21 +77,40 @@ def o_dpctl(expr: str, p: float) -> str:
     return f"CAST(CAST(quantile_cont({expr}, {p!r}e0) AS DECIMAL(18,6)) AS DOUBLE)"
 
 
+# epoch-micros bias so PRE-1970 timestamps stay totally ordered: an
+# unbiased negative value lpads to "-000…" which sorts before all
+# positives but in REVERSED magnitude order.  5e18 keeps every
+# representable timestamp (year 1 .. 9999, |epoch_us| < 3e17) strictly
+# positive without overflowing int64 (max ~9.22e18), and the biased
+# value always fits the 20-digit pad; both twins apply it.
+_EVKEY_EPOCH_BIAS = 5 * 10**18
+
+
 def event_order_key(ts_col="ts", id_col="event_id"):
-    """Fixed-width sortable event key: zero-padded epoch-micros ||
-    id.  Lexicographic VARCHAR order == (ts, id) numeric order in
+    """Fixed-width sortable event key: zero-padded biased epoch-micros
+    || id.  Lexicographic VARCHAR order == (ts, id) numeric order in
     both engines — the scalar ordering key min_by/arg_min need
-    (structs don't bind in DuckDB's arg_min).  Keep widths in sync
-    with ``o_event_order_key``."""
+    (structs don't bind in DuckDB's arg_min).  Keep widths/bias in
+    sync with ``o_event_order_key``.
+
+    Precondition (id side): ``0 <= id < 10^12``.  A negative or
+    13+-digit id breaks the lexicographic==numeric guarantee for ties
+    on ts; the ts side needs no precondition (bias covers the full
+    timestamp range)."""
     return F.concat(
-        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lpad(
+            (F.unix_micros(F.col(ts_col)) + F.lit(_EVKEY_EPOCH_BIAS))
+            .cast("string"),
+            20,
+            "0",
+        ),
         F.lpad(F.col(id_col).cast("string"), 12, "0"),
     )
 
 
 def o_event_order_key(ts_expr: str = "ts", id_expr: str = "event_id") -> str:
-    """DuckDB twin of ``event_order_key``."""
+    """DuckDB twin of ``event_order_key`` (same bias, widths)."""
     return (
-        f"lpad(CAST(epoch_us(CAST({ts_expr} AS TIMESTAMP)) AS VARCHAR), 20, '0') || "
+        f"lpad(CAST(epoch_us(CAST({ts_expr} AS TIMESTAMP)) + {_EVKEY_EPOCH_BIAS} AS VARCHAR), 20, '0') || "
         f"lpad(CAST({id_expr} AS VARCHAR), 12, '0')"
     )

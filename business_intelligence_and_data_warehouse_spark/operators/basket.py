@@ -25,8 +25,13 @@ The classic association-mining first stage, DataFrame-first:
    catalog — both sides are aggregates, already small relative to the
    fact.
 
-Lift = (n_ab * N) / (n_a * n_b): pure integer products (< 2^53)
-divided once — bit-identical across engines, no decimal snap needed.
+Lift = (n_ab * N) / (n_a * n_b).  Each factor is cast to double
+BEFORE multiplying so the products can never hit a bigint overflow
+(at ~1e10 baskets the integer products pass 2^63 and ANSI mode would
+abort the query); double*int64 is the same IEEE op in Spark and
+DuckDB so the value stays bit-identical cross-engine.  Precision
+trade-off: counts above 2^53 round in the last ulp — acceptable for
+a ratio statistic, noted here for parity audits.
 """
 
 from __future__ import annotations
@@ -112,7 +117,7 @@ def basket_pair_lift(
             "confidence_a_to_b"
         ),
         (
-            (F.col("n_both") * F.col("n_baskets"))
-            / (F.col("n_a") * F.col("n_b")).cast("double")
+            (F.col("n_both").cast("double") * F.col("n_baskets"))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
         ).alias("lift"),
     )

@@ -41,8 +41,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
-    LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -64,15 +62,27 @@ def pack_sequences(
     placing the document (the last row of a sequence carries its
     final length).
     """
+    if not 0 < int(budget) <= 2**31 - 1:
+        # seq_fill/n_tokens are int32 columns; a larger budget would
+        # silently wrap the fill counter instead of packing wide
+        raise ValueError(f"budget must be in (0, 2^31): {budget}")
+    # group/id field types come from the input schema, not hardcoded —
+    # an int source key or a string doc id must round-trip unchanged
     schema_fields = [
-        StructField(group_col, StringType()),
-        StructField(id_col, LongType()),
+        StructField(group_col, docs.schema[group_col].dataType),
+        StructField(id_col, docs.schema[id_col].dataType),
         StructField(tokens_col, IntegerType()),
         StructField("seq_id", IntegerType()),
         StructField("seq_fill", IntegerType()),
     ]
     keys = [group_col]
-    slim = docs.select(group_col, id_col, F.col(tokens_col).cast("int"))
+    # null token counts (e.g. size() of a null token array) would break
+    # the pandas astype('int64'); treat them as zero-length documents
+    slim = docs.select(
+        group_col,
+        id_col,
+        F.coalesce(F.col(tokens_col).cast("int"), F.lit(0)).alias(tokens_col),
+    )
     if shards > 1:
         slim = slim.withColumn(
             "shard", (F.pmod(F.xxhash64(id_col), F.lit(shards))).cast("int")

@@ -389,8 +389,8 @@ SELECT p.item_a, p.item_b,
        p.n_both AS n_baskets_both,
        p.n_both / CAST(t.n_baskets AS DOUBLE) AS support,
        p.n_both / CAST(fa.n_item AS DOUBLE) AS confidence_a_to_b,
-       (p.n_both * t.n_baskets) / CAST(fa.n_item * fb.n_item AS DOUBLE)
-         AS lift
+       (CAST(p.n_both AS DOUBLE) * t.n_baskets)
+         / (CAST(fa.n_item AS DOUBLE) * fb.n_item) AS lift
 FROM pairs p
 JOIN freq fa ON fa.item = p.item_a
 JOIN freq fb ON fb.item = p.item_b

@@ -137,8 +137,24 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded KMeans corpus clustering over the embeddings table
     (k=8, seed 42): per-cluster sizes + canonical member — the trained
     complement of the stride-centroid IVF cells (see
-    analytics/predictive.kmeans_embedding_clusters)."""
+    analytics/predictive.kmeans_embedding_clusters).  Each row carries
+    the machine-checked ``all_assignments_optimal`` invariant (every
+    member's centroid is its argmin over all centroids), so the check
+    is self-validating rather than a bare row count."""
     from ..analytics.predictive import kmeans_embedding_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_embedding_clusters(spark, emb, k=8, seed=42)
+
+
+@query_fn("ml_churn_roc_points")  # pyspark.ml scores — rows-only, no SQL oracle
+def ml_churn_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve (threshold, fpr, tpr) rows for the churn RF — the
+    dataset behind the reference's ROC figure (`Python Analytics/
+    PythonAnalysis.py:301-311`), closing the M5 figure-export gap as
+    verifiable rows.  Curve invariants (monotone rates, (0,0)/(1,1)
+    endpoints, trapezoid == exact AUC) are pinned in
+    tests/test_analytics.py."""
+    from ..analytics.predictive import churn_roc_points
+
+    return churn_roc_points(spark, build_order_mart(spark, sf_dir))

@@ -348,12 +348,14 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_event_type"),
             F.col("ts").alias("last_ts"),
             F.col("value").alias("last_value"),
-        ).orderBy("user_id")
-        # materialize before deleting the snapshot the plan reads from:
-        # one row per DISTINCT KEY (bounded — the upsert state itself),
-        # not per event, so this is the scalar-class driver roundtrip
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        )
+        # materialize DISTRIBUTED (executor-side parquet rewrite, never
+        # through the driver) before pruning the snapshot dir the lazy
+        # plan reads from — at 100-TB keyed state a collect() here would
+        # OOM the driver; a parquet copy is one narrow stage
+        out_dir = tempfile.mkdtemp(prefix="bidw_upsert_out_")
+        out.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir).orderBy("user_id")
     finally:
         import shutil
 

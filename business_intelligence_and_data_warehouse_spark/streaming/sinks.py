@@ -119,12 +119,38 @@ def _checkpoint_lineage(checkpoint_dir: str) -> str:
     """The streaming query id stored in the checkpoint's metadata file
     — stable across restarts FROM that checkpoint, different for a
     reset/rebuilt checkpoint, which is exactly the scope batch ids are
-    monotone in."""
+    monotone in.
+
+    If the metadata file is unreadable, a random token is minted ONCE
+    and persisted alongside the checkpoint (never a shared constant:
+    two distinct rebuilt lineages falling back to the same string
+    would share a ledger scope, and already_applied would silently
+    drop the first batches of the second stream — the exact failure
+    lineage scoping exists to prevent)."""
     try:
         with open(os.path.join(checkpoint_dir, "metadata")) as fh:
             return str(json.load(fh)["id"])
     except (OSError, ValueError, KeyError):
-        return "unknown-lineage"
+        pass
+    token_path = os.path.join(checkpoint_dir, ".bidw_lineage_token")
+    try:
+        with open(token_path) as fh:
+            return fh.read().strip()
+    except OSError:
+        pass
+    token = uuid.uuid4().hex
+    try:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = token_path + f".tmp-{token}"
+        with open(tmp, "w") as fh:
+            fh.write(token)
+        os.replace(tmp, token_path)
+        # re-read: a concurrent minter may have replaced after us, and
+        # all callers must agree on ONE token per checkpoint
+        with open(token_path) as fh:
+            return fh.read().strip()
+    except OSError:
+        return token
 
 
 def run_upsert_stream(
@@ -136,7 +162,15 @@ def run_upsert_stream(
 ) -> DataFrame:
     """Drive ``stream_df`` to completion through a foreachBatch
     last-state upsert into a snapshot store at ``root``; returns the
-    final snapshot."""
+    final snapshot.
+
+    CONTRACT: the returned DataFrame is a LAZY read of the current
+    snapshot directory, which the NEXT run against the same ``root``
+    prunes after its commit.  Materialize it (write it out, cache +
+    count) before any further run touches ``root``, or treat it as
+    consumed — deferring an action past another run reads a deleted
+    path.  (The registry adapter writes it to its own parquet dir
+    before returning, plans/streaming_queries.py.)"""
     store = _SnapshotStore(spark, root)
     checkpoint_dir = os.path.join(root, "_checkpoint")
 

@@ -122,4 +122,51 @@ def test_kmeans_clusters_deterministic_and_cover_corpus(spark, sf_dir):
     assert a == b, "seeded KMeans must be run-to-run deterministic"
     # KMeans may converge with empty clusters -> at most k result rows
     assert 1 <= len(a) <= 8
-    assert sum(n for _cid, n, _mid in a) == emb.count()
+    assert sum(n for _cid, n, _mid, _opt in a) == emb.count()
+    # the in-result invariant: every member's centroid is its argmin
+    assert all(opt for _cid, _n, _mid, opt in a)
+
+
+def test_churn_roc_points_invariants(spark, sf_dir):
+    """The ROC-points query must be a true ROC curve: monotone rates,
+    (0,0)/(1,1) endpoints, and trapezoid area equal to the exact
+    Mann-Whitney AUC of the underlying scores."""
+    from business_intelligence_and_data_warehouse_spark.analytics.predictive import (
+        churn_roc_points,
+        fit_churn_model,
+    )
+
+    mart = build_order_mart(spark, sf_dir)
+    curve = churn_roc_points(spark, mart, num_trees=10).collect()
+    assert curve[0].threshold > 1.0  # anchor row first (desc threshold)
+    assert (curve[0].fpr, curve[0].tpr) == (0.0, 0.0)
+    assert abs(curve[-1].fpr - 1.0) < 1e-12
+    assert abs(curve[-1].tpr - 1.0) < 1e-12
+    fprs = [r.fpr for r in curve]
+    tprs = [r.tpr for r in curve]
+    assert fprs == sorted(fprs), "fpr must be nondecreasing"
+    assert tprs == sorted(tprs), "tpr must be nondecreasing"
+    # trapezoid over the curve == exact rank AUC of the same scores
+    trap = sum(
+        (fprs[i] - fprs[i - 1]) * (tprs[i] + tprs[i - 1]) / 2.0
+        for i in range(1, len(curve))
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    _m, _t, pred = fit_churn_model(mart, num_trees=10)
+    pairs = [
+        (float(r.score), int(r.label))
+        for r in pred.select(
+            vector_to_array("probability")[1].alias("score"), "label"
+        ).collect()
+    ]
+    pos = sorted(s for s, y in pairs if y == 1)
+    neg = sorted(s for s, y in pairs if y == 0)
+    import bisect
+
+    wins = sum(bisect.bisect_left(neg, s) for s in pos)
+    ties = sum(
+        bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s) for s in pos
+    )
+    exact_auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(trap - exact_auc) < 1e-9, (trap, exact_auc)

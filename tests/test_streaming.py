@@ -319,3 +319,21 @@ def test_foreach_batch_upsert_survives_checkpoint_reset(spark, tmp_path):
     state = {r.user_id: (r.event_id, r.event_type) for r in out.collect()}
     # the new event must NOT have been dropped by a stale-id skip
     assert state == {7: (2, "click")}
+
+
+def test_checkpoint_lineage_fallback_is_per_checkpoint(tmp_path):
+    """When checkpoint metadata is unreadable, the fallback must mint a
+    DISTINCT persistent token per checkpoint — a shared constant would
+    merge two rebuilt lineages into one ledger scope and silently skip
+    the second stream's early batches."""
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        _checkpoint_lineage,
+    )
+
+    a = str(tmp_path / "ckpt_a")
+    b = str(tmp_path / "ckpt_b")
+    la1, la2 = _checkpoint_lineage(a), _checkpoint_lineage(a)
+    lb = _checkpoint_lineage(b)
+    assert la1 == la2, "token must be stable for the same checkpoint"
+    assert la1 != lb, "distinct checkpoints must never share a lineage"
+    assert la1 and la1 != "unknown-lineage"
