@@ -70,6 +70,23 @@ def churn_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in history length; the explode is a map-side 6× fan-out
     regardless of how many months of history exist.
     """
+    return _churn_rolling(spark, sf_dir, active_storage=None)
+
+
+def _churn_rolling(
+    spark: SparkSession, sf_dir: str, active_storage: str | None = None
+) -> DataFrame:
+    """Query body with the A/B knob: ``active_storage`` persists the
+    expanded active set at the named StorageLevel (None = rely on
+    ReuseExchange).  Interleaved best-of-3 at sf0.1 under the r3 cache
+    ledger (none/pin alternating, warm session): unpinned best 1.1s vs
+    pinned best 2.6s — the three consumers still read the
+    explode+distinct through identical exchanges, so ReuseExchange
+    shares them and a pin is 2x+ pure cache-write overhead; the knob
+    stays None and exists for scan-bound inputs (a 100-TB orders scan
+    re-read per consumer).  The r2->r3 bench delta (1.87->2.57s) was
+    the ledger removing cross-invocation cache leaks, not a plan
+    regression — the plan is already the one we'd want."""
     orders = load_table(spark, sf_dir, "orders")
     pairs = (
         orders.select(
@@ -93,6 +110,12 @@ def churn_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(months, "m", "left_semi")
         .distinct()
     )
+    if active_storage is not None:
+        from pyspark import StorageLevel
+
+        from ..operators.caching import pin
+
+        active = pin(active, getattr(StorageLevel, active_storage))
     counts = active.groupBy("m").agg(F.count(F.lit(1)).alias("n_active"))
     prev = active.select(F.add_months("m", 1).alias("m"), "c").join(
         months, "m", "left_semi"
@@ -208,24 +231,72 @@ def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation")
 
 
-@query_fn("approx_sketches")  # rows-only: HLL/KLL sketches are
-# engine-specific, so there is no cross-engine oracle; the pytest suite
-# bounds them against exact values instead
+# published error bounds the self-validation columns assert against:
+# HLL++ default relative standard deviation is 0.05 — a 3-sigma band
+# covers ~99.7% of sketches; percentile_approx's default accuracy
+# 10000 guarantees rank error <= 1/accuracy (doubled for safety).
+_HLL_BOUND = 3 * 0.05
+_KLL_RANK_EPS = 2.0 / 10000
+
+
+@query_fn("approx_sketches")  # rows-only: HLL/KLL sketch VALUES are
+# engine-specific so there is no cross-engine oracle — but the row
+# SELF-VALIDATES: each estimate is checked against the exact in-Spark
+# value inside the query, so the driver's hash pins the *_within_bounds
+# booleans, not just a row count
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches for interactive exploration at scale:
-    approx_count_distinct (HyperLogLog++) and percentile_approx (KLL).
+    approx_count_distinct (HyperLogLog++) and percentile_approx (KLL),
+    each paired with an in-row ``*_within_bounds`` check against the
+    exact value and the sketch's published error bound.
 
-    Sketches ONLY — no exact counterparts inline. Exact countDistinct
-    forces an Expand (one input replica per distinct aggregate) and
-    exact percentile buffers every value through one reducer; at the
-    100 TB design point those are exactly the plans sketches exist to
-    avoid. The pytest suite (`tests/test_coverage_queries.py`) bounds
-    each sketch against its exact value out-of-band instead."""
+    The exact counterparts (countDistinct's Expand replicas, the
+    median's rank count) exist here to VALIDATE the sketches; at the
+    100 TB design point you ship the sketch columns alone — the whole
+    point of a sketch is skipping those exact plans — and this query
+    is the CI harness proving the estimates stay inside their bounds.
+    The rank check is one extra pass over the fact with the 1-row
+    sketch broadcast (no second shuffle of the data)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.agg(
+    sk = lineitem.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+    checked = lineitem.crossJoin(F.broadcast(sk)).agg(
+        F.first("approx_parts").alias("approx_parts"),
+        F.first("approx_median_price").alias("approx_median_price"),
+        F.first("approx_orders").alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.sum(
+            (F.col("l_extendedprice") < F.col("approx_median_price"))
+            .cast("long")
+        ).alias("n_below"),
+        F.sum(
+            (F.col("l_extendedprice") <= F.col("approx_median_price"))
+            .cast("long")
+        ).alias("n_at_or_below"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return checked.select(
+        "approx_parts",
+        "approx_orders",
+        "approx_median_price",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= _HLL_BOUND * F.col("exact_parts")
+        ).alias("hll_parts_within_bounds"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= _HLL_BOUND * F.col("exact_orders")
+        ).alias("hll_orders_within_bounds"),
+        # the approx median's exact rank must cover 0.5 within the
+        # sketch's rank-error guarantee (ties span [n_below, n_at_or_below])
+        (
+            (F.col("n_below") / F.col("n") <= 0.5 + _KLL_RANK_EPS)
+            & (F.col("n_at_or_below") / F.col("n") >= 0.5 - _KLL_RANK_EPS)
+        ).alias("kll_median_within_bounds"),
     )
 
 

@@ -316,3 +316,62 @@ def test_label_centroids_partial_aggregate_before_shuffle(spark):
     assert "Generate" in plan, plan
     assert "partial_" in plan, plan
     assert plan.count("Exchange") <= 4, plan
+
+
+# ---------------------------------------------------------------------------
+# registry-wide sweep: every query's plan stays inside its recorded
+# exchange budget and never regresses to a row-at-a-time Python UDF or
+# an unbroadcast cartesian product.  The budget file pins today's
+# exchange count per query — an accidental re-derivation (lost
+# ReuseExchange, a new unintended shuffle) fails here even though the
+# results still match.  New registry entries must add a budget row.
+# ---------------------------------------------------------------------------
+
+import json
+import os
+
+import pytest
+
+_BUDGETS = json.load(
+    open(os.path.join(os.path.dirname(__file__), "plan_exchange_budgets.json"))
+)
+
+# these queries EXECUTE at build time (live streaming runs, ML model
+# fits, the upsert sink's write-and-read-back) — the DataFrame they
+# return reads a memory/parquet result, so a plan gate on it would
+# inspect the wrong plan; each has dedicated semantics tests instead
+_EXECUTES_AT_BUILD = {
+    "stream_tumbling_live",
+    "stream_session_live",
+    "stream_dedup_live",
+    "stream_attribution_live",
+    "stream_enrich_live",
+    "stream_ohlc_live",
+    "stream_upsert_sink",
+    "ml_churn_rf",
+    "ml_kmeans_embeddings",
+    "ml_churn_roc_points",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_registry_plan_gates(spark, name):
+    if name in _EXECUTES_AT_BUILD:
+        pytest.skip("executes at build; plan gate would see the read-back")
+    assert name in _BUDGETS, (
+        f"{name} has no exchange budget — measure its plan and add it to "
+        "tests/plan_exchange_budgets.json"
+    )
+    plan = plan_of(spark, name)
+    # row-at-a-time Python UDFs are the forbidden slow path; Arrow
+    # boundaries (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+    # are the sanctioned ones
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    # every cross join must broadcast (BroadcastNestedLoopJoin); a
+    # CartesianProduct shuffles both sides everywhere
+    assert "CartesianProduct" not in plan, f"{name}: unbroadcast cartesian"
+    n_exchanges = len(re.findall(r"\n\(\d+\) Exchange", plan))
+    assert n_exchanges <= _BUDGETS[name], (
+        f"{name}: {n_exchanges} exchanges exceeds budget {_BUDGETS[name]} — "
+        "an unintended shuffle crept in (or update the budget deliberately)"
+    )

@@ -1,9 +1,9 @@
 """Bound the approximate sketches against exact answers (no cross-
 engine oracle exists for HLL/KLL, so accuracy is pinned here).
 
-The exact counterparts are computed HERE, out-of-band — the production
-query is sketches-only by design (exact countDistinct/percentile are
-the plans sketches exist to avoid at scale)."""
+The registry query now also self-validates in-row (``*_within_bounds``
+columns against the sketches' published error bounds); this test pins
+both those booleans and an independent out-of-band exact comparison."""
 
 from __future__ import annotations
 
@@ -31,3 +31,7 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
         abs(row.approx_median_price - exact.median_price)
         <= 0.05 * exact.median_price
     )
+    # the in-row self-validation must agree
+    assert row.hll_parts_within_bounds
+    assert row.hll_orders_within_bounds
+    assert row.kll_median_within_bounds
