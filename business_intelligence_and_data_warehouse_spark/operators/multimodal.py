@@ -65,10 +65,54 @@ def attach_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def encode_ppm(width: int, height: int, raster: bytes) -> bytes:
+    """Binary P6 PPM encode (test fixture twin of :func:`decode_ppm`)."""
+    if len(raster) != 3 * width * height:
+        raise ValueError("raster must be 3*width*height RGB bytes")
+    return b"P6\n%d %d\n255\n" % (width, height) + raster
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python binary-PPM (P6) decode: ``(width, height, maxval,
+    raster)`` with ``raster`` the w*h*3 interleaved RGB bytes.
+
+    This is the REAL decode path that runs in CI — P6 is uncompressed,
+    so a correct, dependency-free decoder is ~30 lines (header tokens
+    with ``#`` comments, then the raw raster).  Compressed formats
+    (JPEG/PNG) go through :func:`decode_image`'s PIL swap-in on a
+    cluster that has it."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval and raster
+    width, height, maxval = vals
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported maxval {maxval} (16-bit PPM)")
+    raster = payload[pos : pos + 3 * width * height]
+    if len(raster) != 3 * width * height:
+        raise ValueError("truncated PPM raster")
+    return width, height, maxval, raster
+
+
 def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires PIL, which this container lacks.
-    STUB: clearly marked; the plumbing around it is fully tested with
-    the byte-level feature extractor instead."""
+    """Image decode: binary PPM decodes with the built-in pure-Python
+    parser (always available — the CI-exercised real path); any other
+    format requires PIL, the documented swap-in on media clusters."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
     try:
         from PIL import Image  # noqa: PLC0415
         import io  # noqa: PLC0415
@@ -76,7 +120,7 @@ def decode_image(payload: bytes) -> "object":
         return Image.open(io.BytesIO(payload))
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "image decode requires PIL; not available in this environment"
+            "non-PPM image decode requires PIL; not available here"
         ) from exc
 
 
@@ -97,13 +141,66 @@ def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, mean_r double, mean_g double, "
+    "mean_b double, pixel_digest string"
+)
+
+
+def _image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL-decode feature extractor: parses each payload as binary
+    PPM (pure Python, no media libs) and emits geometry + per-channel
+    means + a raster digest.  Undecodable payloads yield a (-1, -1)
+    geometry row instead of failing the batch — at corpus scale a few
+    corrupt blobs must never kill the stage."""
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+            "pixel_digest",
+        )}
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                w, h, _maxval, raster = decode_ppm(bytes(payload))
+                px = memoryview(raster)
+                n = w * h
+                sums = [0, 0, 0]
+                for c in range(3):
+                    sums[c] = sum(px[c::3])
+                vals = (
+                    w, h,
+                    sums[0] / n, sums[1] / n, sums[2] / n,
+                    hashlib.md5(raster).hexdigest(),
+                )
+            except (ValueError, IndexError):
+                vals = (-1, -1, float("nan"), float("nan"), float("nan"), None)
+            out["doc_id"].append(did)
+            for k, v in zip(
+                ("width", "height", "mean_r", "mean_g", "mean_b", "pixel_digest"),
+                vals,
+            ):
+                out[k].append(v)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                "pixel_digest": pd.Series(out["pixel_digest"], dtype="object"),
+            }
+        )
+
+
 def extract_features(blobs: DataFrame, extractor=None, schema: str = FEATURE_SCHEMA) -> DataFrame:
     """Run a batch feature extractor over the payload column.
 
     `extractor` is an Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]
     mapInPandas function; defaults to the deterministic byte-feature
-    stub. Swap in a real decode+embed function on a cluster with media
-    libraries — the Spark plumbing is identical.
+    stub. ``_image_features`` (+ ``IMAGE_FEATURE_SCHEMA``) is the
+    REAL-decode extractor for PPM payloads; swap in a PIL/torch
+    decode+embed function on a media cluster — the Spark plumbing is
+    identical.
     """
     return blobs.mapInPandas(extractor or _byte_features, schema=schema)
 

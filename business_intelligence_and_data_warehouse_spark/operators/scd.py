@@ -199,6 +199,82 @@ def scd2_merge(
     )
 
 
+def _delta_merge_clauses(
+    nat_key: Sequence[str], tracked: Sequence[str], load_date: str
+) -> tuple[str, str, str, str]:
+    """The exact ON/WHEN SQL fragments the Delta MERGE route executes
+    — returned as (key_cond, open_cond, close_cond, correct_cond) over
+    ``t``/``s`` aliases.  Shared by :func:`scd2_merge_delta` and the
+    jar-free simulation :func:`scd2_merge_via_merge_semantics`, so the
+    MERGE-condition logic is exercised in CI even while the Delta jar
+    is absent (only the writer differs)."""
+    key_cond = " AND ".join(f"t.{k} = s.{k}" for k in nat_key)
+    open_cond = f"t.effective_to = DATE'{HIGH_DATE}'"
+    changed_cond = "NOT (" + " AND ".join(
+        f"t.{c} <=> s.{c}" for c in tracked
+    ) + ")"
+    close_cond = f"{changed_cond} AND t.effective_from < DATE'{load_date}'"
+    correct_cond = f"{changed_cond} AND t.effective_from = DATE'{load_date}'"
+    return key_cond, open_cond, close_cond, correct_cond
+
+
+def scd2_merge_via_merge_semantics(
+    dim: DataFrame,
+    batch: DataFrame,
+    nat_key: Sequence[str],
+    tracked: Sequence[str],
+    load_date: str,
+) -> DataFrame:
+    """Jar-free twin of :func:`scd2_merge_delta`: applies the SAME
+    merge clauses (shared fragment strings, evaluated over t/s-aliased
+    DataFrames) as a pure-Spark transformation and returns the post-
+    merge dimension content instead of rewriting a Delta table.
+
+    Semantics mirror the two whenMatchedUpdate clauses + append pass:
+    matched-open-changed rows started before ``load_date`` get their
+    window closed; ones started ON ``load_date`` get tracked
+    attributes replaced in place; successor/new versions come from the
+    batch-rewrite classification against the pre-merge snapshot.
+    Equivalence with :func:`scd2_merge` is property-tested in
+    tests/test_warehouse.py (parquet-backed dim — the writer is the
+    only part of the Delta route left unexercised)."""
+    nat_key = list(nat_key)
+    tracked = list(tracked)
+    key_cond, open_cond, close_cond, correct_cond = _delta_merge_clauses(
+        nat_key, tracked, load_date
+    )
+    t = dim.alias("t")
+    s = batch.withColumn("_m", F.lit(True)).alias("s")
+    joined = t.join(s, F.expr(key_cond) & F.expr(open_cond), "left")
+    matched = F.col("_m").isNotNull()
+    close = matched & F.expr(close_cond)
+    correct = matched & F.expr(correct_cond)
+    updated = joined.select(
+        *[F.col(f"t.{k}").alias(k) for k in nat_key],
+        *[
+            F.when(correct, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in tracked
+        ],
+        F.col("t.effective_from").alias("effective_from"),
+        F.when(close, F.to_date(F.lit(load_date)))
+        .otherwise(F.col("t.effective_to"))
+        .alias("effective_to"),
+        F.col("t.version").alias("version"),
+    )
+    # append pass: identical to scd2_merge_delta's insert computation,
+    # with `dim` already being the pre-merge snapshot (no time travel
+    # needed — this path never mutates in place)
+    pre = scd2_merge(dim, batch, nat_key, tracked, load_date)
+    open_on_load = (
+        F.col("effective_from") == F.to_date(F.lit(load_date))
+    ) & (F.col("effective_to") == F.to_date(F.lit(HIGH_DATE)))
+    inserts = pre.filter(open_on_load).join(
+        dim.filter(open_on_load).select(*nat_key), nat_key, "left_anti"
+    )
+    cols = [*nat_key, *tracked, "effective_from", "effective_to", "version"]
+    return updated.select(*cols).unionByName(inserts.select(*cols))
+
+
 def scd2_merge_delta(
     spark,
     dim_path: str,
@@ -248,24 +324,18 @@ def scd2_merge_delta(
     )
     pre = scd2_merge(dim, batch, nat_key, tracked, load_date)
 
-    key_cond = " AND ".join(f"t.{k} = s.{k}" for k in nat_key)
-    open_cond = f"t.effective_to = DATE'{HIGH_DATE}'"
-    changed_cond = "NOT (" + " AND ".join(
-        f"t.{c} <=> s.{c}" for c in tracked
-    ) + ")"
+    key_cond, open_cond, close_cond, correct_cond = _delta_merge_clauses(
+        nat_key, tracked, load_date
+    )
     (
         dt.alias("t")
         .merge(batch.alias("s"), f"({key_cond}) AND {open_cond}")
         .whenMatchedUpdate(
-            condition=(
-                f"{changed_cond} AND t.effective_from < DATE'{load_date}'"
-            ),
+            condition=close_cond,
             set={"effective_to": f"DATE'{load_date}'"},
         )
         .whenMatchedUpdate(
-            condition=(
-                f"{changed_cond} AND t.effective_from = DATE'{load_date}'"
-            ),
+            condition=correct_cond,
             set={c: f"s.{c}" for c in tracked},
         )
         .execute()

@@ -122,6 +122,45 @@ def test_multimodal_plumbing_roundtrip(spark):
     assert feats[2].n_bytes == 0 and feats[2].first_byte == -1
 
 
+def test_multimodal_real_ppm_decode_through_map_in_pandas(spark):
+    """A REAL image decode runs in CI: tiny generated binary-PPM
+    payloads stream through the mapInPandas extractor and come back
+    with exact geometry, channel means, and a hash-checked raster."""
+    import hashlib
+
+    from business_intelligence_and_data_warehouse_spark.operators.multimodal import (
+        IMAGE_FEATURE_SCHEMA,
+        _image_features,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    # 2x2 image: solid channels per pixel -> known means
+    raster = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255])
+    ppm = encode_ppm(2, 2, raster)
+    # header parser must survive comments + multi-whitespace
+    commented = b"P6\n# a comment line\n2 2\n# another\n255\n" + raster
+    assert decode_ppm(commented) == (2, 2, 255, raster)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(commented)), (3, bytearray(b"oops"))],
+        "doc_id long, payload binary",
+    )
+    feats = {
+        r.doc_id: r
+        for r in extract_features(
+            blobs, extractor=_image_features, schema=IMAGE_FEATURE_SCHEMA
+        ).collect()
+    }
+    want_digest = hashlib.md5(raster).hexdigest()
+    for did in (1, 2):
+        row = feats[did]
+        assert (row.width, row.height) == (2, 2)
+        assert (row.mean_r, row.mean_g, row.mean_b) == (127.5, 127.5, 127.5)
+        assert row.pixel_digest == want_digest
+    # a corrupt blob degrades to a sentinel row, never a stage failure
+    assert feats[3].width == -1 and feats[3].pixel_digest is None
+
+
 def test_simhash_blocking_is_exact_vs_brute_force(spark):
     """Two-level pigeonhole recall proof on a varied corpus: the
     blocked operator must return EXACTLY the pairs brute-force

@@ -125,3 +125,60 @@ def test_scd2_delta_merge_equivalence(spark, tmp_path):
     assert sorted(
         tuple(r) for r in got.select(*cols).collect()
     ) == sorted(tuple(r) for r in expected.select(*cols).collect())
+
+
+def test_scd2_merge_semantics_equivalence_jar_free(spark, tmp_path):
+    """The Delta route's MERGE-condition logic, exercised WITHOUT the
+    jar: scd2_merge_via_merge_semantics evaluates the SAME ON/WHEN
+    fragment strings (shared _delta_merge_clauses) over a
+    parquet-backed dimension and must reproduce the batch rewrite
+    exactly — same-day corrections, window closes, unchanged
+    pass-throughs, and new keys included.  Only the Delta writer
+    itself stays untested until a jar lands."""
+    from business_intelligence_and_data_warehouse_spark.operators.scd import (
+        scd2_initial_load,
+        scd2_merge,
+        scd2_merge_via_merge_semantics,
+    )
+
+    dim0 = scd2_initial_load(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (4, "d", None)],
+            "k int, attr string, extra string",
+        ),
+        effective_from="2024-01-01",
+    )
+    # parquet-backed temp catalog: the simulation reads a real table
+    path = str(tmp_path / "dim_pq")
+    dim0.write.parquet(path)
+    dim = spark.read.parquet(path)
+
+    def check(dim_df, batch_rows, load_date):
+        batch = spark.createDataFrame(
+            batch_rows, "k int, attr string, extra string"
+        )
+        want = scd2_merge(dim_df, batch, ["k"], ["attr", "extra"], load_date)
+        got = scd2_merge_via_merge_semantics(
+            dim_df, batch, ["k"], ["attr", "extra"], load_date
+        )
+        cols = sorted(want.columns)
+        assert sorted(
+            tuple(r) for r in got.select(*cols).collect()
+        ) == sorted(tuple(r) for r in want.select(*cols).collect())
+        return got
+
+    # load 1: change (k=1), unchanged (k=2), new key (k=3), null attr
+    # change (k=4 None -> 'z')
+    after1 = check(
+        dim, [(1, "a2", "x"), (2, "b", "y"), (3, "c", "z"), (4, "d", "z")],
+        "2024-06-01",
+    )
+    # load 2 ON THE SAME DAY: same-day correction must replace in
+    # place (no zero-length window), and a fresh change must close
+    after1_pq = str(tmp_path / "dim_pq2")
+    after1.write.parquet(after1_pq)
+    check(
+        spark.read.parquet(after1_pq),
+        [(1, "a3", "x"), (2, "b2", "y")],
+        "2024-06-01",
+    )
