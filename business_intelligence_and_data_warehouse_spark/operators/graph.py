@@ -145,10 +145,15 @@ def connected_components(
         return _two_phase_components(
             real.localCheckpoint(eager=True), nodes, max_iter
         )
-    e = (
+    from .caching import pin
+
+    # ledger-managed pin, not a raw persist: the edge table is re-read
+    # every propagation round, but the blocks must be RELEASED when the
+    # next registry query starts (a leaked persist distorts later
+    # plans/timings — the r4 plan-gate sweep caught exactly this class)
+    e = pin(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .persist()
     )
     labels = e.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")

@@ -33,6 +33,7 @@ from ..analytics.prescriptive import (
     risk_flags,
 )
 from ..analytics.segmentation import oracle_segment_matrix, segment_matrix
+from ..operators.caching import pin
 from ..sources.testdata import load_table
 from .queries import query_fn
 
@@ -53,8 +54,15 @@ def analytics_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=oracle_summary_stats(ORACLE_MART, "mart", _MEASURES),
 )
 def analytics_descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """describe() battery over the mart measures (A10)."""
-    mart = build_order_mart(spark, sf_dir).cache()
+    """describe() battery over the mart measures (A10).
+
+    The mart is pinned through the LEDGER (not a raw .cache()): the
+    per-measure quantile scans are separate consumers, and the ledger
+    releases the blocks at the next query so a leaked mart cache can
+    never distort another query's plan or timing (this bit the r4
+    plan-gate sweep: a raw cache here changed analytics_correlation's
+    exchange count depending on test order)."""
+    mart = pin(build_order_mart(spark, sf_dir))
     return summary_stats(mart, _MEASURES).orderBy("measure")
 
 
@@ -63,8 +71,9 @@ def analytics_descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=oracle_corr_pairs(ORACLE_MART, "mart", _MEASURES),
 )
 def analytics_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise Pearson correlations from exact power sums (A11)."""
-    mart = build_order_mart(spark, sf_dir).cache()
+    """Pairwise Pearson correlations from exact power sums (A11);
+    mart pinned via the ledger (see analytics_descriptive_stats)."""
+    mart = pin(build_order_mart(spark, sf_dir))
     return corr_pairs(mart, _MEASURES).orderBy("var_x", "var_y")
 
 
@@ -145,6 +154,86 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_embedding_clusters(spark, emb, k=8, seed=42)
+
+
+_DELAY_BIN_DAYS = 2
+
+
+@query_fn(
+    "analytics_delay_histogram",
+    oracle=f"""
+WITH {ORACLE_MART}
+SELECT CAST(floor(delay_days / {_DELAY_BIN_DAYS}.0e0) AS BIGINT) AS bin,
+       CAST(CAST(floor(delay_days / {_DELAY_BIN_DAYS}.0e0) AS BIGINT)
+            * {_DELAY_BIN_DAYS} AS INTEGER) AS bin_lo_days,
+       CAST((CAST(floor(delay_days / {_DELAY_BIN_DAYS}.0e0) AS BIGINT) + 1)
+            * {_DELAY_BIN_DAYS} AS INTEGER) AS bin_hi_days,
+       COUNT(*) AS n_orders
+FROM mart
+GROUP BY 1
+ORDER BY bin
+""",
+)
+def analytics_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-delay distribution — the dataset behind the
+    reference's delay histogram figure (`Python Analytics/
+    PythonAnalysis.py:187` plt.hist of delays), exported as fixed-width
+    bin rows instead of a PNG.  Fixed-width binning (not quantile
+    bins) is the scale-correct figure feed: one map-side floor + one
+    grouped count, no global sort, no sampling."""
+    mart = build_order_mart(spark, sf_dir)
+    bin_col = F.floor(F.col("delay_days") / F.lit(float(_DELAY_BIN_DAYS)))
+    return (
+        mart.groupBy(bin_col.cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bin",
+            (F.col("bin") * _DELAY_BIN_DAYS).cast("int").alias("bin_lo_days"),
+            ((F.col("bin") + 1) * _DELAY_BIN_DAYS)
+            .cast("int")
+            .alias("bin_hi_days"),
+            "n_orders",
+        )
+        .orderBy("bin")
+    )
+
+
+_TOP_STATES_K = 10
+
+
+@query_fn(
+    "analytics_top_states",
+    oracle=f"""
+WITH {ORACLE_MART}
+SELECT nation,
+       COUNT(*) AS n_orders,
+       CAST(COUNT(DISTINCT customer_id) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(revenue AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM mart
+GROUP BY nation
+ORDER BY revenue DESC, nation
+LIMIT {_TOP_STATES_K}
+""",
+)
+def analytics_top_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 regions by revenue — the dataset behind the reference's
+    top-10-states bar chart (`Python Analytics/PythonAnalysis.py:
+    196-197`; the testdata maps customer state -> nation, FIXTURES.md
+    §B).  One grouped aggregate (exact-decimal revenue) + TakeOrdered
+    top-k — the figure feed never globally sorts the group table."""
+    mart = build_order_mart(spark, sf_dir)
+    return (
+        mart.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("customer_id").alias("n_customers"),
+            F.sum(F.col("revenue").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+        .limit(_TOP_STATES_K)
+    )
 
 
 @query_fn("ml_churn_roc_points")  # pyspark.ml scores — rows-only, no SQL oracle

@@ -23,10 +23,9 @@ WHATIF_DELIVERY_DAYS_DELTA = 0
 CHURN_SHIFT_PER_DAY = 0.01
 
 
-@query_fn(
-    "churn_rolling_window",
-    oracle=f"""
-WITH pairs AS (
+# shared CTE block: the rolling-active / churned sets both the W7
+# query and the what-if scenario grid read from
+_O_CHURN_CTES = """pairs AS (
   SELECT DISTINCT o_custkey AS c, CAST(date_trunc('month', o_orderdate) AS DATE) AS m
   FROM orders
 ),
@@ -44,7 +43,13 @@ churned AS (
   LEFT JOIN active cur ON cur.m = mo.m AND cur.c = prev.c
   WHERE cur.c IS NULL
   GROUP BY mo.m
-)
+)"""
+
+
+@query_fn(
+    "churn_rolling_window",
+    oracle=f"""
+WITH {_O_CHURN_CTES}
 SELECT c.m AS month,
        c.n_active,
        COALESCE(ch.n_churned, 0) AS n_churned,
@@ -141,6 +146,64 @@ def _churn_rolling(
             ),
         )
         .orderBy("month")
+    )
+
+
+# the reference dashboard's slider sweeps -5..+5 delivery days
+_WHATIF_DELTA_RANGE = 5
+
+
+@query_fn(
+    "whatif_churn_scenarios",
+    oracle=f"""
+WITH {_O_CHURN_CTES},
+base AS (
+  SELECT c.m AS month, c.n_active,
+         COALESCE(ch.n_churned, 0) AS n_churned,
+         COALESCE(ch.n_churned, 0) * 1.0
+           / NULLIF(c.n_active + COALESCE(ch.n_churned, 0), 0) AS churn_rate
+  FROM counts c LEFT JOIN churned ch ON ch.m = c.m
+)
+SELECT month,
+       CAST(d.delta_days AS INTEGER) AS delta_days,
+       n_active, n_churned, churn_rate,
+       churn_rate + d.delta_days * {CHURN_SHIFT_PER_DAY}e0 AS churn_rate_whatif
+FROM base
+CROSS JOIN range(-{_WHATIF_DELTA_RANGE}, {_WHATIF_DELTA_RANGE + 1}) d(delta_days)
+ORDER BY month, delta_days
+""",
+)
+def whatif_churn_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Power BI what-if slider as a query surface: the W7 churn
+    table evaluated over the full -5..+5 delivery-days scenario grid
+    (`Final Report.docx` §7.1's interactive slider; churn shifts
+    1%/day).  The grid is a map-side 11x explode over the tiny monthly
+    churn table — an interactive dashboard would filter this
+    pre-computed scenario cube on the slider value instead of
+    re-running the rolling-window query per drag."""
+    base = _churn_rolling(spark, sf_dir)
+    return (
+        base.select("month", "n_active", "n_churned", "churn_rate")
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.lit(-_WHATIF_DELTA_RANGE), F.lit(_WHATIF_DELTA_RANGE)
+                )
+            ).alias("delta_days"),
+        )
+        .select(
+            "month",
+            "delta_days",
+            "n_active",
+            "n_churned",
+            "churn_rate",
+            (
+                F.col("churn_rate")
+                + F.col("delta_days") * F.lit(CHURN_SHIFT_PER_DAY)
+            ).alias("churn_rate_whatif"),
+        )
+        .orderBy("month", "delta_days")
     )
 
 

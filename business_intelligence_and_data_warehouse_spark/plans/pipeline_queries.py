@@ -254,35 +254,40 @@ _SIG = " + ".join(
 )
 
 
-@query_fn(
-    "dedup_simhash",
-    oracle=f"""
-WITH toks AS (
+# SimHash signature/pair CTE chain with s-prefixed names so it can
+# compose with the shingle/minhash chains in one WITH (multi-signal)
+_O_SIMHASH_PAIRS = f"""stoks AS (
   SELECT doc_id, unnest(string_split({_O_NORM}, ' ')) AS tok FROM documents
 ),
-tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-votes AS (
+stf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM stoks GROUP BY 1, 2),
+svotes AS (
   SELECT doc_id,
   {_VOTES}
-  FROM tf GROUP BY doc_id
+  FROM stf GROUP BY doc_id
 ),
-sigs AS (SELECT doc_id, CAST({_SIG} AS BIGINT) AS simhash FROM votes),
-blocks AS (
+ssigs AS (SELECT doc_id, CAST({_SIG} AS BIGINT) AS simhash FROM svotes),
+sblocks AS (
   -- 4-block pigeonhole: Hamming <= 3 pairs share >= 1 exact 8-bit block
   {" UNION ALL ".join(
       f"SELECT doc_id, simhash, {j} AS blk, "
-      f"(simhash // {2 ** (j * 8)}) % 256 AS block FROM sigs"
+      f"(simhash // {2 ** (j * 8)}) % 256 AS block FROM ssigs"
       for j in range(4)
   )}
 ),
-pairs AS (
+spairs AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          x.simhash AS sa, y.simhash AS sb
-  FROM blocks x
-  JOIN blocks y ON x.blk = y.blk AND x.block = y.block AND x.doc_id < y.doc_id
-)
+  FROM sblocks x
+  JOIN sblocks y ON x.blk = y.blk AND x.block = y.block AND x.doc_id < y.doc_id
+)"""
+
+
+@query_fn(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_O_SIMHASH_PAIRS}
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-FROM pairs
+FROM spairs
 WHERE bit_count(xor(sa, sb)) <= 3
 ORDER BY doc_a, doc_b
 """,
@@ -296,6 +301,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hamming", F.col("hamming").cast("int")).orderBy(
         "doc_a", "doc_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup: multi-signal report off ONE shared tokenize pass
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "dedup_multi_signal",
+    oracle=f"""
+WITH {_O_DUP_PAIRS},
+{_O_SIMHASH_PAIRS},
+hp AS (
+  SELECT doc_a, doc_b FROM spairs WHERE bit_count(xor(sa, sb)) <= 3
+),
+ex AS (SELECT doc_id, md5({_O_NORM}) AS content_hash FROM documents),
+exg AS (
+  SELECT content_hash, COUNT(*) AS n_exact_copies, MIN(doc_id) AS keeper
+  FROM ex GROUP BY 1
+),
+nd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT doc_a AS doc_id FROM dup_pairs
+    UNION ALL SELECT doc_b FROM dup_pairs
+  ) GROUP BY 1
+),
+hd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT doc_a AS doc_id FROM hp UNION ALL SELECT doc_b FROM hp
+  ) GROUP BY 1
+)
+SELECT ex.doc_id, ex.content_hash, exg.n_exact_copies,
+       ex.doc_id = exg.keeper AS is_canonical,
+       CAST(COALESCE(nd.n, 0) AS BIGINT) AS n_near_dup_neighbors,
+       CAST(COALESCE(hd.n, 0) AS BIGINT) AS n_hamming_neighbors
+FROM ex
+JOIN exg USING (content_hash)
+LEFT JOIN nd ON nd.doc_id = ex.doc_id
+LEFT JOIN hd ON hd.doc_id = ex.doc_id
+ORDER BY ex.doc_id
+""",
+)
+def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup report: exact copies + MinHash-verified
+    near-dup degree + SimHash Hamming-ball degree, all derived from
+    ONE pinned normalize+tokenize pass (operators/dedup.py
+    multi_signal_dedup) — the amortized-scan shape a 100-TB curation
+    run uses instead of re-tokenizing the corpus once per signal."""
+    from ..operators.dedup import multi_signal_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multi_signal_dedup(
+        docs, k=3, bands=4, rows_per_band=2, threshold=_JACCARD_T,
+        num_bits=_SIMHASH_BITS, max_hamming=3,
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -46,8 +46,12 @@ def read_csv(
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, corrupt) split. Spark requires the corrupt column to be
-    referenced through a materialized plan, hence the cache()."""
-    df = df.cache()
+    referenced through a materialized plan, hence the persist — pinned
+    through the cache ledger so the blocks release at the next registry
+    query instead of leaking for the session."""
+    from ..operators.caching import pin
+
+    df = pin(df)
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, bad

@@ -230,3 +230,41 @@ def test_minhash_slices_extend_past_one_digest(spark):
         for h in range(12):
             exp = min(slices(h // 4, w)[h % 4] for w in words)
             assert out[doc][f"mh{h}"] == exp, (doc, h)
+
+
+def test_multi_signal_matches_standalone_operators(spark, sf_dir):
+    """The shared-tokenize composite must agree exactly with the three
+    standalone operators it amortizes — a refactor of the shared
+    token/shingle tables that drifts any signal fails here."""
+    from collections import Counter
+
+    from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_dedup,
+        multi_signal_dedup,
+        simhash_near_dups,
+    )
+    from business_intelligence_and_data_warehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    report = multi_signal_dedup(docs).collect()
+    assert len(report) == docs.count()
+
+    exact = {r.content_hash: r.n_duplicates for r in exact_dedup(docs).collect()}
+    near = Counter()
+    for r in minhash_lsh_dedup(docs, threshold=0.5).collect():
+        near[r.doc_a] += 1
+        near[r.doc_b] += 1
+    ham = Counter()
+    for r in simhash_near_dups(docs).collect():
+        ham[r.doc_a] += 1
+        ham[r.doc_b] += 1
+    for row in report:
+        assert row.n_exact_copies == exact[row.content_hash], row
+        assert row.n_near_dup_neighbors == near[row.doc_id], row
+        assert row.n_hamming_neighbors == ham[row.doc_id], row
+    # exactly one canonical per content-hash group
+    canon = Counter(r.content_hash for r in report if r.is_canonical)
+    assert set(canon) == set(exact) and all(v == 1 for v in canon.values())

@@ -362,6 +362,16 @@ def test_registry_plan_gates(spark, name):
         f"{name} has no exchange budget — measure its plan and add it to "
         "tests/plan_exchange_budgets.json"
     )
+    # exchange counts must not depend on what an EARLIER test happened
+    # to cache: a cached subtree substitutes InMemoryRelation into the
+    # plan and shifts the count (order-dependent flake) — compare
+    # against the budget from a cache-free session state
+    from business_intelligence_and_data_warehouse_spark.operators.caching import (
+        release_pinned,
+    )
+
+    release_pinned()
+    spark.catalog.clearCache()
     plan = plan_of(spark, name)
     # row-at-a-time Python UDFs are the forbidden slow path; Arrow
     # boundaries (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
