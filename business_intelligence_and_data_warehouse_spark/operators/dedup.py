@@ -568,13 +568,13 @@ def multi_signal_dedup(
     signal's own shuffle/blocking design is unchanged (the per-signal
     operators are called on the shared tables, not reimplemented).
 
-    Measured at sf0.1 (best-of-3, interleaved pin/none, cache ledger):
-    the whole three-signal report runs ~2.0s — vs ~5.4s for the three
-    standalone operators run back-to-back (exact 0.5 + minhash 1.7 +
-    simhash 3.2), i.e. the shared pass recovers the corpus-scan cost
-    twice over.  The tokens pin itself was a wash warm (2.0 pinned vs
-    2.1 unpinned) but is the right default: at crawl scale the
-    re-derived subtree is scan-bound, the case _maybe_pin documents.
+    Measured at sf0.1 (interleaved same-context A/B under the cache
+    ledger, 3 rounds each): the three-signal composite ran 1.8-2.5s
+    while exact+minhash+simhash back-to-back ran 4.5-12.0s — every
+    composite run beat every separate run, best-vs-best 2.4x.  The
+    tokens pin itself was a wash warm (2.0 pinned vs 2.1 unpinned
+    best-of-3) but is the right default: at crawl scale the re-derived
+    subtree is scan-bound, the case _maybe_pin documents.
     """
     toks = _maybe_pin(
         token_table(docs, id_col, text_col).withColumn(
