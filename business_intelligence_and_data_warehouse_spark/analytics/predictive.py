@@ -249,6 +249,28 @@ def churn_random_forest(
     acc = MulticlassClassificationEvaluator(
         labelCol="label", metricName="accuracy"
     ).evaluate(pred)
+    # the reference's classification_report (`PythonAnalysis.py:
+    # 292-300`): positive-class precision/recall/F1 from ONE confusion
+    # aggregate over the scored test set (no per-metric evaluator
+    # passes — each MulticlassClassificationEvaluator call re-scans)
+    conf = pred.agg(
+        F.sum(
+            ((F.col("prediction") == 1.0) & (F.col("label") == 1.0)).cast("long")
+        ).alias("tp"),
+        F.sum(
+            ((F.col("prediction") == 1.0) & (F.col("label") == 0.0)).cast("long")
+        ).alias("fp"),
+        F.sum(
+            ((F.col("prediction") == 0.0) & (F.col("label") == 1.0)).cast("long")
+        ).alias("fn"),
+    ).first()
+    precision = conf.tp / (conf.tp + conf.fp) if conf.tp + conf.fp else 0.0
+    recall = conf.tp / (conf.tp + conf.fn) if conf.tp + conf.fn else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
     imp = model.featureImportances.toArray()
     top = sorted(zip(feature_cols, imp), key=lambda t: -t[1])[:3]
     return spark.createDataFrame(
@@ -258,10 +280,14 @@ def churn_random_forest(
                 test.count(),
                 float(auc),
                 float(acc),
+                float(precision),
+                float(recall),
+                float(f1),
                 ", ".join(f"{name}={w:.3f}" for name, w in top),
             )
         ],
-        "n_train long, n_test long, auc double, accuracy double, top_features string",
+        "n_train long, n_test long, auc double, accuracy double, "
+        "precision double, recall double, f1 double, top_features string",
     )
 
 

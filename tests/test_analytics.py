@@ -73,6 +73,15 @@ def test_churn_rf_trains_and_scores(spark, sf_dir):
     assert metrics.n_train > 0 and metrics.n_test > 0
     assert 0.0 <= metrics.auc <= 1.0
     assert 0.0 <= metrics.accuracy <= 1.0
+    # classification-report fields (reference PythonAnalysis.py:292-300)
+    for m in (metrics.precision, metrics.recall, metrics.f1):
+        assert 0.0 <= m <= 1.0
+    if metrics.precision + metrics.recall:
+        want_f1 = (
+            2 * metrics.precision * metrics.recall
+            / (metrics.precision + metrics.recall)
+        )
+        assert abs(metrics.f1 - want_f1) < 1e-12
     assert metrics.top_features
 
 
