@@ -109,3 +109,49 @@ def test_jsonl_declared_schema_and_quarantine(spark, tmp_path):
     clean, bad = split_corrupt(read_jsonl(spark, str(p), schema))
     assert {r.id for r in clean.collect()} == {1, 3}
     assert bad.count() == 2
+
+
+def test_load_table_adapts_events_ts_generations(spark, tmp_path):
+    """The driver regenerates testdata between rounds and events.ts has
+    shipped as TIMESTAMP(NANOS), TIMESTAMP(MICROS) without UTC flag
+    (NTZ), and plain micros — load_table must normalize every
+    generation to the same session-TZ timestamp values."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from business_intelligence_and_data_warehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    when = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    base = {
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([7], pa.int64()),
+        "event_type": pa.array(["click"], pa.string()),
+        "value": pa.array([1.5], pa.float64()),
+        "props": pa.array(["{}"], pa.string()),
+    }
+    variants = {
+        "nanos": pa.array([when], pa.timestamp("ns")),
+        "ntz_us": pa.array([when], pa.timestamp("us")),
+        "utc_us": pa.array([when], pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for tag, ts_arr in variants.items():
+        d = tmp_path / tag
+        d.mkdir()
+        pq.write_table(
+            pa.table({**base, "ts": ts_arr}),
+            str(d / "events.parquet"),
+            use_deprecated_int96_timestamps=False,
+            coerce_timestamps=None,
+        )
+        df = load_table(spark, str(d), "events")
+        assert [f.name for f in df.schema.fields] == [
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+        ]
+        assert df.schema["ts"].simpleString() == "ts:timestamp"
+        got[tag] = df.first().ts
+    assert got["nanos"] == got["ntz_us"] == got["utc_us"] == when
