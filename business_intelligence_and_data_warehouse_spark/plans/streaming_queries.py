@@ -324,6 +324,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     atomic current-pointer and a batch-id ledger (idempotent replay —
     the production exactly-once recipe; streaming/sinks.py).  The
     final snapshot must equal the batch last-row-per-user query."""
+    import os
     import tempfile
 
     from ..streaming.sinks import run_upsert_stream
@@ -352,8 +353,13 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize DISTRIBUTED (executor-side parquet rewrite, never
         # through the driver) before pruning the snapshot dir the lazy
         # plan reads from — at 100-TB keyed state a collect() here would
-        # OOM the driver; a parquet copy is one narrow stage
-        out_dir = tempfile.mkdtemp(prefix="bidw_upsert_out_")
+        # OOM the driver; a parquet copy is one narrow stage.  The
+        # output dir is PER-PROCESS and overwritten each invocation (a
+        # mkdtemp here would leak one dir per run; the returned lazy
+        # DataFrame forbids deleting it before the caller reads)
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"bidw_upsert_out_{os.getpid()}"
+        )
         out.write.mode("overwrite").parquet(out_dir)
         return spark.read.parquet(out_dir).orderBy("user_id")
     finally:

@@ -385,3 +385,34 @@ def test_registry_plan_gates(spark, name):
         f"{name}: {n_exchanges} exchanges exceeds budget {_BUDGETS[name]} — "
         "an unintended shuffle crept in (or update the budget deliberately)"
     )
+
+
+def test_no_collect_in_query_code_paths():
+    """VERDICT r03 item 2 'Done' criterion: no `.collect()` in any
+    `queries()` code path.  Source-scan over the package with an
+    explicit allowlist: the stratified-split label/count lookups are
+    BOUNDED driver roundtrips (one row per class label) and the only
+    sanctioned sites."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent.parent / (
+        "business_intelligence_and_data_warehouse_spark"
+    )
+    allowed = {
+        # (file, substring-of-line): bounded per-class lookups
+        ("analytics/predictive.py", "data.select(label_col).distinct()"),
+        ("analytics/predictive.py", "train.groupBy(label_col).count()"),
+    }
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        rel = str(path.relative_to(pkg))
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if ".collect()" not in line or line.strip().startswith("#"):
+                continue
+            if any(rel == f and frag in line for f, frag in allowed):
+                continue
+            offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, (
+        "unsanctioned .collect() in package code (driver-side "
+        "materialization of distributed data):\n" + "\n".join(offenders)
+    )
