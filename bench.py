@@ -85,6 +85,7 @@ HEADLINE = [
     "analytics_delay_histogram",
     "analytics_top_states",
     "dedup_multi_signal",
+    "stream_tumbling_append_live",
 ]
 
 

@@ -63,6 +63,43 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query_fn(
+    "stream_tumbling_append_live",
+    oracle=f"""
+WITH {_O_EV},
+mx AS (SELECT MAX(ts) AS m FROM ev),
+agg AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         event_type,
+         COUNT(*) AS n_events,
+         {_O_VSUM} AS value_sum
+  FROM ev
+  GROUP BY 1, 2, 3
+)
+SELECT window_start, window_end, event_type, n_events, value_sum
+FROM agg CROSS JOIN mx
+WHERE window_end <= m - INTERVAL 30 MINUTE
+ORDER BY window_start, event_type
+""",
+)
+def stream_tumbling_append_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation in APPEND output mode — the PRODUCTION
+    streaming path: a window is emitted exactly once, when the
+    watermark (max event time − 30 min) passes its end, and its state
+    is evicted.  Complete mode (stream_tumbling_live) re-emits the
+    whole result table per trigger and keeps all windows in state —
+    fine for a dashboard sink, unbounded for a pipeline; append is
+    what a parquet/kafka sink consumes.  Determinism: with
+    availableNow the final watermark is max(ts) − 30 min, so the
+    emitted set is exactly the windows whose end precedes it — which
+    is what the oracle computes (the still-open tail windows are
+    correctly withheld)."""
+    stream = read_event_stream(spark, sf_dir)
+    out = run_stream_to_table(tumbling_counts(stream), mode="append")
+    return out.orderBy("window_start", "event_type")
+
+
+@query_fn(
     "stream_sliding_sums",
     oracle=f"""
 WITH {_O_EV},
