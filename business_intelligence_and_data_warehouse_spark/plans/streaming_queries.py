@@ -403,3 +403,104 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2: dimension maintenance from a change stream
+# ---------------------------------------------------------------------------
+
+def _o_scd2_stream() -> str:
+    from ..functions.parity import o_event_order_key
+
+    return f"""
+WITH {_O_EV},
+wk AS (
+  SELECT user_id, event_type, value,
+         CAST(date_trunc('week', ts) AS DATE) AS load_date,
+         {o_event_order_key()} AS ord
+  FROM ev
+),
+lastp AS (
+  SELECT user_id, load_date,
+         arg_max(event_type, ord) AS event_type,
+         arg_max(value, ord) AS value
+  FROM wk GROUP BY 1, 2
+),
+seq AS (
+  SELECT *,
+         LAG(load_date) OVER w AS prev_load,
+         LAG(event_type) OVER w AS pet,
+         LAG(value) OVER w AS pv
+  FROM lastp WINDOW w AS (PARTITION BY user_id ORDER BY load_date)
+),
+changes AS (
+  -- drop no-op loads (same tracked values as the previous load; a
+  -- dropped row always EQUALS its predecessor, so comparing against
+  -- the immediate predecessor equals comparing against the last KEPT
+  -- change)
+  SELECT user_id, event_type, value, load_date FROM seq
+  WHERE prev_load IS NULL
+     OR NOT (event_type IS NOT DISTINCT FROM pet
+             AND value IS NOT DISTINCT FROM pv)
+)
+SELECT user_id, event_type, value,
+       load_date AS effective_from,
+       COALESCE(LEAD(load_date) OVER (PARTITION BY user_id ORDER BY load_date),
+                DATE '2099-12-31') AS effective_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY load_date)
+            AS INTEGER) AS version
+FROM changes
+ORDER BY user_id, effective_from
+"""
+
+
+@query_fn("stream_scd2_sink", oracle=_o_scd2_stream())
+def stream_scd2_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance driven FROM A STREAM: weekly user
+    state (last event per user per ISO week) flows through a
+    foreachBatch sink that applies operators/scd.scd2_merge per load
+    period against a versioned snapshot (streaming/sinks.py
+    run_scd2_stream — same idempotence ledger as the upsert sink).
+
+    The oracle derives the same dimension directly with window
+    functions (change rows -> LEAD validity windows, dense versions),
+    so this checks a REAL equivalence: folding scd2_merge over the
+    load periods == the closed-form window construction.  The
+    reference's SCD2 is batch Kettle (`ETL/etl for customer with
+    scd2.ktr:833-914`); this is its streaming extension."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.parity import event_order_key
+    from ..streaming.sinks import run_scd2_stream
+    from ..streaming.windows import read_event_stream
+
+    stream = read_event_stream(spark, sf_dir)
+    updates = stream.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("load_date"),
+        event_order_key().alias("_ord"),
+    )
+    root = tempfile.mkdtemp(prefix="bidw_scd2_sink_")
+    try:
+        dim = run_scd2_stream(
+            updates,
+            spark,
+            nat_key=["user_id"],
+            tracked=["event_type", "value"],
+            load_date_col="load_date",
+            order_col="_ord",
+            root=root,
+        )
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"bidw_scd2_out_{os.getpid()}"
+        )
+        dim.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir).orderBy(
+            "user_id", "effective_from"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -349,6 +349,7 @@ _EXECUTES_AT_BUILD = {
     "stream_enrich_live",
     "stream_ohlc_live",
     "stream_upsert_sink",
+    "stream_scd2_sink",
     "ml_churn_rf",
     "ml_kmeans_embeddings",
     "ml_churn_roc_points",
@@ -403,6 +404,8 @@ def test_no_collect_in_query_code_paths():
         # (file, substring-of-line): bounded per-class lookups
         ("analytics/predictive.py", "data.select(label_col).distinct()"),
         ("analytics/predictive.py", "train.groupBy(label_col).count()"),
+        # bounded: one row per load period present in the micro-batch
+        ("streaming/sinks.py", "reduced.select(load_date_col).distinct()"),
     }
     offenders = []
     for path in sorted(pkg.rglob("*.py")):

@@ -337,3 +337,58 @@ def test_checkpoint_lineage_fallback_is_per_checkpoint(tmp_path):
     assert la1 == la2, "token must be stable for the same checkpoint"
     assert la1 != lb, "distinct checkpoints must never share a lineage"
     assert la1 and la1 != "unknown-lineage"
+
+
+def test_scd2_stream_incremental_loads_version_correctly(spark, tmp_path):
+    """The streaming SCD2 sink must version across RESUMED runs: a
+    second run from the same checkpoint sees only the new file, merges
+    its load periods on top of the committed snapshot, and produces
+    the same dimension a single batch replay would."""
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        run_scd2_stream,
+    )
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "dim")
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+
+    def run():
+        updates = _stream(spark, src).select(
+            "user_id",
+            "event_type",
+            "value",
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("load_date"),
+            key.alias("_ord"),
+        )
+        return run_scd2_stream(
+            updates, spark,
+            nat_key=["user_id"], tracked=["event_type", "value"],
+            load_date_col="load_date", order_col="_ord", root=root,
+        )
+
+    # week 1: two updates for user 7 in one period -> last one wins
+    _write_events(spark, src, [
+        (1, _t(0), 7, "view", 1.0),
+        (2, _t(5), 7, "click", 2.0),
+    ])
+    dim1 = {(r.user_id, r.version): r for r in run().collect()}
+    assert set(dim1) == {(7, 1)}
+    assert dim1[(7, 1)].event_type == "click"
+    assert str(dim1[(7, 1)].effective_to) == "2099-12-31"
+
+    # week 2 (7 days later): changed state -> close v1, open v2;
+    # plus a brand-new user
+    _write_events(spark, src, [
+        (3, _t(7 * 24 * 60), 7, "purchase", 9.0),
+        (4, _t(7 * 24 * 60 + 1), 8, "view", 0.5),
+    ])
+    dim2 = {(r.user_id, r.version): r for r in run().collect()}
+    assert set(dim2) == {(7, 1), (7, 2), (8, 1)}
+    v1, v2 = dim2[(7, 1)], dim2[(7, 2)]
+    assert v1.effective_to == v2.effective_from  # window chains
+    assert v2.event_type == "purchase"
+    assert str(v2.effective_to) == "2099-12-31"
+    assert dim2[(8, 1)].event_type == "view"
