@@ -235,24 +235,18 @@ def churn_random_forest(
     class_weight='balanced') in pyspark.ml terms. Returns a one-row
     metrics DataFrame (no SQL oracle — model internals are not
     SQL-expressible; the driver records a rows-only check)."""
-    from pyspark.ml.evaluation import (
-        BinaryClassificationEvaluator,
-        MulticlassClassificationEvaluator,
-    )
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
     feature_cols = CHURN_FEATURE_COLS
     model, train, pred = fit_churn_model(mart, num_trees, seed)
-    test = pred
     auc = BinaryClassificationEvaluator(
         labelCol="label", metricName="areaUnderROC"
     ).evaluate(pred)
-    acc = MulticlassClassificationEvaluator(
-        labelCol="label", metricName="accuracy"
-    ).evaluate(pred)
     # the reference's classification_report (`PythonAnalysis.py:
-    # 292-300`): positive-class precision/recall/F1 from ONE confusion
-    # aggregate over the scored test set (no per-metric evaluator
-    # passes — each MulticlassClassificationEvaluator call re-scans)
+    # 292-300`): accuracy + positive-class precision/recall/F1 from ONE
+    # confusion-matrix aggregate over the scored test set — the AUC
+    # evaluator above is the only other full pass (it needs the raw
+    # scores, which a count aggregate cannot summarize)
     conf = pred.agg(
         F.sum(
             ((F.col("prediction") == 1.0) & (F.col("label") == 1.0)).cast("long")
@@ -263,7 +257,10 @@ def churn_random_forest(
         F.sum(
             ((F.col("prediction") == 0.0) & (F.col("label") == 1.0)).cast("long")
         ).alias("fn"),
+        F.count(F.lit(1)).alias("n_test"),
     ).first()
+    tn = conf.n_test - conf.tp - conf.fp - conf.fn
+    acc = (conf.tp + tn) / conf.n_test if conf.n_test else 0.0
     precision = conf.tp / (conf.tp + conf.fp) if conf.tp + conf.fp else 0.0
     recall = conf.tp / (conf.tp + conf.fn) if conf.tp + conf.fn else 0.0
     f1 = (
@@ -277,7 +274,7 @@ def churn_random_forest(
         [
             (
                 train.count(),
-                test.count(),
+                conf.n_test,
                 float(auc),
                 float(acc),
                 float(precision),

@@ -461,6 +461,13 @@ def simhash_near_dups(
     # sig_storage=None opts out. Block+sub rows are emitted in a
     # single map-side pass (inline explode), not a union over the
     # same subtree.
+    if max_hamming > num_blocks - 1:
+        # validate BEFORE the pin: raising after _maybe_pin would leak
+        # a ledger-registered persist that lingers until the next query
+        raise ValueError(
+            f"pigeonhole blocking with {num_blocks} blocks is only exact "
+            f"for max_hamming <= {num_blocks - 1}, got {max_hamming}"
+        )
     sigs = _maybe_pin(simhash(docs, num_bits, id_col, text_col), sig_storage)
     return simhash_pairs_from_sigs(sigs, num_bits, max_hamming, num_blocks)
 

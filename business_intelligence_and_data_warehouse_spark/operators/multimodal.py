@@ -5,12 +5,13 @@ struct; decode / feature-extraction runs as Arrow-batched Pandas
 iterators (`mapInPandas`) so the (expensive) Python stage streams
 batches instead of row-at-a-time serde.
 
-The actual media codecs (PIL / torchaudio / av) are NOT available in
-this environment — the decode step is STUBBED: `decode_image` raises
-NotImplementedError unless PIL is importable, and the default feature
-extractor computes deterministic byte-level features (length, digest,
-leading byte) so the Spark-side plumbing — schema, batching, partition
-flow — is real and testable end-to-end.
+Decode status: binary PPM (P6) decodes for REAL via the dependency-free
+pure-Python codec (`decode_ppm`) — the CI-exercised path behind
+`_image_features`.  Compressed formats (JPEG/PNG) and audio/video still
+require external codecs (PIL / torchaudio / av) absent from this
+environment: for those `decode_image` raises NotImplementedError, and
+the byte-level feature extractor stands in so the Spark-side plumbing —
+schema, batching, partition flow — stays testable end-to-end.
 """
 
 from __future__ import annotations
@@ -99,6 +100,10 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
         vals.append(int(payload[start:pos]))
     pos += 1  # exactly one whitespace byte separates maxval and raster
     width, height, maxval = vals
+    if width <= 0 or height <= 0:
+        # zero/negative dims must land in callers' corrupt-blob path,
+        # not divide-by-zero a feature computation downstream
+        raise ValueError(f"invalid PPM dimensions {width}x{height}")
     if not (0 < maxval < 256):
         raise ValueError(f"unsupported maxval {maxval} (16-bit PPM)")
     raster = payload[pos : pos + 3 * width * height]

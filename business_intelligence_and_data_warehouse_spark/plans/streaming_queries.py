@@ -29,6 +29,27 @@ from ..streaming.windows import (
 )
 from .queries import query_fn
 
+_RESULT_PARENT: str | None = None
+
+
+def _fresh_result_dir(tag: str) -> str:
+    """Unique materialization dir PER INVOCATION: a fixed per-process
+    path would be overwritten by the next invocation while an earlier
+    returned DataFrame still lazily reads it (aliasing — stale readers
+    fail mid-scan or silently see the newer rows).  All dirs live
+    under one per-process parent removed at interpreter exit, so
+    results stay valid for the process lifetime without unbounded /tmp
+    leakage across processes."""
+    global _RESULT_PARENT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _RESULT_PARENT is None:
+        _RESULT_PARENT = tempfile.mkdtemp(prefix="bidw_results_")
+        atexit.register(shutil.rmtree, _RESULT_PARENT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=f"{tag}_", dir=_RESULT_PARENT)
+
 _O_EV = "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 _O_VSUM = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
 
@@ -361,7 +382,6 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     atomic current-pointer and a batch-id ledger (idempotent replay —
     the production exactly-once recipe; streaming/sinks.py).  The
     final snapshot must equal the batch last-row-per-user query."""
-    import os
     import tempfile
 
     from ..streaming.sinks import run_upsert_stream
@@ -390,13 +410,8 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize DISTRIBUTED (executor-side parquet rewrite, never
         # through the driver) before pruning the snapshot dir the lazy
         # plan reads from — at 100-TB keyed state a collect() here would
-        # OOM the driver; a parquet copy is one narrow stage.  The
-        # output dir is PER-PROCESS and overwritten each invocation (a
-        # mkdtemp here would leak one dir per run; the returned lazy
-        # DataFrame forbids deleting it before the caller reads)
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"bidw_upsert_out_{os.getpid()}"
-        )
+        # OOM the driver; a parquet copy is one narrow stage
+        out_dir = _fresh_result_dir("upsert_out")
         out.write.mode("overwrite").parquet(out_dir)
         return spark.read.parquet(out_dir).orderBy("user_id")
     finally:
@@ -468,7 +483,6 @@ def stream_scd2_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     load periods == the closed-form window construction.  The
     reference's SCD2 is batch Kettle (`ETL/etl for customer with
     scd2.ktr:833-914`); this is its streaming extension."""
-    import os
     import shutil
     import tempfile
 
@@ -495,9 +509,7 @@ def stream_scd2_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_col="_ord",
             root=root,
         )
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"bidw_scd2_out_{os.getpid()}"
-        )
+        out_dir = _fresh_result_dir("scd2_out")
         dim.write.mode("overwrite").parquet(out_dir)
         return spark.read.parquet(out_dir).orderBy(
             "user_id", "effective_from"

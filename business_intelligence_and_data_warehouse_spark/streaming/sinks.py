@@ -210,13 +210,24 @@ def run_scd2_stream(
     applies :func:`..operators.scd.scd2_merge` once per load period,
     in period order, against a versioned snapshot store.
 
-    Per micro-batch: reduce to the LAST update per (key, load period)
-    — intra-period churn collapses before the merge, mirroring
-    scd2_merge's one-row-per-key contract — then fold the periods into
-    the snapshot oldest-first.  The same (lineage, batch-id) ledger as
-    :func:`run_upsert_stream` makes redelivery a no-op, and scd2_merge
-    itself is idempotent for an identical batch, so the sink is
-    effectively-exactly-once.
+    Cross-batch ordering: the last update per (key, load period) is
+    resolved against a PERSISTED last-per-period state table (its own
+    snapshot store under ``root``/lastp, merged with
+    :func:`merge_last_state` on max ``order_col``), not just within
+    the micro-batch — a later batch delivering an OLDER event for a
+    period already applied merges the stored newer row again, which
+    scd2_merge treats as an unchanged no-op, so stale redeliveries can
+    never regress the dimension.  The state is pruned to each key's
+    rows at/after its open period (bounded by keys, not stream
+    length).  The same (lineage, batch-id) ledger as
+    :func:`run_upsert_stream` makes redelivery a no-op; the lastp
+    merge is itself idempotent, so its store needs no ledger gate.
+
+    Contract: load periods apply in nondecreasing order PER KEY — an
+    update for a period older than its key's open version cannot be
+    retro-inserted into closed history by a forward merge and is
+    dropped (filtered against the open rows), matching batch-SCD2
+    load discipline.
 
     The per-batch period list is a driver collect of BOUNDED
     cardinality (one row per load period present in the batch — days
@@ -225,9 +236,10 @@ def run_scd2_stream(
     contract as run_upsert_stream — materialize before another run
     touches ``root``).
     """
-    from ..operators.scd import scd2_merge
+    from ..operators.scd import HIGH_DATE, scd2_merge
 
     store = _SnapshotStore(spark, root)
+    lastp_store = _SnapshotStore(spark, os.path.join(root, "lastp"))
     checkpoint_dir = os.path.join(root, "_checkpoint")
     dim_cols = [*nat_key, *tracked, "effective_from", "effective_to", "version"]
 
@@ -238,32 +250,51 @@ def run_scd2_stream(
         w = W.partitionBy(*nat_key, load_date_col).orderBy(
             F.col(order_col).desc()
         )
-        reduced = (
+        batch_lastp = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn", order_col)
+            .drop("_rn")
         )
+        # global (cross-batch) last update per (key, period)
+        lastp = merge_last_state(
+            lastp_store.read(),
+            batch_lastp,
+            [*nat_key, load_date_col],
+            order_col,
+        ).localCheckpoint(eager=True)
         # bounded: one row per load period in this batch
         dates = sorted(
             str(r[0])
-            for r in reduced.select(load_date_col).distinct().collect()
+            for r in batch_lastp.select(load_date_col).distinct().collect()
         )
         dim = store.read()
         if dim is None:
             from pyspark.sql import types as T
 
             fields = [
-                reduced.schema[c] for c in (*nat_key, *tracked)
+                batch_lastp.schema[c] for c in (*nat_key, *tracked)
             ] + [
                 T.StructField("effective_from", T.DateType()),
                 T.StructField("effective_to", T.DateType()),
                 T.StructField("version", T.IntegerType()),
             ]
             dim = spark.createDataFrame([], T.StructType(fields))
+        high = F.to_date(F.lit(HIGH_DATE))
         for d in dates:
-            day_batch = reduced.filter(
-                F.col(load_date_col) == F.to_date(F.lit(d))
-            ).select(*nat_key, *tracked)
+            open_from = dim.filter(F.col("effective_to") == high).select(
+                *nat_key, F.col("effective_from").alias("_open_from")
+            )
+            day_batch = (
+                lastp.filter(F.col(load_date_col) == F.to_date(F.lit(d)))
+                # per-key in-order contract: a period older than the
+                # key's open version cannot be retro-merged — drop it
+                .join(open_from, nat_key, "left")
+                .filter(
+                    F.col("_open_from").isNull()
+                    | (F.col("_open_from") <= F.to_date(F.lit(d)))
+                )
+                .select(*nat_key, *tracked)
+            )
             # materialize per load period: scd2_merge references its
             # input dim several times (current/history/joins/union), so
             # a lazy fold over P periods grows the analyzed plan
@@ -275,6 +306,23 @@ def run_scd2_stream(
             dim = scd2_merge(
                 dim, day_batch, nat_key, tracked, d
             ).localCheckpoint(eager=True)
+        # prune lastp to the live working set: each key's rows at/after
+        # its open period (older rows can never win a future merge)
+        open_from = dim.filter(F.col("effective_to") == high).select(
+            *nat_key, F.col("effective_from").alias("_open_from")
+        )
+        pruned = (
+            lastp.join(open_from, nat_key, "left")
+            .filter(
+                F.col("_open_from").isNull()
+                | (F.col(load_date_col) >= F.col("_open_from"))
+            )
+            .drop("_open_from")
+        )
+        # lastp first: if we crash before the dim commit, redelivery
+        # re-merges the same batch into lastp (idempotent) and the dim
+        # ledger still gates exactly-once application
+        lastp_store.commit(pruned, lineage, batch_id)
         store.commit(dim.select(*dim_cols), lineage, batch_id)
 
     q = (

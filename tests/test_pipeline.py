@@ -159,6 +159,14 @@ def test_multimodal_real_ppm_decode_through_map_in_pandas(spark):
         assert row.pixel_digest == want_digest
     # a corrupt blob degrades to a sentinel row, never a stage failure
     assert feats[3].width == -1 and feats[3].pixel_digest is None
+    # zero/negative dims must raise in decode (-> sentinel path), not
+    # divide-by-zero downstream
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n0 0\n255\n")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n-1 -1\n255\nABC")
 
 
 def test_simhash_blocking_is_exact_vs_brute_force(spark):

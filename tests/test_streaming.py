@@ -392,3 +392,17 @@ def test_scd2_stream_incremental_loads_version_correctly(spark, tmp_path):
     assert v2.event_type == "purchase"
     assert str(v2.effective_to) == "2099-12-31"
     assert dim2[(8, 1)].event_type == "view"
+
+    # a LATER batch redelivering an OLDER week-2 event for user 7 must
+    # NOT regress the open version: the persisted last-per-period state
+    # resolves max order ACROSS batches, not within one
+    # week 2 begins at _t(7*24*60 - 600) (T0 is Mon 10:00); this event
+    # is inside week 2 but BEFORE event 3, so its order key is lower
+    _write_events(spark, src, [
+        (5, _t(7 * 24 * 60 - 300), 7, "stale", -1.0),
+    ])
+    dim3 = {(r.user_id, r.version): r for r in run().collect()}
+    assert dim3[(7, 2)].event_type == "purchase", (
+        "stale cross-batch redelivery regressed the dimension"
+    )
+    assert set(dim3) == set(dim2)
