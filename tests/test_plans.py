@@ -405,7 +405,7 @@ def test_no_collect_in_query_code_paths():
         ("analytics/predictive.py", "data.select(label_col).distinct()"),
         ("analytics/predictive.py", "train.groupBy(label_col).count()"),
         # bounded: one row per load period present in the micro-batch
-        ("streaming/sinks.py", "reduced.select(load_date_col).distinct()"),
+        ("streaming/sinks.py", "batch_lastp.select(load_date_col).distinct()"),
     }
     offenders = []
     for path in sorted(pkg.rglob("*.py")):
