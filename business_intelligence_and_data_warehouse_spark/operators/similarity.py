@@ -362,6 +362,97 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    index_dir: str,
+    centroid_stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """BUILD-ONCE half of the production ANN lifecycle: write the
+    normed corpus with its cell assignment to ``index_dir``/cells,
+    PARTITIONED ON DISK BY CELL, plus the normed centroid set to
+    ``index_dir``/centroids.
+
+    :func:`ivf_topk` recomputes assignment per query — right for a
+    one-shot; a serving workload builds the index once and probes it
+    many times.  Partitioning the cell table by ``cvid`` is the load-
+    bearing choice: a probe's scan prunes to its ``nprobe`` cell
+    directories (dynamic partition pruning against the tiny probe-cell
+    set), so probe cost is O(corpus · nprobe / cells) **in IO**, not
+    just in compute — at 100 TB that is the difference between reading
+    ~a few hundred GB and the whole corpus per probe batch."""
+    from .caching import pin
+
+    corpus_n = pin(_normed(vectors, id_col, vec_col))
+    cents_n = corpus_n.filter(F.col("vid") % centroid_stride == 0)
+    assign = _nearest_centroids(corpus_n, cents_n, 1)
+    (
+        corpus_n.join(assign, "vid")
+        .write.mode("overwrite")
+        .partitionBy("cvid")
+        .parquet(index_dir + "/cells")
+    )
+    cents_n.write.mode("overwrite").parquet(index_dir + "/centroids")
+
+
+def ivf_probe_index(
+    spark,
+    index_dir: str,
+    probes: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PROBE-MANY half: same output contract as :func:`ivf_topk`
+    (query_id, neighbor_id, rank, cosine; self-matches excluded), but
+    against a prebuilt :func:`build_ivf_index` — the centroid read is
+    tiny, the per-probe cell choice broadcasts, and the cells scan
+    partition-prunes to the probed cells (plan-gated in
+    tests/test_plans.py)."""
+    cents_n = spark.read.parquet(index_dir + "/centroids")
+    probes_n = _normed(probes, id_col, vec_col)
+    probe_cells = _nearest_centroids(probes_n, cents_n, nprobe).withColumnRenamed(
+        "vid", "qid"
+    )
+    cells = spark.read.parquet(index_dir + "/cells")
+    candidates = (
+        probe_cells.join(cells.select("cvid", "vid"), "cvid")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", F.col("vid").alias("cid"))
+        .distinct()
+    )
+    q = _as_prefix(probes_n, "q").select("qid", "qvec", "qnorm")
+    c = _as_prefix(
+        cells.select("vid", "vec", "norm"), "c"
+    ).select("cid", "cvec", "cnorm")
+    pairs = (
+        candidates.join(q, "qid")
+        .join(c, "cid")
+        .select(
+            "qid",
+            "cid",
+            _cosine(
+                dot_dec_batch(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm"),
+                F.col("cnorm"),
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hyperplane LSH
 # ---------------------------------------------------------------------------

@@ -522,10 +522,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_STRIDE, _IVF_NPROBE, _IVF_K = 25, 4, 10
 
-
-@query_fn(
-    "sim_ann_ivf",
-    oracle=f"""
+# shared by sim_ann_ivf (one-shot) and sim_ann_ivf_indexed (prebuilt
+# index) — identical query semantics, different execution lifecycle
+_O_IVF = f"""
 WITH {_O_ELEMENTS},
 adots AS (
   SELECT v.vid AS vid, c.vid AS cvid,
@@ -576,8 +575,10 @@ SELECT qid AS query_id, cid AS neighbor_id,
 FROM cos
 QUALIFY rank <= {_IVF_K}
 ORDER BY query_id, rank
-""",
-)
+"""
+
+
+@query_fn("sim_ann_ivf", oracle=_O_IVF)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for the probe subset (vec_id % 100 == 0):
     centroid cells from the deterministic stride-25 quantizer, each
@@ -591,6 +592,26 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_IVF_K,
         centroid_stride=_IVF_STRIDE,
         nprobe=_IVF_NPROBE,
+    ).orderBy("query_id", "rank")
+
+
+@query_fn("sim_ann_ivf_indexed", oracle=_O_IVF)
+def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME IVF top-10 through the build-once/probe-many index
+    lifecycle: the cell table is written PARTITIONED BY CELL and the
+    probe scan partition-prunes to its nprobe cells (dynamic partition
+    pruning; plan-gated) — the serving shape where probe IO is
+    O(corpus · nprobe / cells), not a full corpus pass per probe
+    batch.  Must hash-match sim_ann_ivf's oracle exactly."""
+    from ..operators.similarity import build_ivf_index, ivf_probe_index
+    from .streaming_queries import _fresh_result_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_dir = _fresh_result_dir("ivf_index")
+    build_ivf_index(emb, index_dir, centroid_stride=_IVF_STRIDE)
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_probe_index(
+        spark, index_dir, probes, k=_IVF_K, nprobe=_IVF_NPROBE
     ).orderBy("query_id", "rank")
 
 

@@ -350,6 +350,7 @@ _EXECUTES_AT_BUILD = {
     "stream_ohlc_live",
     "stream_upsert_sink",
     "stream_scd2_sink",
+    "sim_ann_ivf_indexed",
     "ml_churn_rf",
     "ml_kmeans_embeddings",
     "ml_churn_roc_points",
@@ -420,3 +421,28 @@ def test_no_collect_in_query_code_paths():
         "unsanctioned .collect() in package code (driver-side "
         "materialization of distributed data):\n" + "\n".join(offenders)
     )
+
+
+def test_ivf_probe_scan_partition_prunes(spark, tmp_path):
+    """The probe-many half of the IVF index must read ONLY the probed
+    cell partitions: the cells scan carries a dynamic partition-pruning
+    filter on cvid fed by the probe-cell broadcast — without it every
+    probe batch re-reads the whole corpus index."""
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_index,
+    )
+    from business_intelligence_and_data_warehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(emb, index_dir, centroid_stride=25)
+    probes = emb.filter("vec_id % 100 = 0")
+    df = ivf_probe_index(spark, index_dir, probes, k=10, nprobe=4)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "dynamicpruning" in plan.lower(), plan
