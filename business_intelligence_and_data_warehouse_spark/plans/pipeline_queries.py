@@ -616,6 +616,123 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN recall report: measured recall@k of IVF vs the exact baseline
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "sim_ann_recall_report",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+pel AS (SELECT * FROM el WHERE vid % 100 = 0),
+bdots AS (
+  SELECT p.vid AS qid, c.vid AS cid,
+         CAST(SUM(CAST(FLOOR(p.val * c.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM pel p JOIN el c ON p.pos = c.pos
+  GROUP BY 1, 2
+),
+bcos AS (
+  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+  FROM bdots
+  JOIN nrm nq ON nq.vid = qid
+  JOIN nrm nc ON nc.vid = cid
+  WHERE qid != cid
+),
+bt AS (
+  SELECT qid, cid FROM bcos
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+    <= {_IVF_K}
+),
+adots AS (
+  SELECT v.vid AS vid, c.vid AS cvid,
+         CAST(SUM(CAST(FLOOR(v.val * c.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM el v JOIN el c ON v.pos = c.pos AND c.vid % {_IVF_STRIDE} = 0
+  GROUP BY 1, 2
+),
+acos AS (
+  SELECT adots.vid AS vid, cvid, dot / NULLIF(nv.norm * nc.norm, 0.0) AS cosine
+  FROM adots
+  JOIN nrm nv ON nv.vid = adots.vid
+  JOIN nrm nc ON nc.vid = cvid
+),
+assign AS (
+  SELECT vid, cvid FROM acos
+  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cvid) = 1
+),
+pcells AS (
+  SELECT vid AS qid, cvid FROM acos WHERE vid % 100 = 0
+  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cvid)
+    <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.qid, a.vid AS cid
+  FROM pcells p JOIN assign a ON a.cvid = p.cvid
+  WHERE a.vid != p.qid
+),
+vdots AS (
+  SELECT cand.qid, cand.cid,
+         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM cand
+  JOIN el a ON a.vid = cand.qid
+  JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
+  GROUP BY 1, 2
+),
+vcos AS (
+  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+  FROM vdots
+  JOIN nrm nq ON nq.vid = qid
+  JOIN nrm nc ON nc.vid = cid
+),
+it AS (
+  SELECT qid, cid FROM vcos
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+    <= {_IVF_K}
+)
+SELECT CAST(COUNT(DISTINCT bt.qid) AS BIGINT) AS n_probes,
+       CAST({_IVF_K} AS INTEGER) AS k,
+       CAST(COUNT(it.cid) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS BIGINT) AS n_expected,
+       COUNT(it.cid) * 1.0e0 / COUNT(*) AS recall_at_k
+FROM bt LEFT JOIN it ON it.qid = bt.qid AND it.cid = bt.cid
+""",
+)
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@10 of the IVF path against the exact brute-force
+    baseline over the probe set — the accuracy side of the
+    speed/accuracy trade the nprobe/stride knobs control, computed
+    in-engine instead of asserted in prose (SCALE.md's 'honesty about
+    recall knobs' as a query).  Both result sets are deterministic, so
+    the recall fraction itself is oracle-checkable.  One row:
+    (n_probes, k, n_hits, n_expected, recall_at_k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, probes, k=_IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        emb, probes, k=_IVF_K,
+        centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE,
+    ).select("query_id", F.col("neighbor_id").alias("_hit_id"))
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx._hit_id),
+        "left",
+    ).select(exact.query_id, exact.neighbor_id, "_hit_id")
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_probes"),
+        F.lit(_IVF_K).cast("int").alias("k"),
+        F.count("_hit_id").alias("n_hits"),
+        F.count(F.lit(1)).alias("n_expected"),
+        (F.count("_hit_id") * F.lit(1.0) / F.count(F.lit(1))).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 
