@@ -86,6 +86,10 @@ HEADLINE = [
     "analytics_top_states",
     "dedup_multi_signal",
     "stream_tumbling_append_live",
+    # r4 physical-design + BI segmentation + incremental dedup
+    "warehouse_bucketed_join",
+    "orders_rfm",
+    "dedup_incremental",
 ]
 
 

@@ -689,3 +689,112 @@ def keep_best_dedup(
             ).alias("dropped_ids"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: classify a NEW batch against the standing corpus
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capped_storage: str | None = None,
+) -> DataFrame:
+    """Per NEW document: ``(doc_id, verdict, match_id, jaccard)`` with
+    verdict ``exact_dup`` (normalized text already in the corpus,
+    match = smallest matching corpus id), ``near_dup`` (best corpus
+    neighbor with shingle Jaccard >= threshold; ``exact_dup`` takes
+    precedence and nulls the score), or ``novel``.
+
+    The daily-crawl contract: the batch is classified against the
+    standing corpus WITHOUT re-pairing the corpus against itself —
+    the join is asymmetric (batch shingles x corpus shingles), so per-
+    load cost is O(|batch| x blocking), not O(|corpus|^2) and not even
+    O(|corpus| log |corpus|) beyond the one corpus-side scan.
+
+    Blocking: the stop-shingle df-cap is computed over the CORPUS side
+    only, so a batch's verdicts do not depend on what else happened to
+    arrive in the same batch (stable under batch re-partitioning), and
+    the per-shingle fan-out is bounded by max_df exactly as in
+    :func:`jaccard_pairs`. Sizes on both sides use the capped
+    vocabulary, keeping the score a true Jaccard on the filtered
+    space. At 100 TB the corpus shingle table is the dominant cost:
+    pin it via ``capped_storage`` when classifying several batches in
+    one session, and materialize it as a bucketed table (bucketed on
+    ``s``) to amortize across loads.
+
+    Determinism: integer counts -> exact double division; best match
+    breaks score ties on smallest corpus id via row_number.
+    """
+    new_h = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_md5(F.col(text_col)).alias("content_hash"),
+    )
+    ex_canon = (
+        existing_docs.select(
+            fingerprint_md5(F.col(text_col)).alias("content_hash"),
+            F.col(id_col).alias("_m"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("_m").alias("exact_match_id"))
+    )
+    exact = new_h.join(ex_canon, "content_hash", "left").select(
+        "doc_id", "exact_match_id"
+    )
+
+    sh_new = shingle_table(new_docs, k, id_col, text_col)
+    sh_ex = shingle_table(existing_docs, k, id_col, text_col)
+    if max_df is not None:
+        freq = sh_ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        stop = freq.filter(F.col("df") > max_df).select("s")
+        sh_ex = sh_ex.join(F.broadcast(stop), "s", "left_anti")
+        sh_new = sh_new.join(F.broadcast(stop), "s", "left_anti")
+    sh_ex = _maybe_pin(sh_ex, capped_storage)
+    sizes_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    sizes_ex = sh_ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ex"))
+    common = (
+        sh_new.alias("a")
+        .join(sh_ex.alias("b"), F.col("a.s") == F.col("b.s"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("match_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        common.join(sizes_new, "doc_id")
+        .join(sizes_ex.withColumnRenamed("doc_id", "match_id"), "match_id")
+        .select(
+            "doc_id",
+            "match_id",
+            (
+                F.col("c") / (F.col("n_new") + F.col("n_ex") - F.col("c"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = W_.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("match_id").asc()
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return exact.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("exact_match_id").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("match_id").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("novel"))
+        .alias("verdict"),
+        F.coalesce("exact_match_id", "match_id").alias("match_id"),
+        F.when(F.col("exact_match_id").isNull(), F.col("jaccard")).alias(
+            "jaccard"
+        ),
+    )

@@ -8,7 +8,7 @@ RandomForest churn model is pyspark.ml and is exposed rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..analytics.descriptive import (
@@ -247,3 +247,102 @@ def ml_churn_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..analytics.predictive import churn_roc_points
 
     return churn_roc_points(spark, build_order_mart(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# RFM quintile segmentation (recency / frequency / monetary)
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "orders_rfm",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey AS customer_id,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                   (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS monetary
+  FROM orders
+  GROUP BY 1
+), scored AS (
+  SELECT *,
+         NTILE(5) OVER (ORDER BY recency_days DESC, customer_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency ASC, customer_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary ASC, customer_id) AS m_score
+  FROM per_cust
+)
+SELECT customer_id,
+       CAST(recency_days AS INTEGER) AS recency_days, frequency, monetary,
+       CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+            ELSE 'regular' END AS segment
+FROM scored
+ORDER BY customer_id
+""",
+)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile scores per customer — the classic BI segmentation
+    the reference's 3×3 value×frequency grid (`Python Analytics/
+    PythonAnalysis.py`, SURVEY §2.10 M9) generalizes to; this is the
+    standard R/F/M NTILE(5) form over the orders fact.
+
+    Determinism: each NTILE orders on (metric, customer_id) — a total
+    order, so tile boundaries are identical cross-engine; `monetary`
+    is an exact DECIMAL sum before the double cast.
+
+    Scale: ONE shuffle on o_custkey builds the per-customer grain
+    (partial-aggregated map-side).  The three NTILE windows are
+    unpartitioned single-ordering passes — fine at customer-dimension
+    cardinality (~1e8 rows at 100 TB sorts in seconds); for a fact-
+    grain variant, swap NTILE for percentile-bucketing against
+    approx-quantile cut points the way analytics/segmentation.py does.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("anchor_date")
+    )
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "customer_id",
+            F.datediff("anchor_date", "last_order")
+            .cast("int")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    w_r = W.orderBy(F.col("recency_days").desc(), "customer_id")
+    w_f = W.orderBy(F.col("frequency").asc(), "customer_id")
+    w_m = W.orderBy(F.col("monetary").asc(), "customer_id")
+    scored = per_cust.select(
+        "*",
+        F.ntile(5).over(w_r).cast("int").alias("r_score"),
+        F.ntile(5).over(w_f).cast("int").alias("f_score"),
+        F.ntile(5).over(w_m).cast("int").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm_score"),
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "recent")
+        .otherwise("regular")
+        .alias("segment"),
+    ).orderBy("customer_id")

@@ -1250,3 +1250,83 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(
         emb, centroid_stride=_SEM_STRIDE, threshold=_SEM_T
     ).orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: the daily-crawl batch classified vs the corpus
+# ---------------------------------------------------------------------------
+
+def _o_split_shingles(cte: str, tag: str) -> str:
+    """Shingle CTE chain for one side of the split (mirrors
+    _O_SHINGLES over a named source CTE)."""
+    return f"""
+{tag}toks AS (
+  SELECT doc_id, string_split({_O_NORM}, ' ') t FROM {cte}
+),
+{tag}idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 3 + 2)) AS i
+  FROM {tag}toks WHERE len(t) >= 3
+),
+{tag}sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM {tag}idx
+)"""
+
+
+@query_fn(
+    "dedup_incremental",
+    oracle=f"""
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+exd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+nh AS (SELECT doc_id, md5({_O_NORM}) AS h FROM newd),
+eh AS (
+  SELECT md5({_O_NORM}) AS h, MIN(doc_id) AS exact_match_id
+  FROM exd GROUP BY 1
+),{_o_split_shingles("newd", "n")},{_o_split_shingles("exd", "e")},
+stop AS (SELECT s FROM esh GROUP BY s HAVING COUNT(*) > {_MAX_DF}),
+nshc AS (SELECT * FROM nsh WHERE s NOT IN (SELECT s FROM stop)),
+eshc AS (SELECT * FROM esh WHERE s NOT IN (SELECT s FROM stop)),
+nsz AS (SELECT doc_id, COUNT(*) AS n FROM nshc GROUP BY 1),
+esz AS (SELECT doc_id, COUNT(*) AS n FROM eshc GROUP BY 1),
+common AS (
+  SELECT a.doc_id, b.doc_id AS match_id, COUNT(*) AS c
+  FROM nshc a JOIN eshc b ON a.s = b.s GROUP BY 1, 2
+),
+scored AS (
+  SELECT common.doc_id, match_id, c / (nsz.n + esz.n - c) AS jaccard
+  FROM common
+  JOIN nsz ON nsz.doc_id = common.doc_id
+  JOIN esz ON esz.doc_id = match_id
+  WHERE c / (nsz.n + esz.n - c) >= {_JACCARD_T}
+),
+best AS (
+  SELECT doc_id, match_id, jaccard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard DESC, match_id) AS rn
+  FROM scored QUALIFY rn = 1
+)
+SELECT nh.doc_id,
+       CASE WHEN eh.exact_match_id IS NOT NULL THEN 'exact_dup'
+            WHEN best.match_id IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS verdict,
+       COALESCE(eh.exact_match_id, best.match_id) AS match_id,
+       CASE WHEN eh.exact_match_id IS NULL THEN best.jaccard END AS jaccard
+FROM nh
+LEFT JOIN eh USING (h)
+LEFT JOIN best ON best.doc_id = nh.doc_id
+ORDER BY nh.doc_id
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-crawl increment (doc_id % 10 == 0) classified against
+    the standing corpus: exact_dup / near_dup (best Jaccard >= 0.5) /
+    novel, without ever re-pairing the corpus against itself — see
+    operators/dedup.incremental_dedup for the asymmetric-join scale
+    contract."""
+    from ..operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup(
+        new, existing, k=3, threshold=_JACCARD_T, max_df=_MAX_DF
+    ).orderBy("doc_id")

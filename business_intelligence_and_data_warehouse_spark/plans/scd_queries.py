@@ -232,3 +232,83 @@ def scd2_rebuild_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim.withColumn("version", F.col("version").cast("int")).orderBy(
         "c_custkey", "version"
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 snapshot diff: what changed in the dimension between two dates
+# ---------------------------------------------------------------------------
+
+_DIFF_A = "2016-06-01"  # after the initial load, before _LOAD
+_DIFF_B = "2020-07-01"  # after the _LOAD merge
+
+
+@query_fn(
+    "scd2_snapshot_diff",
+    oracle=f"""
+-- closed form of the dimension built by scd2_merge_batch: between
+-- {_DIFF_A} and {_DIFF_B} keys %5==0 changed segment and keys %100==0
+-- entered as brand-new (+1000000) keys; SCD2 never deletes, so the
+-- 'removed' branch is structurally empty here (kept for API parity)
+SELECT c_custkey, 'changed' AS change_type,
+       c_mktsegment AS old_segment,
+       'SEG_CHANGED' AS new_segment
+FROM customer WHERE c_custkey % 5 = 0
+UNION ALL
+SELECT c_custkey + 1000000, 'added', CAST(NULL AS VARCHAR), c_mktsegment
+FROM customer WHERE c_custkey % 100 = 0
+ORDER BY c_custkey
+""",
+)
+def scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit diff of the SCD2 dimension between two as-of dates.
+
+    The warehouse-ops question "what changed in this dimension since
+    the last audit?" answered from the dimension ALONE: resolve the
+    as-of slice at each date (same `effective_from <= d < effective_to`
+    predicate as `scd2_asof_lookup`), full-outer-join the two slices on
+    the business key, and classify every key as added / removed /
+    changed (unchanged keys drop out). Runs on the REAL merged
+    dimension (`scd2_initial_load` + `scd2_merge`), so the oracle's
+    closed form cross-checks the merge machinery end-to-end.
+
+    Scale: two filters over one dimension scan + a single key-partitioned
+    full outer join — the natural key is the shuffle key, and at 100 TB
+    dimension scale the as-of filters prune to ~one version per key
+    before the join.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    base = customer.select("c_custkey", "c_mktsegment")
+    dim = scd2_initial_load(base, "2016-01-01")
+    changed = customer.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", F.lit("SEG_CHANGED").alias("c_mktsegment")
+    )
+    unchanged = customer.filter(F.col("c_custkey") % 5 != 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    new_keys = customer.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_mktsegment"
+    )
+    batch = unchanged.unionByName(changed).unionByName(new_keys)
+    merged = scd2_merge(dim, batch, ["c_custkey"], ["c_mktsegment"], _LOAD)
+
+    def asof(date: str) -> DataFrame:
+        d = F.to_date(F.lit(date))
+        return merged.filter(
+            (F.col("effective_from") <= d) & (d < F.col("effective_to"))
+        ).select("c_custkey", "c_mktsegment")
+
+    a = asof(_DIFF_A).withColumnRenamed("c_mktsegment", "old_segment")
+    b = asof(_DIFF_B).withColumnRenamed("c_mktsegment", "new_segment")
+    diff = a.join(b, "c_custkey", "full_outer").select(
+        "c_custkey",
+        F.when(F.col("old_segment").isNull(), F.lit("added"))
+        .when(F.col("new_segment").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        "old_segment",
+        "new_segment",
+    )
+    return diff.filter(
+        (F.col("change_type") != "changed")
+        | (F.col("old_segment") != F.col("new_segment"))
+    ).orderBy("c_custkey")

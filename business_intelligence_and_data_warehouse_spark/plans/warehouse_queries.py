@@ -1,0 +1,116 @@
+"""Physical-design registry queries: the warehouse layer's bucketed
+co-located join as a driver-checkable query.
+
+The reference tunes physical access with B-tree indexes and batched
+JDBC loads (`Database/Database Creation.sql`, SURVEY §4); the
+Spark-native equivalent for its fact⋈fact joins is bucketing
+(`sources/warehouse.py`): both fact tables hash-clustered into the
+same number of buckets on the join key so the join runs WITHOUT a
+shuffle exchange on either side. At 100 TB that is the difference
+between re-shuffling two fact tables over the network on every load
+and none — the bucketed layout is written once and every downstream
+equi-join or aggregation on the key reuses it.
+
+`tests/test_plans.py::test_bucketed_join_plan_is_shuffle_free` pins
+the plan property (no `Exchange hashpartitioning` on the join keys);
+`tests/test_warehouse.py` covers the operator API directly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .queries import REVENUE, _rev, dsum, o_dsum, query_fn
+
+_N_BUCKETS = 8
+
+
+def _write_bucketed(
+    df: DataFrame, spark: SparkSession, table: str, bucket_col: str
+) -> None:
+    """External bucketed table under the system temp dir.
+
+    The catalog is per-session but the location outlives it, so a
+    fresh session re-registering the same table name must clear BOTH
+    (a stale dir alone raises LOCATION_ALREADY_EXISTS on saveAsTable).
+    """
+    path = os.path.join(tempfile.gettempdir(), "bidw_warehouse", table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(_N_BUCKETS, bucket_col)
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
+def _bucketed_fact_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Write (once per sf_dir per session) and read back the two fact
+    tables bucketed on the order key.
+
+    Table names carry an sf_dir tag so different scale factors in one
+    session never read each other's layout. The write is the one-time
+    layout cost the bucketing strategy amortizes across every later
+    co-located join.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li_name, ord_name = f"wb_lineitem_{tag}", f"wb_orders_{tag}"
+    if not spark.catalog.tableExists(li_name):
+        lineitem = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        _write_bucketed(lineitem, spark, li_name, "l_orderkey")
+    if not spark.catalog.tableExists(ord_name):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
+        _write_bucketed(orders, spark, ord_name, "o_orderkey")
+    return spark.table(li_name), spark.table(ord_name)
+
+
+@query_fn(
+    "warehouse_bucketed_join",
+    oracle=f"""
+SELECT o_orderpriority AS order_priority,
+       CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {o_dsum(REVENUE)} AS revenue
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+ORDER BY order_priority, year
+""",
+)
+def warehouse_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority × year off the BUCKETED fact layout.
+
+    The `merge` hint keeps the join a sort-merge join at every scale
+    factor (at sf0.01 Catalyst would otherwise broadcast the orders
+    side and never exercise the bucketed path); because both tables
+    are bucketed `_N_BUCKETS`-ways on the key, the SMJ reads the
+    buckets directly — the plan's only exchanges are the small
+    post-aggregation and final-sort ones.
+    """
+    li, od = _bucketed_fact_tables(spark, sf_dir)
+    return (
+        li.hint("merge")
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("order_priority"),
+            F.year("o_orderdate").cast("int").alias("year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(_rev()).alias("revenue"),
+        )
+        .orderBy("order_priority", "year")
+    )
