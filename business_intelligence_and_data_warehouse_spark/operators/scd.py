@@ -435,3 +435,66 @@ def scd2_rebuild_from_snapshots(
         .withColumn("version", F.row_number().over(w2).cast("int"))
         .select(*nat_key, *tracked, "effective_from", "effective_to", "version")
     )
+
+
+def scd2_snapshot_diff(
+    dim: DataFrame,
+    date_a: str,
+    date_b: str,
+    nat_key: Sequence[str],
+    tracked: Sequence[str],
+) -> DataFrame:
+    """What changed in the dimension between two as-of dates, from the
+    dimension alone: resolve the slice valid at each date (same
+    ``effective_from <= d < effective_to`` predicate as
+    :func:`scd2_asof_lookup`), full-outer-join the slices on the
+    business key, and classify each key ``added`` / ``removed`` /
+    ``changed`` (keys whose tracked attributes are identical drop
+    out).  Output columns: nat_key + change_type + old_/new_ per
+    tracked attribute.
+
+    ``removed`` appears when a key's last version closed before
+    ``date_b`` with no successor — merges never produce that, but
+    dimensions maintained with delete handling (or truncated history)
+    do, so the classifier keeps the branch.
+
+    Scale: two filters over one dimension scan + a single
+    key-partitioned full outer join; the as-of filters prune to ~one
+    version per key before the shuffle.
+    """
+    nat_key = list(nat_key)
+    tracked = list(tracked)
+
+    def asof(date: str, prefix: str) -> DataFrame:
+        d = F.to_date(F.lit(date))
+        # explicit presence marker: a tracked attribute may be
+        # legitimately NULL in a present row, so null-ness of the
+        # attribute cannot stand in for "key absent on this side"
+        sel = (
+            nat_key
+            + [F.col(t).alias(f"{prefix}{t}") for t in tracked]
+            + [F.lit(True).alias(f"{prefix}present")]
+        )
+        return dim.filter(
+            (F.col("effective_from") <= d) & (d < F.col("effective_to"))
+        ).select(*sel)
+
+    a = asof(date_a, "old_")
+    b = asof(date_b, "new_")
+    diff = a.join(b, nat_key, "full_outer").select(
+        *nat_key,
+        F.when(F.col("old_present").isNull(), F.lit("added"))
+        .when(F.col("new_present").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        *[F.col(f"old_{t}") for t in tracked],
+        *[F.col(f"new_{t}") for t in tracked],
+    )
+    changed_any = functools.reduce(
+        lambda x, y: x | y,
+        [
+            ~F.col(f"old_{t}").eqNullSafe(F.col(f"new_{t}"))
+            for t in tracked
+        ],
+    )
+    return diff.filter((F.col("change_type") != "changed") | changed_any)

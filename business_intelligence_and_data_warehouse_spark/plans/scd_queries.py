@@ -19,6 +19,7 @@ from ..operators.scd import (
     scd2_initial_load,
     scd2_merge,
     scd2_rebuild_from_snapshots,
+    scd2_snapshot_diff as scd2_dim_diff,
 )
 from ..sources.testdata import load_table
 from .queries import query_fn
@@ -260,22 +261,15 @@ ORDER BY c_custkey
 """,
 )
 def scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audit diff of the SCD2 dimension between two as-of dates.
-
-    The warehouse-ops question "what changed in this dimension since
-    the last audit?" answered from the dimension ALONE: resolve the
-    as-of slice at each date (same `effective_from <= d < effective_to`
-    predicate as `scd2_asof_lookup`), full-outer-join the two slices on
-    the business key, and classify every key as added / removed /
-    changed (unchanged keys drop out). Runs on the REAL merged
-    dimension (`scd2_initial_load` + `scd2_merge`), so the oracle's
-    closed form cross-checks the merge machinery end-to-end.
-
-    Scale: two filters over one dimension scan + a single key-partitioned
-    full outer join — the natural key is the shuffle key, and at 100 TB
-    dimension scale the as-of filters prune to ~one version per key
-    before the join.
-    """
+    """Audit diff of the SCD2 dimension between two as-of dates —
+    the warehouse-ops question "what changed in this dimension since
+    the last audit?" answered from the dimension alone via the
+    generic `operators/scd.scd2_snapshot_diff` classifier, run on the
+    REAL merged dimension (`scd2_initial_load` + `scd2_merge`) so the
+    oracle's closed form cross-checks the merge machinery end-to-end.
+    The `removed` branch is structurally empty here (merges never
+    delete); `tests/test_scd.py` exercises it on a dimension with a
+    closed-out key."""
     customer = load_table(spark, sf_dir, "customer")
     base = customer.select("c_custkey", "c_mktsegment")
     dim = scd2_initial_load(base, "2016-01-01")
@@ -290,25 +284,12 @@ def scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = unchanged.unionByName(changed).unionByName(new_keys)
     merged = scd2_merge(dim, batch, ["c_custkey"], ["c_mktsegment"], _LOAD)
-
-    def asof(date: str) -> DataFrame:
-        d = F.to_date(F.lit(date))
-        return merged.filter(
-            (F.col("effective_from") <= d) & (d < F.col("effective_to"))
-        ).select("c_custkey", "c_mktsegment")
-
-    a = asof(_DIFF_A).withColumnRenamed("c_mktsegment", "old_segment")
-    b = asof(_DIFF_B).withColumnRenamed("c_mktsegment", "new_segment")
-    diff = a.join(b, "c_custkey", "full_outer").select(
-        "c_custkey",
-        F.when(F.col("old_segment").isNull(), F.lit("added"))
-        .when(F.col("new_segment").isNull(), F.lit("removed"))
-        .otherwise(F.lit("changed"))
-        .alias("change_type"),
-        "old_segment",
-        "new_segment",
+    diff = scd2_dim_diff(
+        merged, _DIFF_A, _DIFF_B, ["c_custkey"], ["c_mktsegment"]
     )
-    return diff.filter(
-        (F.col("change_type") != "changed")
-        | (F.col("old_segment") != F.col("new_segment"))
+    return diff.select(
+        "c_custkey",
+        "change_type",
+        F.col("old_c_mktsegment").alias("old_segment"),
+        F.col("new_c_mktsegment").alias("new_segment"),
     ).orderBy("c_custkey")

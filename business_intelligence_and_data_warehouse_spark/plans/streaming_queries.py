@@ -120,9 +120,7 @@ def stream_tumbling_append_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
-@query_fn(
-    "stream_sliding_sums",
-    oracle=f"""
+_O_SLIDING = f"""
 WITH {_O_EV},
 expanded AS (
   SELECT make_timestamp(
@@ -138,12 +136,26 @@ SELECT window_start,
 FROM expanded
 GROUP BY 1, 2
 ORDER BY window_start
-""",
-)
+"""
+
+
+@query_fn("stream_sliding_sums", oracle=_O_SLIDING)
 def stream_sliding_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h/15min window totals (each event in 4 windows)."""
     events = load_table(spark, sf_dir, "events")
     return sliding_sums(events).orderBy("window_start")
+
+
+@query_fn("stream_sliding_live", oracle=_O_SLIDING)
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sliding aggregation executed as a real Structured
+    Streaming query (readStream -> memory sink, availableNow trigger,
+    complete mode) — the overlapping-window state path that
+    stream_tumbling_live exercises for tumbling windows; results must
+    match the batch oracle exactly."""
+    stream = read_event_stream(spark, sf_dir)
+    out = run_stream_to_table(sliding_sums(stream), mode="complete")
+    return out.orderBy("window_start")
 
 
 _O_SESSION = f"""

@@ -78,6 +78,74 @@ def _bucketed_fact_tables(
     return spark.table(li_name), spark.table(ord_name)
 
 
+_PRUNE_YEARS = (1996, 1997)
+
+
+@query_fn(
+    "warehouse_partition_prune",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM orders
+WHERE year(o_orderdate) IN {_PRUNE_YEARS}
+GROUP BY 1, 2
+ORDER BY o_year, o_month
+""",
+)
+def warehouse_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order totals off the DATE-PARTITIONED fact layout,
+    filtered to two years: the scan must prune to those partitions'
+    directories (PartitionFilters in the plan — gated in
+    tests/test_plans.py), reading 2/N of the data instead of all of
+    it.  partitionBy(year) is the standard warehouse layout for a
+    100 TB time-series fact: every dashboard/report query carries a
+    date predicate, and partition pruning turns it into IO savings
+    BEFORE any row is read (coarser than parquet row-group stats,
+    which still require opening every file's footer).
+    """
+    od = _partitioned_orders(spark, sf_dir)
+    return (
+        od.filter(F.col("o_year").isin(*_PRUNE_YEARS))
+        .groupBy(
+            F.col("o_year").cast("int").alias("o_year"),
+            F.month("o_orderdate").cast("int").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_year", "o_month")
+    )
+
+
+def _partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write (once per sf_dir per session) and read back orders
+    partitioned by order year — the pruning twin of
+    :func:`_bucketed_fact_tables`."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"wp_orders_{tag}"
+    if not spark.catalog.tableExists(name):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderdate",
+            "o_totalprice",
+            F.year("o_orderdate").alias("o_year"),
+        )
+        path = os.path.join(tempfile.gettempdir(), "bidw_warehouse", name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            orders.write.mode("overwrite")
+            .partitionBy("o_year")
+            .option("path", path)
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
 @query_fn(
     "warehouse_bucketed_join",
     oracle=f"""

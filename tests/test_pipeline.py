@@ -276,3 +276,47 @@ def test_multi_signal_matches_standalone_operators(spark, sf_dir):
     # exactly one canonical per content-hash group
     canon = Counter(r.content_hash for r in report if r.is_canonical)
     assert set(canon) == set(exact) and all(v == 1 for v in canon.values())
+
+
+def test_incremental_dedup_edge_semantics(spark):
+    """Edge contract of incremental_dedup: exact beats near (score
+    nulled), ties on jaccard break to the smallest corpus id, docs
+    too short to shingle can still be exact_dup, and a batch doc
+    matching nothing is novel."""
+    from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    existing = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # exact twin of 1
+            (3, "alpha beta gamma epsilon"),
+            (4, "zz"),  # too short to shingle
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta gamma delta"),  # exact after normalize
+            (11, "alpha beta gamma zeta"),  # near of 1/2/3, tie -> 1
+            (12, "totally different words here"),  # novel
+            (13, "zz"),  # exact dup of the unshingleable doc
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in incremental_dedup(
+            new, existing, k=3, threshold=0.3, max_df=None
+        ).collect()
+    }
+    assert rows[10]["verdict"] == "exact_dup"
+    assert rows[10]["match_id"] == 1  # smallest exact twin
+    assert rows[10]["jaccard"] is None  # exact precedence nulls score
+    assert rows[11]["verdict"] == "near_dup"
+    assert rows[11]["match_id"] == 1  # jaccard tie vs 2 -> smaller id
+    assert rows[11]["jaccard"] is not None
+    assert rows[12]["verdict"] == "novel"
+    assert rows[12]["match_id"] is None
+    assert rows[13]["verdict"] == "exact_dup" and rows[13]["match_id"] == 4

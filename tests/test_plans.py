@@ -341,6 +341,7 @@ _BUDGETS = json.load(
 # return reads a memory/parquet result, so a plan gate on it would
 # inspect the wrong plan; each has dedicated semantics tests instead
 _EXECUTES_AT_BUILD = {
+    "stream_sliding_live",
     "stream_tumbling_live",
     "stream_tumbling_append_live",
     "stream_session_live",
@@ -402,6 +403,22 @@ def test_bucketed_join_plan_is_shuffle_free(spark):
     assert n_join_key == 0, f"bucketed join shuffled a fact side:\n{plan}"
     # the scans must also carry the bucket metadata
     assert "SelectedBucketsCount" in plan, plan
+
+
+def test_partitioned_scan_prunes(spark):
+    """warehouse_partition_prune: the two-year predicate must reach the
+    partitioned scan as PartitionFilters on o_year — directory-level
+    pruning, the IO win the partitionBy layout exists for."""
+    plan = plan_of(spark, "warehouse_partition_prune")
+    blocks = [
+        b
+        for b in re.split(r"\n\(\d+\) ", plan)
+        if b.startswith("Scan parquet")
+    ]
+    assert blocks, plan
+    assert any(
+        "PartitionFilters" in b and "o_year" in b for b in blocks
+    ), f"partition filter did not reach the scan:\n{plan}"
 
 
 def test_no_collect_in_query_code_paths():

@@ -239,3 +239,39 @@ def test_merge_semantics_twin_matches_batch_rewrite(spark, batch, same_day):
     assert sorted(tuple(r) for r in got.select(*cols).collect()) == sorted(
         tuple(r) for r in want.select(*cols).collect()
     )
+
+
+def test_snapshot_diff_reports_removed_keys(spark):
+    """The registry query's oracle can never produce 'removed' (SCD2
+    merges don't delete); the generic classifier must still report a
+    key whose only version closed before the second as-of date, and
+    must not confuse a legitimately-NULL tracked attribute with key
+    absence."""
+    from pyspark.sql import functions as F
+
+    from business_intelligence_and_data_warehouse_spark.operators.scd import (
+        scd2_snapshot_diff,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: open forever, unchanged -> dropped from the diff
+            (1, "A", "2016-01-01", "2099-12-31"),
+            # key 2: closed between the two dates, no successor
+            (2, "B", "2016-01-01", "2018-01-01"),
+            # key 3: appears between the two dates
+            (3, "C", "2019-01-01", "2099-12-31"),
+            # key 4: present BOTH dates with a NULL attribute -> must
+            # classify as unchanged (dropped), not added/removed
+            (4, None, "2016-01-01", "2099-12-31"),
+        ],
+        "k long, seg string, effective_from string, effective_to string",
+    ).select(
+        "k",
+        "seg",
+        F.to_date("effective_from").alias("effective_from"),
+        F.to_date("effective_to").alias("effective_to"),
+    )
+    diff = scd2_snapshot_diff(dim, "2017-01-01", "2020-01-01", ["k"], ["seg"])
+    got = {r["k"]: r["change_type"] for r in diff.collect()}
+    assert got == {2: "removed", 3: "added"}
