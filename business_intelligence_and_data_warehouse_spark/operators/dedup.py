@@ -732,14 +732,21 @@ def incremental_dedup(
     Determinism: integer counts -> exact double division; best match
     breaks score ties on smallest corpus id via row_number.
     """
-    new_h = new_docs.select(
-        F.col(id_col).alias("doc_id"),
-        fingerprint_md5(F.col(text_col)).alias("content_hash"),
+    # ONE normalize+tokenize pass per side: the content hash re-derives
+    # the normalized text from the token array (concat_ws(" ", toks)
+    # inverts the whitespace-collapsing tokenization exactly — the
+    # multi_signal_dedup identity) so the exact tier and the shingle
+    # tier share the scan instead of each re-running the regex
+    # normalize over the corpus (the module's one-tokenize-pass rule).
+    toks_new = token_table(new_docs, id_col, text_col)
+    toks_ex = token_table(existing_docs, id_col, text_col)
+    new_h = toks_new.select(
+        "doc_id", F.md5(F.concat_ws(" ", "toks")).alias("content_hash")
     )
     ex_canon = (
-        existing_docs.select(
-            fingerprint_md5(F.col(text_col)).alias("content_hash"),
-            F.col(id_col).alias("_m"),
+        toks_ex.select(
+            F.md5(F.concat_ws(" ", "toks")).alias("content_hash"),
+            F.col("doc_id").alias("_m"),
         )
         .groupBy("content_hash")
         .agg(F.min("_m").alias("exact_match_id"))
@@ -748,8 +755,8 @@ def incremental_dedup(
         "doc_id", "exact_match_id"
     )
 
-    sh_new = shingle_table(new_docs, k, id_col, text_col)
-    sh_ex = shingle_table(existing_docs, k, id_col, text_col)
+    sh_new = shingles_from_tokens(toks_new, k)
+    sh_ex = shingles_from_tokens(toks_ex, k)
     if max_df is not None:
         freq = sh_ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         stop = freq.filter(F.col("df") > max_df).select("s")

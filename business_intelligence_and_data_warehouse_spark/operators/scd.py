@@ -490,11 +490,15 @@ def scd2_snapshot_diff(
         *[F.col(f"old_{t}") for t in tracked],
         *[F.col(f"new_{t}") for t in tracked],
     )
+    # F.lit(False) initializer: an empty `tracked` (presence-only diff
+    # of added/removed keys) must degrade to dropping every both-sides
+    # key, not crash reduce()
     changed_any = functools.reduce(
         lambda x, y: x | y,
         [
             ~F.col(f"old_{t}").eqNullSafe(F.col(f"new_{t}"))
             for t in tracked
         ],
+        F.lit(False),
     )
     return diff.filter((F.col("change_type") != "changed") | changed_any)

@@ -18,12 +18,13 @@ the plan property (no `Exchange hashpartitioning` on the join keys);
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, DataFrameWriter, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
@@ -31,25 +32,40 @@ from .queries import REVENUE, _rev, dsum, o_dsum, query_fn
 
 _N_BUCKETS = 8
 
+_LAYOUT_PARENT: str | None = None
 
-def _write_bucketed(
-    df: DataFrame, spark: SparkSession, table: str, bucket_col: str
+
+def _layout_dir(table: str) -> str:
+    """PER-PROCESS external-table location: a shared fixed path would
+    let two concurrent processes on the same sf_dir race (the second's
+    rmtree+rewrite yanks files out from under the first's live scan —
+    the aliasing hazard streaming_queries._fresh_result_dir documents).
+    The parent is removed at interpreter exit so layouts don't leak
+    across runs."""
+    global _LAYOUT_PARENT
+    if _LAYOUT_PARENT is None:
+        _LAYOUT_PARENT = tempfile.mkdtemp(prefix="bidw_warehouse_")
+        atexit.register(shutil.rmtree, _LAYOUT_PARENT, ignore_errors=True)
+    return os.path.join(_LAYOUT_PARENT, table)
+
+
+def _replace_external_table(
+    spark: SparkSession,
+    table: str,
+    writer: DataFrameWriter,
 ) -> None:
-    """External bucketed table under the system temp dir.
+    """(Re)create an external table at its per-process location.
 
-    The catalog is per-session but the location outlives it, so a
-    fresh session re-registering the same table name must clear BOTH
-    (a stale dir alone raises LOCATION_ALREADY_EXISTS on saveAsTable).
+    The catalog is per-session but a location outlives it, so the
+    table name AND any stale dir must both be cleared before
+    saveAsTable (a stale dir alone raises LOCATION_ALREADY_EXISTS).
+    Shared by the bucketed and partitioned layout writers so the
+    stale-location handling cannot diverge between them.
     """
-    path = os.path.join(tempfile.gettempdir(), "bidw_warehouse", table)
+    path = _layout_dir(table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     shutil.rmtree(path, ignore_errors=True)
-    (
-        df.write.mode("overwrite")
-        .bucketBy(_N_BUCKETS, bucket_col)
-        .option("path", path)
-        .saveAsTable(table)
-    )
+    writer.option("path", path).saveAsTable(table)
 
 
 def _bucketed_fact_tables(
@@ -69,12 +85,22 @@ def _bucketed_fact_tables(
         lineitem = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount"
         )
-        _write_bucketed(lineitem, spark, li_name, "l_orderkey")
+        _replace_external_table(
+            spark,
+            li_name,
+            lineitem.write.mode("overwrite").bucketBy(
+                _N_BUCKETS, "l_orderkey"
+            ),
+        )
     if not spark.catalog.tableExists(ord_name):
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderdate", "o_orderpriority"
         )
-        _write_bucketed(orders, spark, ord_name, "o_orderkey")
+        _replace_external_table(
+            spark,
+            ord_name,
+            orders.write.mode("overwrite").bucketBy(_N_BUCKETS, "o_orderkey"),
+        )
     return spark.table(li_name), spark.table(ord_name)
 
 
@@ -134,14 +160,8 @@ def _partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             F.year("o_orderdate").alias("o_year"),
         )
-        path = os.path.join(tempfile.gettempdir(), "bidw_warehouse", name)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(path, ignore_errors=True)
-        (
-            orders.write.mode("overwrite")
-            .partitionBy("o_year")
-            .option("path", path)
-            .saveAsTable(name)
+        _replace_external_table(
+            spark, name, orders.write.mode("overwrite").partitionBy("o_year")
         )
     return spark.table(name)
 

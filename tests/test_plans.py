@@ -410,11 +410,7 @@ def test_partitioned_scan_prunes(spark):
     partitioned scan as PartitionFilters on o_year — directory-level
     pruning, the IO win the partitionBy layout exists for."""
     plan = plan_of(spark, "warehouse_partition_prune")
-    blocks = [
-        b
-        for b in re.split(r"\n\(\d+\) ", plan)
-        if b.startswith("Scan parquet")
-    ]
+    blocks = scan_blocks(plan)
     assert blocks, plan
     assert any(
         "PartitionFilters" in b and "o_year" in b for b in blocks
