@@ -430,3 +430,47 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         "first_event",
     ).orderBy("event_type")
+
+
+@query_fn(
+    "skew_salted_join",
+    oracle="""
+WITH dim AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS type_value_sum,
+         CAST(COUNT(*) AS BIGINT) AS type_n
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value, d.type_value_sum, d.type_n
+FROM events e JOIN dim d USING (event_type)
+ORDER BY event_id
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof replicate-broadcast join
+    (operators/skew.salted_broadcast_left): every event row enriched
+    with its type's corpus-wide stats.  `event_type` has 5 values over
+    the whole fact, so every join key is hot by construction — the
+    deterministic salt spreads each key's rows over 8 (key, salt)
+    tasks while the broadcast side is exploded once per salt value.
+    Results are EXACTLY the plain inner join (the oracle), the same
+    equality contract skew_salted_agg pins for the aggregation case.
+    """
+    from ..operators.skew import salted_broadcast_left
+
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("type_value_sum"),
+        F.count(F.lit(1)).alias("type_n"),
+    )
+    out = salted_broadcast_left(
+        events.select("event_id", "event_type", "value"),
+        dim,
+        ["event_type"],
+        salt_buckets=8,
+    )
+    return out.select(
+        "event_id", "event_type", "value", "type_value_sum", "type_n"
+    ).orderBy("event_id")
