@@ -320,3 +320,74 @@ def test_incremental_dedup_edge_semantics(spark):
     assert rows[12]["verdict"] == "novel"
     assert rows[12]["match_id"] is None
     assert rows[13]["verdict"] == "exact_dup" and rows[13]["match_id"] == 4
+
+
+def test_incremental_dedup_consistent_with_standalone_operators(spark, sf_dir):
+    """incremental_dedup must agree with the standalone operators it
+    composes: its exact tier with exact_dedup's hash groups, its near
+    tier with jaccard_pairs over the union restricted to (new,
+    existing) pairs — same k/threshold/df-cap-off configuration."""
+    from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+        incremental_dedup,
+        jaccard_pairs,
+        shingle_table,
+    )
+    from business_intelligence_and_data_warehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    got = {
+        r["doc_id"]: r
+        for r in incremental_dedup(
+            new, existing, k=3, threshold=0.5, max_df=None
+        ).collect()
+    }
+
+    # exact tier: a new doc is exact_dup iff some existing doc shares
+    # its normalized-text fingerprint, matched to the smallest such id
+    from business_intelligence_and_data_warehouse_spark.functions.text import (
+        fingerprint_md5,
+    )
+
+    doc_hash = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", fingerprint_md5(F.col("text")).alias("h")
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    ex_ids = {r["doc_id"] for r in existing.select("doc_id").collect()}
+    for nid in new_ids:
+        exact_twins = [
+            e for e in ex_ids if doc_hash[e] == doc_hash[nid]
+        ]
+        if exact_twins:
+            assert got[nid]["verdict"] == "exact_dup"
+            assert got[nid]["match_id"] == min(exact_twins)
+
+    # near tier: jaccard_pairs over the union, restricted to cross
+    # (new, existing) pairs, must reproduce the best match + score
+    pairs = jaccard_pairs(
+        shingle_table(docs, 3), 0.5, max_df=None, capped_storage=None
+    ).collect()
+    best = {}
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        for nid, eid in ((a, b), (b, a)):
+            if nid in new_ids and eid in ex_ids:
+                cur = best.get(nid)
+                cand = (-r["jaccard"], eid)
+                if cur is None or cand < cur:
+                    best[nid] = cand
+    for nid in new_ids:
+        row = got[nid]
+        if row["verdict"] == "near_dup":
+            assert nid in best, f"{nid} near_dup but no standalone pair"
+            neg_j, eid = best[nid]
+            assert row["match_id"] == eid
+            assert abs(row["jaccard"] - (-neg_j)) < 1e-12
+        elif row["verdict"] == "novel":
+            assert nid not in best, f"{nid} novel but standalone found a pair"
