@@ -576,13 +576,14 @@ def multi_signal_dedup(
     signal's own shuffle/blocking design is unchanged (the per-signal
     operators are called on the shared tables, not reimplemented).
 
-    Measured at sf0.1 (interleaved same-context A/B under the cache
-    ledger, 3 rounds each): the three-signal composite ran 1.8-2.5s
-    while exact+minhash+simhash back-to-back ran 4.5-12.0s — every
-    composite run beat every separate run, best-vs-best 2.4x.  The
-    tokens pin itself was a wash warm (2.0 pinned vs 2.1 unpinned
-    best-of-3) but is the right default: at crawl scale the re-derived
-    subtree is scan-bound, the case _maybe_pin documents.
+    Measured at sf0.1 (interleaved same-context A/B, warm best-of-3,
+    late r4 after the _degree explode fix): composite 5.3s vs 6.75s
+    for exact+minhash+simhash back-to-back — 1.27x at this SF, where
+    the shared scan is cheap; at crawl scale the composite's two
+    saved corpus scans+normalizes dominate.  The tokens pin itself
+    was a wash warm (2.0 pinned vs 2.1 unpinned best-of-3) but is the
+    right default: at crawl scale the re-derived subtree is
+    scan-bound, the case _maybe_pin documents.
     """
     toks = _maybe_pin(
         token_table(docs, id_col, text_col).withColumn(
@@ -606,9 +607,16 @@ def multi_signal_dedup(
     ham = simhash_pairs_from_sigs(sigs, num_bits, max_hamming)
 
     def _degree(pairs: DataFrame, alias: str) -> DataFrame:
+        # explode both endpoints map-side: ONE consumer of the pair
+        # subtree. The union-of-two-projections form read `pairs`
+        # through two branches, and the near-pair pipeline ends in a
+        # join+filter with NO trailing exchange — each branch re-ran
+        # the whole verify join (measured at sf0.1: composite 8.3s
+        # union-degree vs 4.7s explode-degree, 1.8x).
         return (
-            pairs.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            pairs.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+            )
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias(alias))
         )

@@ -134,10 +134,12 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if method == "two_phase":
         # node set BEFORE the self-loop filter: a (k, k)-only node is
-        # still a (singleton) component and must get a label
+        # still a (singleton) component and must get a label.
+        # explode(array(u, v)) reads the caller's (possibly expensive)
+        # pair pipeline ONCE; the union-of-two-projections form read
+        # it twice (the multi_signal degree lesson, operators/dedup.py)
         nodes = (
-            e.select(F.col("u").alias("node"))
-            .unionByName(e.select(F.col("v").alias("node")))
+            e.select(F.explode(F.array("u", "v")).alias("node"))
             .distinct()
             .localCheckpoint(eager=True)
         )
@@ -151,8 +153,20 @@ def connected_components(
     # every propagation round, but the blocks must be RELEASED when the
     # next registry query starts (a leaked persist distorts later
     # plans/timings — the r4 plan-gate sweep caught exactly this class)
+    # symmetrize with a map-side struct explode — one read of the
+    # caller's pair pipeline at pin-materialization time, not two
     e = pin(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select("_p.u", "_p.v")
         .distinct()
     )
     labels = e.select(F.col("u").alias("node")).distinct().select(
