@@ -158,6 +158,43 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start")
 
 
+@query_fn(
+    "stream_sliding_append_live",
+    oracle=f"""
+WITH {_O_EV},
+mx AS (SELECT MAX(ts) AS m FROM ev),
+expanded AS (
+  SELECT make_timestamp(
+           (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000
+         ) AS window_start,
+         value
+  FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS n_events,
+       {_O_VSUM} AS value_sum
+FROM expanded CROSS JOIN mx
+WHERE window_start + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE
+GROUP BY window_start, mx.m
+ORDER BY window_start
+""",
+)
+def stream_sliding_append_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows in APPEND output mode — overlapping windows
+    close STAGGERED: each slide's window is emitted exactly once when
+    the watermark (max event time − 30 min) passes its end, so at any
+    moment window/slide windows are open concurrently and state is
+    bounded by that overlap count, not history length.  With
+    availableNow the emitted set is exactly the windows whose end
+    precedes the final watermark — the oracle's cut (the same
+    emission contract stream_tumbling_append_live pins for the
+    non-overlapping case)."""
+    stream = read_event_stream(spark, sf_dir)
+    out = run_stream_to_table(sliding_sums(stream), mode="append")
+    return out.orderBy("window_start")
+
+
 _O_SESSION = f"""
 WITH {_O_EV},
 seq AS (

@@ -75,12 +75,20 @@ def tumbling_counts(
 
 
 def sliding_sums(
-    events: DataFrame, window: str = "1 hour", slide: str = "15 minutes"
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
 ) -> DataFrame:
     """Overlapping-window aggregate (each event lands in window/slide
-    windows)."""
+    windows). On a stream the watermark bounds the open-window state
+    and (in append mode) gates emission: a window is released once the
+    watermark passes its end."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
     return (
-        events.groupBy(F.window("ts", window, slide).alias("w"))
+        src.groupBy(F.window("ts", window, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(

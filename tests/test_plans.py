@@ -342,6 +342,7 @@ _BUDGETS = json.load(
 # inspect the wrong plan; each has dedicated semantics tests instead
 _EXECUTES_AT_BUILD = {
     "stream_sliding_live",
+    "stream_sliding_append_live",
     "stream_tumbling_live",
     "stream_tumbling_append_live",
     "stream_session_live",
