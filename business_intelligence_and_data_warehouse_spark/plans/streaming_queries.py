@@ -120,15 +120,19 @@ def stream_tumbling_append_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
-_O_SLIDING = f"""
-WITH {_O_EV},
+# slide expansion shared by the batch/complete and append oracles —
+# ONE copy so the window/slide arithmetic cannot desynchronize
+_O_SLIDE_EXPANDED = """
 expanded AS (
   SELECT make_timestamp(
            (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000
          ) AS window_start,
          value
   FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
-)
+)"""
+
+_O_SLIDING = f"""
+WITH {_O_EV},{_O_SLIDE_EXPANDED}
 SELECT window_start,
        window_start + INTERVAL 1 HOUR AS window_end,
        COUNT(*) AS n_events,
@@ -162,14 +166,7 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sliding_append_live",
     oracle=f"""
 WITH {_O_EV},
-mx AS (SELECT MAX(ts) AS m FROM ev),
-expanded AS (
-  SELECT make_timestamp(
-           (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000
-         ) AS window_start,
-         value
-  FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
-)
+mx AS (SELECT MAX(ts) AS m FROM ev),{_O_SLIDE_EXPANDED}
 SELECT window_start,
        window_start + INTERVAL 1 HOUR AS window_end,
        COUNT(*) AS n_events,

@@ -329,14 +329,16 @@ def test_incremental_dedup_consistent_with_standalone_operators(spark, sf_dir):
     existing) pairs — same k/threshold/df-cap-off configuration."""
     from business_intelligence_and_data_warehouse_spark.operators.dedup import (
         incremental_dedup,
-        jaccard_pairs,
-        shingle_table,
     )
     from business_intelligence_and_data_warehouse_spark.sources.testdata import (
         load_table,
     )
 
-    docs = load_table(spark, sf_dir, "documents").limit(200)
+    # deterministic subset — an unordered limit() can pick DIFFERENT
+    # rows per action on a multi-partition source
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
     new = docs.filter(F.col("doc_id") % 10 == 0)
     existing = docs.filter(F.col("doc_id") % 10 != 0)
     got = {
@@ -367,6 +369,9 @@ def test_incremental_dedup_consistent_with_standalone_operators(spark, sf_dir):
         if exact_twins:
             assert got[nid]["verdict"] == "exact_dup"
             assert got[nid]["match_id"] == min(exact_twins)
+        else:
+            # two-directional: an always-exact regression must fail
+            assert got[nid]["verdict"] != "exact_dup"
 
     # near tier: jaccard_pairs over the union, restricted to cross
     # (new, existing) pairs, must reproduce the best match + score
