@@ -57,3 +57,58 @@ def test_result_invariant_under_repartitioning(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b, f"{name} result depends on shuffle partitioning"
+
+
+def test_event_order_key_total_order_across_epochs(spark, oracle_con):
+    """The fixed-width sortable key's lexicographic==numeric guarantee
+    must hold for PRE-1970 timestamps too (the epoch bias keeps the
+    padded value strictly positive — an unbiased negative epoch lpads
+    to '-000…' which sorts in REVERSED magnitude order), and the
+    DuckDB twin must produce byte-identical keys."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from business_intelligence_and_data_warehouse_spark.functions.parity import (
+        event_order_key,
+        o_event_order_key,
+    )
+
+    rows = [
+        (i, ts)
+        for i, ts in enumerate(
+            [
+                datetime.datetime(1905, 1, 1, 0, 0, 0),
+                datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),
+                datetime.datetime(1970, 1, 1, 0, 0, 0),
+                datetime.datetime(1970, 1, 1, 0, 0, 0, 1),
+                datetime.datetime(2000, 6, 15, 12, 0, 0),
+                datetime.datetime(2099, 12, 31, 23, 59, 59),
+            ]
+        )
+        for _ in (0, 1)  # two ids per ts exercise the id tiebreak
+    ]
+    rows = [(eid, ts) for eid, (i, ts) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = (
+        df.select(
+            "event_id",
+            "ts",
+            event_order_key("ts", "event_id").alias("k"),
+        )
+        .collect()
+    )
+    # lexicographic key order == numeric (ts, id) order
+    by_key = [(r["ts"], r["event_id"]) for r in sorted(got, key=lambda r: r["k"])]
+    assert by_key == sorted(by_key)
+    # DuckDB twin: byte-identical keys for the same rows
+    oracle_con.execute("CREATE OR REPLACE TEMP TABLE evk (event_id BIGINT, ts TIMESTAMP)")
+    oracle_con.executemany("INSERT INTO evk VALUES (?, ?)", rows)
+    want = dict(
+        oracle_con.execute(
+            f"SELECT event_id, {o_event_order_key('ts', 'event_id')} FROM evk"
+        ).fetchall()
+    )
+    for r in got:
+        assert r["k"] == want[r["event_id"]], r["event_id"]
+    oracle_con.execute("DROP TABLE evk")
