@@ -204,3 +204,23 @@ def test_pack_matches_reference_and_invariants(spark, sizes):
     for docs in by_seq.values():
         if len(docs) > 1:
             assert sum(docs) <= cap
+
+
+def test_pack_int_group_and_null_tokens(spark):
+    """The ADVICE r03 fixes: a NON-STRING group column must round-trip
+    through the applyInPandas schema unchanged, and null token counts
+    (e.g. size() of a null token array) pack as zero-length documents
+    instead of breaking the pandas astype."""
+    df = spark.createDataFrame(
+        [(7, 0, 100), (7, 1, None), (7, 2, 150), (8, 3, None)],
+        "source int, doc_id long, n_tokens int",
+    )
+    out = pack_sequences(df, budget=200).collect()
+    assert {type(r.source) for r in out} == {int}
+    got = {r.doc_id: (r.source, r.seq_id, r.seq_fill) for r in out}
+    # null -> 0 tokens: doc 1 packs into seq 0 without advancing fill
+    assert got[0] == (7, 0, 100)
+    assert got[1] == (7, 0, 100)
+    # 100 + 150 > budget: doc 2 opens sequence 1
+    assert got[2] == (7, 1, 150)
+    assert got[3] == (8, 0, 0)
