@@ -43,6 +43,13 @@ INVARIANCE_SET = [
     "basket_pair_lift",
     "embedding_label_centroids",
     "events_anomaly_daily",
+    # round-4 additions: quintile ties, full-outer diff, asymmetric
+    # jaccard best-match, salted join, decimal revenue off buckets
+    "orders_rfm",
+    "scd2_snapshot_diff",
+    "dedup_incremental",
+    "skew_salted_join",
+    "warehouse_bucketed_join",
 ]
 
 
