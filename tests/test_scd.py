@@ -275,3 +275,63 @@ def test_snapshot_diff_reports_removed_keys(spark):
     diff = scd2_snapshot_diff(dim, "2017-01-01", "2020-01-01", ["k"], ["seg"])
     got = {r["k"]: r["change_type"] for r in diff.collect()}
     assert got == {2: "removed", 3: "added"}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(_BATCH, min_size=1, max_size=3))
+def test_snapshot_diff_matches_python_reference(spark, batches):
+    """For ANY merged dimension, scd2_snapshot_diff between two dates
+    must equal a pure-Python classifier over the collected dim (as-of
+    resolution, presence, per-attribute comparison)."""
+    import datetime
+
+    from business_intelligence_and_data_warehouse_spark.operators.scd import (
+        scd2_snapshot_diff,
+    )
+
+    dim = scd2_initial_load(
+        spark.createDataFrame([(9, "z", "z")], "k int, seg string, attr string"),
+        "2016-01-01",
+    )
+    for i, batch in enumerate(batches):
+        bdf = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in batch.items()],
+            "k int, seg string, attr string",
+        )
+        dim = scd2_merge(
+            dim, bdf, ["k"], ["seg", "attr"], f"2017-0{i + 1}-15"
+        ).cache()
+
+    date_a, date_b = "2016-06-01", "2017-02-01"
+    got = {
+        r["k"]: (r["change_type"], r["old_seg"], r["old_attr"],
+                 r["new_seg"], r["new_attr"])
+        for r in scd2_snapshot_diff(
+            dim, date_a, date_b, ["k"], ["seg", "attr"]
+        ).collect()
+    }
+
+    rows = dim.collect()
+
+    def asof(date_str):
+        d = datetime.date.fromisoformat(date_str)
+        return {
+            r.k: (r.seg, r.attr)
+            for r in rows
+            if r.effective_from <= d < r.effective_to
+        }
+
+    a, b = asof(date_a), asof(date_b)
+    want = {}
+    for k in set(a) | set(b):
+        if k not in a:
+            want[k] = ("added", None, None, b[k][0], b[k][1])
+        elif k not in b:
+            want[k] = ("removed", a[k][0], a[k][1], None, None)
+        elif a[k] != b[k]:
+            want[k] = ("changed", a[k][0], a[k][1], b[k][0], b[k][1])
+    assert got == want
