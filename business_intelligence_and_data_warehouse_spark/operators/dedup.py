@@ -824,3 +824,157 @@ def incremental_dedup(
             "jaccard"
         ),
     )
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    k: int = 3,
+    max_df: int | None = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """BUILD-ONCE half of the production incremental-dedup lifecycle:
+    materialize the standing corpus's dedup index to ``index_dir`` —
+    ``hashes`` (content_hash -> smallest owning doc id), ``shingles``
+    (df-capped (doc_id, s), written clustered by shingle), ``sizes``
+    (per-doc capped-vocabulary shingle counts), ``stop`` (the
+    df>max_df shingles the probe side must also drop), and a one-row
+    ``meta`` pinning (k, max_df) so a probe with mismatched
+    parameters fails loudly instead of silently scoring a different
+    Jaccard space.
+
+    :func:`incremental_dedup` recomputes all of this per batch —
+    right for a one-shot; a daily-ingest pipeline builds the index
+    once per corpus snapshot and probes it per batch, so the corpus
+    scan+normalize+shingle cost is paid once, not once per load.
+    ``shingles`` is repartitioned by ``s`` at write so probe-side
+    shingle joins read s-clustered files; on a catalog-backed
+    deployment write it ``bucketBy(s)`` (sources/warehouse.py) and
+    the probe join shuffles ONLY the batch side.
+    """
+    toks = pin(token_table(docs, id_col, text_col))
+    (
+        toks.select(
+            F.md5(F.concat_ws(" ", "toks")).alias("content_hash"),
+            F.col("doc_id").alias("_m"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("_m").alias("exact_match_id"))
+        .write.mode("overwrite")
+        .parquet(index_dir + "/hashes")
+    )
+    sh = shingles_from_tokens(toks, k)
+    if max_df is not None:
+        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        stop = freq.filter(F.col("df") > max_df).select("s")
+        stop.write.mode("overwrite").parquet(index_dir + "/stop")
+        sh = sh.join(F.broadcast(stop), "s", "left_anti")
+    else:
+        stop_schema = "s string"
+        docs.sparkSession.createDataFrame([], stop_schema).write.mode(
+            "overwrite"
+        ).parquet(index_dir + "/stop")
+    sh = pin(sh)
+    sh.repartition("s").write.mode("overwrite").parquet(
+        index_dir + "/shingles"
+    )
+    (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_ex"))
+        .write.mode("overwrite")
+        .parquet(index_dir + "/sizes")
+    )
+    docs.sparkSession.createDataFrame(
+        [(int(k), -1 if max_df is None else int(max_df))],
+        "k int, max_df int",
+    ).write.mode("overwrite").parquet(index_dir + "/meta")
+
+
+def probe_dedup_index(
+    new_docs: DataFrame,
+    spark,
+    index_dir: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PROBE-MANY half: classify a batch against a prebuilt
+    :func:`build_dedup_index` with the SAME output contract as
+    :func:`incremental_dedup` (doc_id, verdict, match_id, jaccard).
+
+    Per-load cost touches the batch (tokenize once, pinned) plus
+    index READS — never a corpus re-scan, never a corpus re-shingle.
+    The stop-shingle set comes from the index, so batch verdicts stay
+    stable regardless of batch composition, and (k, max_df) are
+    validated against the index's recorded build parameters.
+    """
+    meta = spark.read.parquet(index_dir + "/meta").collect()[0]
+    want_df = -1 if max_df is None else int(max_df)
+    if (meta["k"], meta["max_df"]) != (int(k), want_df):
+        raise ValueError(
+            f"index built with (k={meta['k']}, max_df={meta['max_df']}), "
+            f"probe asked (k={k}, max_df={want_df}) — rebuild or match"
+        )
+    eh = spark.read.parquet(index_dir + "/hashes")
+    shc_ex = spark.read.parquet(index_dir + "/shingles")
+    sizes_ex = spark.read.parquet(index_dir + "/sizes").withColumnRenamed(
+        "doc_id", "match_id"
+    )
+    stop = spark.read.parquet(index_dir + "/stop")
+
+    toks_new = pin(token_table(new_docs, id_col, text_col))
+    new_h = toks_new.select(
+        "doc_id", F.md5(F.concat_ws(" ", "toks")).alias("content_hash")
+    )
+    exact = new_h.join(eh, "content_hash", "left").select(
+        "doc_id", "exact_match_id"
+    )
+    sh_new = shingles_from_tokens(toks_new, k).join(
+        F.broadcast(stop), "s", "left_anti"
+    )
+    sizes_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    common = (
+        sh_new.alias("a")
+        .join(shc_ex.alias("b"), F.col("a.s") == F.col("b.s"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("match_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        common.join(sizes_new, "doc_id")
+        .join(sizes_ex, "match_id")
+        .select(
+            "doc_id",
+            "match_id",
+            (
+                F.col("c") / (F.col("n_new") + F.col("n_ex") - F.col("c"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = W_.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("match_id").asc()
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return exact.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("exact_match_id").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("match_id").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("novel"))
+        .alias("verdict"),
+        F.coalesce("exact_match_id", "match_id").alias("match_id"),
+        F.when(F.col("exact_match_id").isNull(), F.col("jaccard")).alias(
+            "jaccard"
+        ),
+    )

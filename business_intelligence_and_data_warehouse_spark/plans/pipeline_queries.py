@@ -1272,9 +1272,7 @@ def _o_split_shingles(cte: str, tag: str) -> str:
 )"""
 
 
-@query_fn(
-    "dedup_incremental",
-    oracle=f"""
+_O_INCREMENTAL = f"""
 WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
 exd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
 nh AS (SELECT doc_id, md5({_O_NORM}) AS h FROM newd),
@@ -1314,8 +1312,10 @@ FROM nh
 LEFT JOIN eh USING (h)
 LEFT JOIN best ON best.doc_id = nh.doc_id
 ORDER BY nh.doc_id
-""",
-)
+"""
+
+
+@query_fn("dedup_incremental", oracle=_O_INCREMENTAL)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily-crawl increment (doc_id % 10 == 0) classified against
     the standing corpus: exact_dup / near_dup (best Jaccard >= 0.5) /
@@ -1329,4 +1329,52 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = docs.filter(F.col("doc_id") % 10 != 0)
     return incremental_dedup(
         new, existing, k=3, threshold=_JACCARD_T, max_df=_MAX_DF
+    ).orderBy("doc_id")
+
+
+_DEDUP_INDEX_PARENT: str | None = None
+
+
+def _dedup_index_dir(sf_dir: str) -> str:
+    """Per-process index location (same aliasing rationale as the
+    warehouse layouts: a shared fixed path would let two concurrent
+    processes race on overwrite-vs-scan)."""
+    global _DEDUP_INDEX_PARENT
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    if _DEDUP_INDEX_PARENT is None:
+        _DEDUP_INDEX_PARENT = tempfile.mkdtemp(prefix="bidw_dedup_index_")
+        atexit.register(
+            shutil.rmtree, _DEDUP_INDEX_PARENT, ignore_errors=True
+        )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(_DEDUP_INDEX_PARENT, tag)
+
+
+@query_fn("dedup_incremental_indexed", oracle=_O_INCREMENTAL)
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME batch classification through the build-once/probe-many
+    index lifecycle (operators/dedup.build_dedup_index /
+    probe_dedup_index): the corpus is scanned, normalized, shingled,
+    df-capped, and sized ONCE into an on-disk index; each load probes
+    it touching only the batch plus index reads — the daily-ingest
+    serving shape, mirroring sim_ann_ivf_indexed for ANN.  Identical
+    oracle to dedup_incremental: the lifecycle must not change a
+    single verdict."""
+    import os
+
+    from ..operators.dedup import build_dedup_index, probe_dedup_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    index_dir = _dedup_index_dir(sf_dir)
+    if not os.path.isdir(os.path.join(index_dir, "meta")):
+        build_dedup_index(existing, index_dir, k=3, max_df=_MAX_DF)
+    return probe_dedup_index(
+        new, spark, index_dir, k=3, threshold=_JACCARD_T, max_df=_MAX_DF
     ).orderBy("doc_id")

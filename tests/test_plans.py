@@ -406,6 +406,18 @@ def test_bucketed_join_plan_is_shuffle_free(spark):
     assert "SelectedBucketsCount" in plan, plan
 
 
+def test_indexed_dedup_probe_never_rescans_corpus(spark):
+    """dedup_incremental_indexed: the probe plan must read the raw
+    documents table exactly ONCE (the batch tokenize) — every corpus
+    artifact (hashes, shingles, sizes, stop) comes from the prebuilt
+    index. A second documents scan means the lifecycle regressed to
+    re-deriving corpus state per load."""
+    plan = plan_of(spark, "dedup_incremental_indexed")
+    n_docs = plan.count("documents.parquet")
+    assert n_docs == 1, f"{n_docs} documents scans in probe plan:\n{plan}"
+    assert "bidw_dedup_index" in plan, plan
+
+
 def test_partitioned_scan_prunes(spark):
     """warehouse_partition_prune: the two-year predicate must reach the
     partitioned scan as PartitionFilters on o_year — directory-level
