@@ -447,6 +447,8 @@ def test_no_collect_in_query_code_paths():
         ("analytics/predictive.py", "train.groupBy(label_col).count()"),
         # bounded: one row per load period present in the micro-batch
         ("streaming/sinks.py", "batch_lastp.select(load_date_col).distinct()"),
+        # bounded: the dedup index's ONE-ROW build-params record
+        ("operators/dedup.py", 'parquet(index_dir + "/meta").collect()'),
     }
     offenders = []
     for path in sorted(pkg.rglob("*.py")):
