@@ -134,10 +134,37 @@ def session_windows(
     )
 
 
+_RESULT_PARENT: str | None = None
+
+
+def _result_dir(name: str) -> str:
+    """Per-process parquet spool for live-run results, removed at
+    interpreter exit (the plans-layer _fresh_result_dir pattern)."""
+    global _RESULT_PARENT
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if _RESULT_PARENT is None:
+        _RESULT_PARENT = tempfile.mkdtemp(prefix="bidw_stream_results_")
+        atexit.register(shutil.rmtree, _RESULT_PARENT, ignore_errors=True)
+    return os.path.join(_RESULT_PARENT, name)
+
+
 def run_stream_to_table(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a streaming frame to completion into a memory sink and
     return the materialized result (test/driver harness — production
-    would writeStream to kafka/parquet with a real trigger)."""
+    would writeStream to kafka/parquet with a real trigger).
+
+    The memory sink's rows are spooled to a per-invocation parquet dir
+    and the sink's temp view DROPPED before returning: a session that
+    runs many live queries (the bench battery, the driver sweep) would
+    otherwise accumulate every result table in executor memory for the
+    session's lifetime — measured as a 3-4x slowdown of late-battery
+    live runs (14s vs 4s steady-state for the same query). The
+    returned DataFrame reads the spool, so it stays valid for the
+    process lifetime independent of the sink."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.outputMode(mode)
@@ -149,4 +176,8 @@ def run_stream_to_table(stream_df: DataFrame, mode: str = "complete") -> DataFra
     q.processAllAvailable()
     q.stop()
     q.awaitTermination(30)
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    out_dir = _result_dir(name)
+    spark.table(name).write.mode("overwrite").parquet(out_dir)
+    spark.catalog.dropTempView(name)
+    return spark.read.parquet(out_dir)
