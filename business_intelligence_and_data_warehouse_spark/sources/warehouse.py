@@ -75,3 +75,59 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — pushdown/pruning work as with parquet (both formats
     carry column statistics the reader exploits)."""
     return spark.read.format("orc").load(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+    target_files: int | None = None,
+) -> tuple[int, int]:
+    """Small-files compaction (the jar-free twin of Delta/Iceberg
+    `OPTIMIZE`): rewrite a parquet directory into few large files,
+    optionally range-clustered on ``sort_cols`` (the Z-order stand-in —
+    range clustering on the dominant filter column gives parquet
+    row-group min/max stats real skipping power).
+
+    Streaming sinks and incremental loads accrete one-file-per-batch;
+    at 100 TB a million 1 MB files turn every scan into a metadata
+    storm (footer reads, task scheduling) long before data IO matters.
+    Returns (files_before, files_after).
+
+    The rewrite stages into a sibling temp dir and atomically renames
+    over the original only after success — a failed compaction leaves
+    the source untouched.
+    """
+    import os
+    import shutil
+    import uuid
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _count_files(path)
+    df = spark.read.parquet(path)
+    if sort_cols:
+        n = target_files or max(1, before // 64)
+        df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    elif target_files:
+        df = df.repartition(target_files)
+    tmp = path.rstrip("/") + f"__compact_{uuid.uuid4().hex[:8]}"
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + f"__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return before, _count_files(path)

@@ -182,3 +182,56 @@ def test_scd2_merge_semantics_equivalence_jar_free(spark, tmp_path):
         [(1, "a3", "x"), (2, "b2", "y")],
         "2024-06-01",
     )
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    """OPTIMIZE-twin contract: many small files in, few files out,
+    byte-identical row multiset, and range clustering on the sort
+    column (each output file covers a disjoint key range)."""
+    from business_intelligence_and_data_warehouse_spark.sources.warehouse import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "shards")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    orders.repartition(37).write.parquet(src)
+
+    want = sorted(map(tuple, spark.read.parquet(src).collect()))
+    before, after = compact_parquet(
+        spark, src, sort_cols=["o_orderkey"], target_files=2
+    )
+    assert before >= 37 and after <= 2
+    got_df = spark.read.parquet(src)
+    assert sorted(map(tuple, got_df.collect())) == want
+    # range clustering: per-file key ranges must not overlap
+    import pyspark.sql.functions as F
+
+    ranges = (
+        got_df.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, f"overlapping file ranges: {spans}"
+
+
+def test_compact_parquet_failure_leaves_source_intact(spark, sf_dir, tmp_path):
+    """A compaction that cannot read/write must not damage the source
+    (the staged-rename contract)."""
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.sources.warehouse import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "shards2")
+    load_table(spark, sf_dir, "orders").select("o_orderkey").limit(
+        100
+    ).write.parquet(src)
+    n_before = sorted(map(tuple, spark.read.parquet(src).collect()))
+    with pytest.raises(Exception):
+        compact_parquet(spark, src, sort_cols=["no_such_column"])
+    assert sorted(map(tuple, spark.read.parquet(src).collect())) == n_before
