@@ -132,6 +132,21 @@ def connected_components(
     (O(log^2 n) rounds regardless of chain length).
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Both symmetrize forms (array + struct-pair explode) require u/v
+    # to share one type — unlike the old unionByName form they do NOT
+    # implicitly coerce (e.g. int src vs bigint dst fails analysis).
+    # Resolve the common type the way Spark itself would (coalesce's
+    # coercion rule) and cast both sides up front, so mixed-width edge
+    # lists keep working instead of failing at analysis time.
+    types = dict(e.dtypes)
+    if types["u"] != types["v"]:
+        common = e.select(
+            F.coalesce("u", "v").alias("_c")
+        ).schema["_c"].dataType
+        e = e.select(
+            F.col("u").cast(common).alias("u"),
+            F.col("v").cast(common).alias("v"),
+        )
     if method == "two_phase":
         # node set BEFORE the self-loop filter: a (k, k)-only node is
         # still a (singleton) component and must get a label.

@@ -544,6 +544,12 @@ def q3b_moving_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.sum(_rev().cast(DEC)).alias("rev"))
     )
+    # The trailing window is deliberately un-partitioned (it crosses
+    # year boundaries, so partitioning by year would change semantics).
+    # Its input is the DAILY aggregate — one row per calendar day,
+    # bounded by the date span (~2.5k rows for 7 years) regardless of
+    # fact-table scale — so the single-partition WindowExec the WARN
+    # flags is a few-KB sort, not a data-sized shuffle.
     w7 = W.orderBy("day").rowsBetween(-6, 0)
     wytd = (
         W.partitionBy(F.year("day"))

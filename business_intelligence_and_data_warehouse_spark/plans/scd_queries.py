@@ -24,6 +24,35 @@ from ..operators.scd import (
 from ..sources.testdata import load_table
 from .queries import query_fn
 
+# Synthetic "brand-new" keys are real keys shifted by +1_000_000. That
+# is collision-free only while max(c_custkey) < 1_000_000 (~SF 7 for
+# TPC-H-ish customer); beyond that the shifted keys would alias real
+# ones and the merge would silently diverge from the oracle's closed
+# form. The guard below fails the job loudly instead, with no extra
+# driver-side action (raise_error evaluates inside the scan).
+_NEW_KEY_OFFSET = 1_000_000
+
+
+def _offset_key(col: str = "c_custkey"):
+    return F.when(
+        F.col(col) < F.lit(_NEW_KEY_OFFSET), F.col(col) + F.lit(_NEW_KEY_OFFSET)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "scd_queries: synthetic-key offset collision — "
+                    f"{col}="
+                ),
+                F.col(col).cast("string"),
+                F.lit(
+                    f" >= {_NEW_KEY_OFFSET}; regenerate the batch with a "
+                    "larger offset for this scale factor"
+                ),
+            )
+        ).cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD1: last-wins upsert (reference InsertUpdate on dim_location)
 # ---------------------------------------------------------------------------
@@ -94,7 +123,7 @@ def scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     new_keys = customer.filter(F.col("c_custkey") % 100 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_mktsegment"
+        _offset_key().alias("c_custkey"), "c_mktsegment"
     )
     batch = unchanged.unionByName(changed).unionByName(new_keys)
     merged = scd2_merge(dim, batch, ["c_custkey"], ["c_mktsegment"], _LOAD)
@@ -280,7 +309,7 @@ def scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     new_keys = customer.filter(F.col("c_custkey") % 100 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_mktsegment"
+        _offset_key().alias("c_custkey"), "c_mktsegment"
     )
     batch = unchanged.unionByName(changed).unionByName(new_keys)
     merged = scd2_merge(dim, batch, ["c_custkey"], ["c_mktsegment"], _LOAD)

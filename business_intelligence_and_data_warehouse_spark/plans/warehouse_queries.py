@@ -35,18 +35,27 @@ _N_BUCKETS = 8
 _LAYOUT_PARENT: str | None = None
 
 
-def _layout_dir(table: str) -> str:
-    """PER-PROCESS external-table location: a shared fixed path would
-    let two concurrent processes on the same sf_dir race (the second's
-    rmtree+rewrite yanks files out from under the first's live scan —
-    the aliasing hazard streaming_queries._fresh_result_dir documents).
-    The parent is removed at interpreter exit so layouts don't leak
-    across runs."""
+def _layout_dir(spark: SparkSession, table: str) -> str:
+    """Per-process AND per-SparkContext external-table location.
+
+    A shared fixed path would let two concurrent processes on the same
+    sf_dir race (the second's rmtree+rewrite yanks files out from under
+    the first's live scan — the aliasing hazard
+    streaming_queries._fresh_result_dir documents). Keying the subdir
+    by applicationId closes the same hazard WITHIN a process: a
+    stop/restart cycle gets a fresh application id and therefore a
+    fresh dir, so its rewrite can never unlink files a prior session's
+    still-live lazy DataFrame is scanning. Sibling `newSession()`s
+    share both the appId and the catalog, so their `tableExists` guard
+    stays consistent. The parent is removed at interpreter exit so
+    layouts don't leak across runs."""
     global _LAYOUT_PARENT
     if _LAYOUT_PARENT is None:
         _LAYOUT_PARENT = tempfile.mkdtemp(prefix="bidw_warehouse_")
         atexit.register(shutil.rmtree, _LAYOUT_PARENT, ignore_errors=True)
-    return os.path.join(_LAYOUT_PARENT, table)
+    return os.path.join(
+        _LAYOUT_PARENT, spark.sparkContext.applicationId, table
+    )
 
 
 def _replace_external_table(
@@ -62,7 +71,7 @@ def _replace_external_table(
     Shared by the bucketed and partitioned layout writers so the
     stale-location handling cannot diverge between them.
     """
-    path = _layout_dir(table)
+    path = _layout_dir(spark, table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     shutil.rmtree(path, ignore_errors=True)
     writer.option("path", path).saveAsTable(table)

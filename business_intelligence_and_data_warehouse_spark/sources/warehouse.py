@@ -95,9 +95,13 @@ def compact_parquet(
     storm (footer reads, task scheduling) long before data IO matters.
     Returns (files_before, files_after).
 
-    The rewrite stages into a sibling temp dir and atomically renames
-    over the original only after success — a failed compaction leaves
-    the source untouched.
+    The rewrite stages into a sibling temp dir and swaps it over the
+    original only after success. The swap is TWO renames (old aside,
+    staging in), not one atomic op: a concurrent reader can observe the
+    dataset briefly missing, so run compaction in a maintenance window
+    (Delta/Iceberg `OPTIMIZE` is the transactional answer at scale). A
+    failed rewrite cleans its staging dir; a failure between the two
+    renames restores the original directory before re-raising.
     """
     import os
     import shutil
@@ -121,13 +125,24 @@ def compact_parquet(
     elif target_files:
         df = df.repartition(target_files)
     tmp = path.rstrip("/") + f"__compact_{uuid.uuid4().hex[:8]}"
-    (
-        df.write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .parquet(tmp)
-    )
+    try:
+        (
+            df.write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .parquet(tmp)
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     old = path.rstrip("/") + f"__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        # Put the original back so readers never see the path missing
+        # longer than the failed instant.
+        os.rename(old, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(old, ignore_errors=True)
     return before, _count_files(path)

@@ -59,6 +59,19 @@ def test_two_phase_chain_converges_in_log_rounds(spark):
     assert rows == {i: 0 for i in range(n)}
 
 
+def test_mixed_width_edge_types_coerce(spark):
+    # int src joined to bigint dst: the explode/struct symmetrize
+    # requires one common type — both methods must coerce, not fail
+    # at analysis time (r4 ADVICE, operators/graph.py).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src int, dst long"
+    )
+    for method in ("propagation", "two_phase"):
+        out = connected_components(edges, method=method)
+        rows = {r.node: r.comp for r in out.collect()}
+        assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_cluster_assignments_mark_keeper(spark):
     pairs = spark.createDataFrame(
         [(5, 9), (9, 7), (2, 3)], "doc_a long, doc_b long"
