@@ -90,6 +90,11 @@ HEADLINE = [
     "warehouse_bucketed_join",
     "orders_rfm",
     "dedup_incremental",
+    # r5 data-selection / substring-dedup family
+    "dedup_repeated_ngrams",
+    "text_lm_perplexity",
+    "dsir_importance_weights",
+    "sim_matryoshka_topk",
 ]
 
 

@@ -644,6 +644,129 @@ def multi_signal_dedup(
 
 
 # ---------------------------------------------------------------------------
+# cross-document repeated n-gram spans (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+def repeated_ngram_report(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    flag_share: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document report of content covered by k-grams that repeat
+    ACROSS documents — the substring-level dedup signal of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better": unlike
+    whole-document Jaccard/MinHash (which miss a long quote embedded
+    in an otherwise-unique page), this finds the duplicated SPANS.
+
+    Output per document: (doc_id, n_tokens, n_grams, n_dup_grams,
+    covered_tokens, dup_gram_share, dup_token_share, is_substring_dup).
+    ``covered_tokens`` is the size of the union of the [i, i+k-1]
+    token intervals whose k-gram occurs in >= min_docs distinct
+    documents — overlapping spans are merged exactly (sort-by-start +
+    running-max-end island windows), so a fully-duplicated doc reports
+    coverage = n_tokens, never more.
+
+    Scale design: grams are md5-hashed BEFORE any shuffle (32-byte
+    keys, uniform); document frequency counts per-doc-DISTINCT grams
+    (``array_distinct`` map-side, so a within-doc repeat is not a
+    cross-doc dup); the duplicated-gram set joins back to the
+    positional table on the hash — both sides hash-keyed, no skew by
+    construction. The island merge runs in doc-partitioned windows,
+    and both follow-up groupBys reuse that partitioning (no extra
+    exchange). Per-doc cost is linear in tokens; nothing is quadratic
+    in corpus size.
+    """
+    toks = token_table(docs, id_col, text_col)
+    base = toks.select("doc_id", F.size("toks").cast("int").alias("n_tokens"))
+    # positional grams, hashed map-side; posexplode drops docs with
+    # < k tokens (they rejoin via `base` with zero counts)
+    pos = toks.select(
+        "doc_id",
+        F.posexplode(shingles_of_tokens(F.col("toks"), k)).alias("i0", "g"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("g").alias("gh"))
+    # distinct grams per doc (map-side distinct before the explode)
+    docgram = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_of_tokens(F.col("toks"), k))
+        ).alias("g"),
+    ).select("doc_id", F.md5("g").alias("gh"))
+    dup = (
+        docgram.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gh")
+    )
+    dp = pos.join(dup, "gh").select(
+        "doc_id", "i", (F.col("i") + k - 1).alias("e")
+    )
+    w_prev = (
+        W_.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W_.unboundedPreceding, -1)
+    )
+    w_run = (
+        W_.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W_.unboundedPreceding, 0)
+    )
+    islands = (
+        dp.withColumn("pe", F.max("e").over(w_prev))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("pe").isNull() | (F.col("i") > F.col("pe")), 1
+            ).otherwise(0),
+        )
+        .withColumn("isl", F.sum("new_isl").over(w_run))
+        .groupBy("doc_id", "isl")
+        .agg(
+            (F.max("e") - F.min("i") + 1).alias("cov"),
+            F.count(F.lit(1)).alias("np"),
+        )
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.sum("cov").cast("int").alias("covered_tokens"),
+        F.sum("np").cast("int").alias("n_dup_grams"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.greatest(
+                F.col("n_tokens") - F.lit(k - 1), F.lit(0)
+            ).cast("int").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("int").alias(
+                "n_dup_grams"
+            ),
+            F.coalesce("covered_tokens", F.lit(0)).cast("int").alias(
+                "covered_tokens"
+            ),
+        )
+        .withColumn(
+            "dup_gram_share",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_dup_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_token_share",
+            F.col("covered_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+        .withColumn(
+            "is_substring_dup", F.col("dup_token_share") >= F.lit(flag_share)
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact-duplicate RESOLUTION: keep the best copy, not the first
 # ---------------------------------------------------------------------------
 

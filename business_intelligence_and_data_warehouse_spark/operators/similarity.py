@@ -225,6 +225,36 @@ def brute_force_topk(
     )
 
 
+def matryoshka_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    d: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k over the FIRST ``d`` dimensions of the embeddings —
+    the Matryoshka-representation search pattern (Kusupati et al.,
+    "Matryoshka Representation Learning"): embeddings trained so that
+    prefixes are themselves valid lower-dimensional embeddings let the
+    search read a d-dim prefix at 1/(dim/d) of the dot-product cost
+    and memory bandwidth. Cosine over the truncated prefix
+    renormalizes implicitly (the norm is the prefix norm), so this is
+    `brute_force_topk` on sliced arrays — same snapped determinism,
+    same broadcast-probe no-shuffle plan, d/dim of the arithmetic.
+
+    At 100 TB this is a first-pass retriever: prefix top-k' (k' > k)
+    shortlists candidates, the full-dim rerank touches only k' rows
+    per probe (compose with `cosine_for_pairs`).
+    """
+    def trunc(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+
+    return brute_force_topk(trunc(vectors), trunc(probes), k, id_col, vec_col)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate top-k
 # ---------------------------------------------------------------------------

@@ -8,5 +8,6 @@ from . import coverage_queries  # noqa: F401  (registers W7/A3/pivot coverage)
 from . import extension_queries  # noqa: F401  (registers r2 extension ops)
 from . import advanced_queries  # noqa: F401  (registers r3 advanced ops)
 from . import warehouse_queries  # noqa: F401  (registers r4 physical-design ops)
+from . import selection_queries  # noqa: F401  (registers r5 data-selection ops)
 
 __all__ = ["ORACLES", "QUERIES", "query_fn"]

@@ -50,6 +50,12 @@ INVARIANCE_SET = [
     "dedup_incremental",
     "skew_salted_join",
     "warehouse_bucketed_join",
+    # round-5 additions: log-snap scores, interval-merge windows,
+    # prefix-truncated cosine ranking
+    "text_lm_perplexity",
+    "dsir_importance_weights",
+    "dedup_repeated_ngrams",
+    "sim_matryoshka_topk",
 ]
 
 

@@ -1,0 +1,254 @@
+"""Behavioral tests for the round-5 data-selection operators:
+repeated n-gram spans (interval merge exactness), the corpus bigram
+LM score (closed-form parity), DSIR weights (closed-form parity and
+target-shift direction), and Matryoshka prefix top-k."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+    repeated_ngram_report,
+)
+from business_intelligence_and_data_warehouse_spark.operators.selection import (
+    bigram_lm_scores,
+    dsir_weights,
+)
+from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+    brute_force_topk,
+    matryoshka_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# repeated_ngram_report
+# ---------------------------------------------------------------------------
+
+def test_repeated_ngrams_exact_copy_fully_covered(spark):
+    text = "a b c d e f g h"
+    out = {
+        r.doc_id: r
+        for r in repeated_ngram_report(
+            _docs(spark, [(1, text), (2, text), (3, "p q r s t u v w")]),
+            k=5,
+        ).collect()
+    }
+    # docs 1/2 are exact copies: every 5-gram repeats, coverage = all
+    for d in (1, 2):
+        assert out[d].n_grams == 4
+        assert out[d].n_dup_grams == 4
+        assert out[d].covered_tokens == 8
+        assert out[d].dup_token_share == 1.0
+        assert out[d].is_substring_dup
+    # doc 3 shares nothing
+    assert out[3].n_dup_grams == 0
+    assert out[3].covered_tokens == 0
+    assert not out[3].is_substring_dup
+
+
+def test_repeated_ngrams_interval_merge_counts_overlap_once(spark):
+    # doc 2 embeds doc 1's 6-token span: span grams overlap and must
+    # merge to ONE 6-token island, not 2 * 5 tokens
+    span = "q w e r t y"
+    out = {
+        r.doc_id: r
+        for r in repeated_ngram_report(
+            _docs(
+                spark,
+                [(1, span), (2, f"zz xx {span} cc vv"), (3, "m n b v c x")],
+            ),
+            k=5,
+        ).collect()
+    }
+    # doc 1: 6 tokens, 2 grams, both duplicated, covered = 6 (merged)
+    assert out[1].n_grams == 2
+    assert out[1].n_dup_grams == 2
+    assert out[1].covered_tokens == 6
+    # doc 2: same two grams duplicated at offset 3..4, still 6 covered
+    assert out[2].n_dup_grams == 2
+    assert out[2].covered_tokens == 6
+    assert out[2].n_tokens == 10
+    assert out[2].dup_token_share == 0.6
+
+
+def test_repeated_ngrams_within_doc_repeat_is_not_cross_doc(spark):
+    # the 5-gram repeats INSIDE doc 1 only -> df counts distinct docs,
+    # so nothing is flagged
+    text = "a b c d e a b c d e"
+    out = repeated_ngram_report(
+        _docs(spark, [(1, text), (2, "k l m n o p")]), k=5
+    ).collect()
+    assert all(r.n_dup_grams == 0 for r in out)
+
+
+def test_repeated_ngrams_short_docs_report_zero(spark):
+    out = {
+        r.doc_id: r
+        for r in repeated_ngram_report(
+            _docs(spark, [(1, "a b"), (2, "a b")]), k=5
+        ).collect()
+    }
+    assert out[1].n_tokens == 2
+    assert out[1].n_grams == 0
+    assert out[1].covered_tokens == 0
+    assert out[1].dup_gram_share == 0.0
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_scores
+# ---------------------------------------------------------------------------
+
+def _py_bigram_score(corpus: dict[int, str], doc_id: int) -> tuple[int, float]:
+    """Closed-form reference of the snapped score."""
+    from collections import Counter
+
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    for text in corpus.values():
+        toks = text.split()
+        c1.update(toks)
+        c2.update(zip(toks, toks[1:]))
+    v = len(c1)
+    toks = corpus[doc_id].split()
+    terms = [
+        math.floor(
+            (math.log(c2[(a, b)] + 1) - math.log(c1[a] + v)) * 1e6
+        )
+        for a, b in zip(toks, toks[1:])
+    ]
+    return len(terms), sum(terms) / len(terms) / 1e6
+
+
+def test_bigram_lm_matches_closed_form(spark):
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the hat",
+        3: "xyzzy plugh xyzzy plugh grue",
+    }
+    out = {
+        r.doc_id: r
+        for r in bigram_lm_scores(
+            _docs(spark, list(corpus.items()))
+        ).collect()
+    }
+    for d in corpus:
+        n, score = _py_bigram_score(corpus, d)
+        assert out[d].n_bigrams == n
+        assert out[d].lm_score == pytest.approx(score, abs=0)
+    # repeated common bigrams score higher than one-off gibberish
+    assert out[1].lm_score > out[3].lm_score
+
+
+def test_bigram_lm_drops_single_token_docs(spark):
+    out = bigram_lm_scores(_docs(spark, [(1, "solo"), (2, "a b")])).collect()
+    assert {r.doc_id for r in out} == {2}
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_prefers_target_like_docs(spark):
+    # target docs use one vocabulary, the rest another; a new doc in
+    # target vocabulary must outweigh a doc in off-target vocabulary
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta", "en")
+        for i in range(10)
+    ] + [
+        (i + 10, "uno dos tres cuatro cinco seis", "es")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_weights(docs, F.col("lang") == "en").collect()
+    }
+    assert out[0] > out[10]
+    # weights are per-token sums over identical docs -> identical
+    assert out[0] == out[5]
+    assert out[10] == out[15]
+
+
+def test_dsir_matches_closed_form(spark):
+    import hashlib
+
+    rows = [(1, "aa bb cc", "en"), (2, "bb cc dd", "fr"), (3, "aa aa ee", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    B = 64
+    tc: dict[int, int] = {}
+    sc: dict[int, int] = {}
+
+    def bucket(w: str) -> int:
+        hx = hashlib.md5(w.encode()).hexdigest()
+        return (int(hx[0], 16) * 16 + int(hx[1], 16)) % B
+
+    for _, text, lang in rows:
+        for w in text.split():
+            b = bucket(w)
+            sc[b] = sc.get(b, 0) + 1
+            if lang == "en":
+                tc[b] = tc.get(b, 0) + 1
+    t_tot, s_tot = sum(tc.values()), sum(sc.values())
+    expected = {}
+    for doc_id, text, _ in rows:
+        w_sum = 0
+        for w in text.split():
+            b = bucket(w)
+            w_sum += math.floor(
+                (math.log(tc.get(b, 0) + 1) - math.log(t_tot + B)) * 1e6
+            ) - math.floor(
+                (math.log(sc.get(b, 0) + 1) - math.log(s_tot + B)) * 1e6
+            )
+        expected[doc_id] = w_sum / 1e6
+    out = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_weights(docs, F.col("lang") == "en", num_buckets=B).collect()
+    }
+    assert out == expected
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_topk
+# ---------------------------------------------------------------------------
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_matryoshka_equals_bruteforce_on_prefix(spark):
+    rows = [
+        (i, [float(i % 3), float((i * 7) % 5), float(i % 2), float(i)])
+        for i in range(20)
+    ]
+    vecs = _vecs(spark, rows)
+    probes = vecs.filter(F.col("vec_id") < 2)
+    got = matryoshka_topk(vecs, probes, d=2, k=5).collect()
+    manual = brute_force_topk(
+        _vecs(spark, [(i, v[:2]) for i, v in rows]),
+        _vecs(spark, [(i, v[:2]) for i, v in rows if i < 2]),
+        k=5,
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(
+        [(r.query_id, r.rank, r.neighbor_id, r.cosine) for r in got]
+    ) == sorted(
+        [(r.query_id, r.rank, r.neighbor_id, r.cosine) for r in manual]
+    )
+
+
+def test_matryoshka_full_width_is_identity(spark):
+    rows = [(i, [float((i * 3 + j) % 7) for j in range(4)]) for i in range(15)]
+    vecs = _vecs(spark, rows)
+    probes = vecs.filter(F.col("vec_id") == 0)
+    full = brute_force_topk(vecs, probes, k=6).collect()
+    mat = matryoshka_topk(vecs, probes, d=4, k=6).collect()
+    assert [(r.neighbor_id, r.cosine) for r in full] == [
+        (r.neighbor_id, r.cosine) for r in mat
+    ]
