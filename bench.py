@@ -95,6 +95,8 @@ HEADLINE = [
     "text_lm_perplexity",
     "dsir_importance_weights",
     "sim_matryoshka_topk",
+    "text_substring_trim",
+    "search_hybrid_rrf",
 ]
 
 

@@ -647,6 +647,41 @@ def multi_signal_dedup(
 # cross-document repeated n-gram spans (substring-level dedup signal)
 # ---------------------------------------------------------------------------
 
+def _cross_doc_dup_positions(
+    toks: DataFrame, k: int, min_docs: int
+) -> DataFrame:
+    """(doc_id, i, e) — 1-based [i, e] token intervals of every k-gram
+    position whose gram occurs in >= min_docs DISTINCT documents.
+
+    Shared core of :func:`repeated_ngram_report` (coverage metrics)
+    and :func:`trim_repeated_spans` (span removal). Grams are
+    md5-hashed map-side BEFORE any shuffle; document frequency counts
+    per-doc-DISTINCT grams (``array_distinct`` map-side), so within-doc
+    repeats never count as cross-doc duplication. ``posexplode`` drops
+    docs shorter than k tokens — callers re-join them from the token
+    base.
+    """
+    pos = toks.select(
+        "doc_id",
+        F.posexplode(shingles_of_tokens(F.col("toks"), k)).alias("i0", "g"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("g").alias("gh"))
+    docgram = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_of_tokens(F.col("toks"), k))
+        ).alias("g"),
+    ).select("doc_id", F.md5("g").alias("gh"))
+    dup = (
+        docgram.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gh")
+    )
+    return pos.join(dup, "gh").select(
+        "doc_id", "i", (F.col("i") + k - 1).alias("e")
+    )
+
+
 def repeated_ngram_report(
     docs: DataFrame,
     k: int = 5,
@@ -681,28 +716,7 @@ def repeated_ngram_report(
     """
     toks = token_table(docs, id_col, text_col)
     base = toks.select("doc_id", F.size("toks").cast("int").alias("n_tokens"))
-    # positional grams, hashed map-side; posexplode drops docs with
-    # < k tokens (they rejoin via `base` with zero counts)
-    pos = toks.select(
-        "doc_id",
-        F.posexplode(shingles_of_tokens(F.col("toks"), k)).alias("i0", "g"),
-    ).select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("g").alias("gh"))
-    # distinct grams per doc (map-side distinct before the explode)
-    docgram = toks.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingles_of_tokens(F.col("toks"), k))
-        ).alias("g"),
-    ).select("doc_id", F.md5("g").alias("gh"))
-    dup = (
-        docgram.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= min_docs)
-        .select("gh")
-    )
-    dp = pos.join(dup, "gh").select(
-        "doc_id", "i", (F.col("i") + k - 1).alias("e")
-    )
+    dp = _cross_doc_dup_positions(toks, k, min_docs)
     w_prev = (
         W_.partitionBy("doc_id")
         .orderBy("i")
@@ -762,6 +776,67 @@ def repeated_ngram_report(
         )
         .withColumn(
             "is_substring_dup", F.col("dup_token_share") >= F.lit(flag_share)
+        )
+    )
+
+
+def trim_repeated_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove cross-document duplicated k-gram spans from every
+    document — the TRANSFORM half of Lee et al.'s substring dedup
+    (:func:`repeated_ngram_report` is the report half; this actually
+    drops the duplicated tokens and re-assembles the text).
+
+    Output: (doc_id, n_tokens, n_kept, n_removed, trimmed_text) where
+    trimmed_text is the normalized document with every token covered
+    by a duplicated span removed, remaining tokens in original order
+    (an exact duplicate trims to the empty string).
+
+    Scale design: the covered-position set explodes each duplicated
+    interval into its k positions (bounded fan-out, k rows per dup
+    gram) and deduplicates on (doc, position) — a narrow two-int key.
+    Token removal is a LEFT ANTI join on that key; reassembly sorts
+    each document's surviving (position, token) pairs inside a
+    per-doc aggregate (``array_sort`` over the collected structs — the
+    sort is per-document, never a global order-by). Cost is linear in
+    corpus tokens; the per-doc collect is bounded by document length,
+    the same bound `documents.text` itself already imposes on a row.
+    """
+    toks = token_table(docs, id_col, text_col)
+    base = toks.select("doc_id", F.size("toks").cast("int").alias("n_tokens"))
+    dp = _cross_doc_dup_positions(toks, k, min_docs)
+    covered = dp.select(
+        "doc_id", F.explode(F.sequence("i", "e")).alias("t")
+    ).distinct()
+    posw = toks.select(
+        "doc_id", F.posexplode("toks").alias("t0", "w")
+    ).select("doc_id", (F.col("t0") + 1).alias("t"), "w")
+    kept = posw.join(covered, ["doc_id", "t"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("trimmed_text"),
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            (
+                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
+            ).cast("int").alias("n_removed"),
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
         )
     )
 

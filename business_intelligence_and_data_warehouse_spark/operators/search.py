@@ -150,3 +150,56 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_n)
         .select("doc_id", "rank", "term", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+def rrf_fuse(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings over the same id space
+    (Cormack et al., "Reciprocal Rank Fusion outperforms Condorcet
+    and individual rank learning methods") — the standard way to
+    combine a lexical (BM25) and a dense (embedding) retriever
+    without score calibration:
+
+    ``rrf = sum over lists containing the id of 1 / (k_rrf + rank)``.
+
+    Output: (id, rank_a, rank_b, rrf_score) for the fused top
+    ``topk`` (rank 0 = absent from that list, keeping the column
+    int-typed). Parity: each reciprocal is one IEEE division and the
+    fused score adds at most TWO terms in a fixed expression order —
+    commutative, engine-identical, no snapping needed.
+
+    Scale: both inputs are already top-k lists (bounded rows), so the
+    full-outer join and the TakeOrdered top-k are trivially small;
+    fusing full corpus-sized rankings would instead shuffle on id —
+    still a narrow two-int row.
+    """
+    a = ranks_a.select(
+        F.col(id_col).alias("id"), F.col(rank_col).alias("rank_a")
+    )
+    b = ranks_b.select(
+        F.col(id_col).alias("id"), F.col(rank_col).alias("rank_b")
+    )
+    fused = a.join(b, "id", "full_outer").select(
+        "id",
+        F.coalesce("rank_a", F.lit(0)).cast("int").alias("rank_a"),
+        F.coalesce("rank_b", F.lit(0)).cast("int").alias("rank_b"),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_a")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_b")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "id").limit(topk)

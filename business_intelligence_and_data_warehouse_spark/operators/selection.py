@@ -139,6 +139,79 @@ def bigram_lm_scores(
 
 
 # ---------------------------------------------------------------------------
+# temperature-weighted multinomial source mixing (mT5-style)
+# ---------------------------------------------------------------------------
+
+def temperature_mixture(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    alpha: float = 0.5,
+    budget: int = 200,
+) -> DataFrame:
+    """Per-stratum temperature-weighted sampling plan — the
+    multinomial mixing rule of the T5/mT5 papers: sample stratum s
+    with probability proportional to ``p_s^alpha`` (alpha = 1/T),
+    which upweights small strata relative to raw proportions and
+    caps the dominance of the largest ones.
+
+    Output per stratum: (stratum, n_docs, p_raw, q_temp, target_docs,
+    sample_rate) where q_temp is the normalized tempered share and
+    sample_rate = min(1, q_temp * budget / n_docs) is the per-doc
+    keep rate that realizes the plan (feed it to
+    :func:`~..operators.split.mixture_sample` as the rates dict).
+
+    Parity: the tempered weights snap per-stratum
+    (``FLOOR(pow(p, alpha) * 1e9)`` as BIGINT) so the normalizing
+    total is an exact integer sum; every later ratio is a single
+    IEEE double division, identical across engines. Plan shape: one
+    stratum groupBy + a broadcast 1-row total — the stats table is
+    |strata| rows whatever the corpus size.
+    """
+    counts = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.agg(F.sum("n_docs").alias("n_total"))
+    w = counts.crossJoin(F.broadcast(totals)).select(
+        "stratum",
+        "n_docs",
+        "n_total",
+        F.floor(
+            F.pow(
+                F.col("n_docs").cast("double")
+                / F.col("n_total").cast("double"),
+                F.lit(alpha),
+            )
+            * F.lit(1e9)
+        ).cast("long").alias("w"),
+    )
+    wtot = w.agg(F.sum("w").alias("w_total"))
+    return (
+        w.crossJoin(F.broadcast(wtot))
+        .select(
+            "stratum",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("p_raw"),
+            (
+                F.col("w").cast("double") / F.col("w_total").cast("double")
+            ).alias("q_temp"),
+        )
+        .withColumn(
+            "target_docs", F.col("q_temp") * F.lit(float(budget))
+        )
+        .withColumn(
+            "sample_rate",
+            F.least(
+                F.lit(1.0),
+                F.col("target_docs") / F.col("n_docs").cast("double"),
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR hashed-n-gram importance weights
 # ---------------------------------------------------------------------------
 

@@ -1,11 +1,17 @@
 """Round-5 data-selection / substring-dedup registry queries.
 
-Four published training-data-pipeline techniques not covered by the
+Seven published training-data-pipeline techniques not covered by the
 earlier dedup/quality/similarity families:
 
 * ``dedup_repeated_ngrams`` — cross-document repeated k-gram spans
   (Lee et al., substring-level dedup) with exact interval-merged
   coverage;
+* ``text_substring_trim`` — the matching TRANSFORM: drop every token
+  covered by a duplicated span and re-assemble the text;
+* ``corpus_temperature_mixture`` — mT5-style temperature-weighted
+  multinomial source mixing plan;
+* ``search_hybrid_rrf`` — reciprocal-rank fusion of the BM25 and
+  dense-embedding retrievers;
 * ``text_lm_perplexity`` — CCNet-style corpus-self-trained bigram LM
   scoring;
 * ``dsir_importance_weights`` — DSIR hashed-n-gram importance weights
@@ -14,8 +20,8 @@ earlier dedup/quality/similarity families:
   search with per-query recall against the full-dimension exact
   top-k.
 
-All four follow the established parity rules: md5-only hashing,
-integer counts, and log/dot terms snapped per-term to scaled BIGINT
+All follow the established parity rules: md5-only hashing, integer
+counts, and log/pow/dot terms snapped per-term to scaled BIGINT
 before summation (see operators/selection.py and
 operators/similarity.py docstrings).
 """
@@ -38,12 +44,11 @@ from .queries import query_fn
 
 _RN_K = 5
 
-
-@query_fn(
-    "dedup_repeated_ngrams",
-    oracle=f"""
-WITH toks AS (SELECT doc_id, string_split({_O_NORM}, ' ') t FROM documents),
-base AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens FROM toks),
+# shared CTE chain ending in `dp` (doc_id, i, e duplicated-span
+# intervals) — used by the repeated-ngram report AND the trim oracle
+_O_DUP_SPANS = f"""
+toks AS (SELECT doc_id, string_split({_O_NORM}, ' ') t FROM documents),
+base AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens, t FROM toks),
 pos AS (
   SELECT doc_id, unnest(range(1, len(t) - {_RN_K} + 2)) AS i, t
   FROM toks WHERE len(t) >= {_RN_K}
@@ -55,7 +60,14 @@ grams AS (
 ),
 docgram AS (SELECT DISTINCT doc_id, gh FROM grams),
 dup AS (SELECT gh FROM docgram GROUP BY gh HAVING COUNT(*) >= 2),
-dp AS (SELECT doc_id, i, i + {_RN_K - 1} AS e FROM grams JOIN dup USING (gh)),
+dp AS (SELECT doc_id, i, i + {_RN_K - 1} AS e FROM grams JOIN dup USING (gh))
+"""
+
+
+@query_fn(
+    "dedup_repeated_ngrams",
+    oracle=f"""
+WITH {_O_DUP_SPANS},
 m AS (
   SELECT doc_id, i, e,
          MAX(e) OVER (PARTITION BY doc_id ORDER BY i
@@ -286,4 +298,203 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# substring-dedup TRANSFORM: trim cross-document duplicated spans
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "text_substring_trim",
+    oracle=f"""
+WITH {_O_DUP_SPANS},
+cov AS (
+  SELECT DISTINCT doc_id, tt FROM (
+    SELECT doc_id, unnest(range(i, e + 1)) AS tt FROM dp
+  )
+),
+tp AS (
+  SELECT doc_id, CAST(tt AS INTEGER) AS tt, t[CAST(tt AS INTEGER)] AS w
+  FROM (SELECT doc_id, unnest(range(1, len(t) + 1)) AS tt, t FROM base)
+),
+kept AS (
+  SELECT tp.doc_id, tp.tt, tp.w
+  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.tt = tp.tt
+  WHERE cov.tt IS NULL
+),
+reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(w, ' ' ORDER BY tt) AS trimmed_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+  CAST(COALESCE(n_kept, 0) AS INTEGER) AS n_kept,
+  CAST(b.n_tokens - COALESCE(n_kept, 0) AS INTEGER) AS n_removed,
+  COALESCE(trimmed_text, '') AS trimmed_text
+FROM base b LEFT JOIN reb USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def text_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove cross-document duplicated 5-gram spans from every doc
+    (operators/dedup.trim_repeated_spans) — the transform half of
+    substring-level dedup."""
+    from ..operators.dedup import trim_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trim_repeated_spans(docs, k=_RN_K, min_docs=2).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# temperature-weighted multinomial source mixing (alpha = 0.5)
+# ---------------------------------------------------------------------------
+
+_TM_BUDGET = 200
+
+
+@query_fn(
+    "corpus_temperature_mixture",
+    oracle=f"""
+WITH counts AS (
+  SELECT source AS stratum, COUNT(*) AS n_docs FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_docs) AS n_total FROM counts),
+w AS (
+  SELECT stratum, n_docs, n_total,
+    CAST(FLOOR(power(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE),
+                     0.5e0) * 1e9) AS BIGINT) AS w
+  FROM counts CROSS JOIN tot
+),
+wt AS (SELECT SUM(w) AS w_total FROM w)
+SELECT stratum, n_docs,
+  CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_raw,
+  CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE) AS q_temp,
+  (CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)) * {_TM_BUDGET}.0e0
+    AS target_docs,
+  LEAST(1.0e0,
+        ((CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)) * {_TM_BUDGET}.0e0)
+        / CAST(n_docs AS DOUBLE)) AS sample_rate
+FROM w CROSS JOIN wt
+ORDER BY stratum
+""",
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-weighted (alpha = 0.5) sampling plan
+    (operators/selection.temperature_mixture)."""
+    from ..operators.selection import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(
+        docs, "source", alpha=0.5, budget=_TM_BUDGET
+    ).orderBy("stratum")
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 + embedding reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_TERMS = ("join", "hash", "scan")
+_RRF_LIST_K = 20
+_RRF_K = 60
+_RRF_TOP = 10
+
+
+@query_fn(
+    "search_hybrid_rrf",
+    oracle=f"""
+WITH toked AS (
+  SELECT doc_id, string_split({_O_NORM}, ' ') AS t FROM documents
+),
+bmbase AS (SELECT doc_id, len(t) AS dl, t FROM toked),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM bmbase
+),
+tf AS (
+  SELECT doc_id, dl, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS tok FROM bmbase)
+  WHERE tok IN {_RRF_TERMS!r}
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(
+           ((s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))
+           * ((CAST(tf.tf AS DOUBLE) * (1.2e0 + 1e0))
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2e0 * ((1e0 - 0.75e0)
+                            + (0.75e0 * CAST(tf.dl AS DOUBLE)) / s.avgdl)))
+           * 1e9) AS BIGINT) AS ts
+  FROM tf JOIN dfs d ON d.term = tf.term CROSS JOIN stats s
+),
+bmtop AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a
+  FROM (
+    SELECT doc_id, CAST(SUM(ts) AS DOUBLE) / 1e9 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {_RRF_LIST_K}
+  )
+),
+{_O_ELEMENTS},
+pel0 AS (SELECT * FROM el WHERE vid = 0),
+dots AS (
+  SELECT c.vid AS cid,
+         CAST(SUM(CAST(FLOOR(p.val * c.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM pel0 p JOIN el c ON p.pos = c.pos
+  GROUP BY 1
+),
+cos AS (
+  SELECT cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+  FROM dots
+  JOIN nrm nq ON nq.vid = 0
+  JOIN nrm nc ON nc.vid = cid
+  WHERE cid <> 0
+),
+emtop AS (
+  SELECT cid AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, cid) AS rank_b
+  FROM (SELECT cid, cosine FROM cos ORDER BY cosine DESC, cid
+        LIMIT {_RRF_LIST_K})
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+  CAST(COALESCE(rank_a, 0) AS INTEGER) AS rank_a,
+  CAST(COALESCE(rank_b, 0) AS INTEGER) AS rank_b,
+  COALESCE(1.0e0 / ({_RRF_K} + rank_a), 0.0e0)
+    + COALESCE(1.0e0 / ({_RRF_K} + rank_b), 0.0e0) AS rrf_score
+FROM bmtop a FULL OUTER JOIN emtop b ON a.doc_id = b.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_RRF_TOP}
+""",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-20 (query bag 'join
+    hash scan') with the embedding top-20 around probe vector 0 —
+    vec_id aligns 1:1 with doc_id in the testdata, standing in for a
+    corpus with both a lexical index and a dense index
+    (operators/search.rrf_fuse)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.search import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, _RRF_TERMS, k=_RRF_LIST_K).withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("int"),
+    )
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), _RRF_LIST_K
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse(
+        bm, dense, id_col="doc_id", k_rrf=_RRF_K, topk=_RRF_TOP
+    )
+    return fused.select(
+        F.col("id").alias("doc_id"), "rank_a", "rank_b", "rrf_score"
     )

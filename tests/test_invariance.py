@@ -56,6 +56,9 @@ INVARIANCE_SET = [
     "dsir_importance_weights",
     "dedup_repeated_ngrams",
     "sim_matryoshka_topk",
+    "text_substring_trim",
+    "corpus_temperature_mixture",
+    "search_hybrid_rrf",
 ]
 
 

@@ -252,3 +252,109 @@ def test_matryoshka_full_width_is_identity(spark):
     assert [(r.neighbor_id, r.cosine) for r in full] == [
         (r.neighbor_id, r.cosine) for r in mat
     ]
+
+
+# ---------------------------------------------------------------------------
+# trim_repeated_spans
+# ---------------------------------------------------------------------------
+
+def test_trim_removes_duplicated_span_keeps_rest(spark):
+    from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+        trim_repeated_spans,
+    )
+
+    span = "q w e r t y"
+    out = {
+        r.doc_id: r
+        for r in trim_repeated_spans(
+            _docs(
+                spark,
+                [(1, span), (2, f"zz xx {span} cc vv"), (3, "m n b v c x")],
+            ),
+            k=5,
+        ).collect()
+    }
+    # doc 1 is entirely a duplicated span -> empty
+    assert out[1].n_kept == 0
+    assert out[1].trimmed_text == ""
+    # doc 2 keeps its unique frame around the span, order preserved
+    assert out[2].trimmed_text == "zz xx cc vv"
+    assert out[2].n_removed == 6
+    # doc 3 untouched
+    assert out[3].trimmed_text == "m n b v c x"
+    assert out[3].n_removed == 0
+
+
+def test_trim_short_docs_pass_through(spark):
+    from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+        trim_repeated_spans,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in trim_repeated_spans(
+            _docs(spark, [(1, "a b"), (2, "a b")]), k=5
+        ).collect()
+    }
+    assert out[1].trimmed_text == "a b"
+    assert out[1].n_removed == 0
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture
+# ---------------------------------------------------------------------------
+
+def test_temperature_mixture_flattens_toward_small_strata(spark):
+    from business_intelligence_and_data_warehouse_spark.operators.selection import (
+        temperature_mixture,
+    )
+
+    rows = [(i, "x", "big") for i in range(90)] + [
+        (i + 90, "x", "small") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.stratum: r
+        for r in temperature_mixture(docs, "source", 0.5, budget=50).collect()
+    }
+    # alpha = 0.5: tempered shares are 3:1 instead of 9:1
+    assert out["big"].p_raw == 0.9
+    assert out["small"].p_raw == pytest.approx(0.1)
+    assert out["big"].q_temp == pytest.approx(0.75, abs=1e-6)
+    assert out["small"].q_temp == pytest.approx(0.25, abs=1e-6)
+    # q_temp sums to ~1, rates within [0, 1]
+    assert sum(r.q_temp for r in out.values()) == pytest.approx(1.0, abs=1e-9)
+    for r in out.values():
+        assert 0.0 <= r.sample_rate <= 1.0
+    # realized expectation: big keeps 50*0.75 of 90 -> rate < 1;
+    # small needs 12.5 of 10 -> capped at 1
+    assert out["small"].sample_rate == 1.0
+    assert out["big"].sample_rate == pytest.approx(37.5 / 90, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_agreement_beats_single_list(spark):
+    from business_intelligence_and_data_warehouse_spark.operators.search import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2), (1, 3)], "doc_id long, rank int"
+    )
+    out = rrf_fuse(a, b, topk=4).collect()
+    ranked = [r.id for r in out]
+    # docs 1 and 2 appear in both lists -> outrank single-list 3 and 4
+    assert set(ranked[:2]) == {1, 2}
+    by_id = {r.id: r for r in out}
+    assert by_id[1].rrf_score == pytest.approx(1 / 61 + 1 / 63)
+    assert by_id[2].rrf_score == pytest.approx(1 / 62 + 1 / 61)
+    # absent rank encodes as 0, not NULL
+    assert by_id[3].rank_b == 0
+    assert by_id[4].rank_a == 0
+    assert by_id[3].rrf_score == pytest.approx(1 / 63)
