@@ -97,6 +97,7 @@ HEADLINE = [
     "sim_matryoshka_topk",
     "text_substring_trim",
     "search_hybrid_rrf",
+    "sim_ann_pq",
 ]
 
 

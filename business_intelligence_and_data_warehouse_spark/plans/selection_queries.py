@@ -498,3 +498,80 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select(
         F.col("id").alias("doc_id"), "rank_a", "rank_b", "rrf_score"
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization + asymmetric-distance top-k (m = 8, stride 25)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_SD = 8  # 64 dims / 8 subspaces
+_PQ_STRIDE = 25
+_PQ_K = 10
+
+
+@query_fn(
+    "sim_ann_pq",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+sub AS (
+  SELECT vid, CAST((pos - 1) // {_PQ_SD} AS INTEGER) AS j, pos, val FROM el
+),
+cb AS (
+  SELECT vid AS code, CAST((pos - 1) // {_PQ_SD} AS INTEGER) AS j, pos, val
+  FROM el WHERE vid % {_PQ_STRIDE} = 0
+),
+enc AS (
+  SELECT s.vid, s.j, c.code,
+         SUM(CAST(FLOOR((s.val - c.val) * (s.val - c.val) * 1e6) AS BIGINT))
+           AS d
+  FROM sub s JOIN cb c ON c.j = s.j AND c.pos = s.pos
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vid, j, code FROM (
+    SELECT vid, j, code,
+           ROW_NUMBER() OVER (PARTITION BY vid, j ORDER BY d, code) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+dt AS (
+  SELECT s.vid AS qid, s.j, c.code,
+         SUM(CAST(FLOOR((s.val - c.val) * (s.val - c.val) * 1e6) AS BIGINT))
+           AS dd
+  FROM sub s JOIN cb c ON c.j = s.j AND c.pos = s.pos
+  WHERE s.vid % 100 = 0
+  GROUP BY 1, 2, 3
+),
+ax AS (
+  SELECT qid, vid, CAST(SUM(dd) AS DOUBLE) / 1e6 AS approx_dist
+  FROM codes JOIN dt USING (j, code)
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, vid AS neighbor_id,
+       CAST(rnk AS INTEGER) AS rank, approx_dist
+FROM (
+  SELECT qid, vid, approx_dist,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY approx_dist, vid) AS rnk
+  FROM ax WHERE vid <> qid
+)
+WHERE rnk <= {_PQ_K}
+ORDER BY query_id, rank
+""",
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (8 subspaces of 8 dims, stride
+    codebooks) — operators/similarity.pq_topk."""
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(
+        emb,
+        probes,
+        k=_PQ_K,
+        dim=64,
+        num_subspaces=_PQ_M,
+        centroid_stride=_PQ_STRIDE,
+    ).orderBy("query_id", "rank")

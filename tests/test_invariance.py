@@ -59,6 +59,7 @@ INVARIANCE_SET = [
     "text_substring_trim",
     "corpus_temperature_mixture",
     "search_hybrid_rrf",
+    "sim_ann_pq",
 ]
 
 

@@ -358,3 +358,74 @@ def test_rrf_fuse_agreement_beats_single_list(spark):
     assert by_id[3].rank_b == 0
     assert by_id[4].rank_a == 0
     assert by_id[3].rrf_score == pytest.approx(1 / 63)
+
+
+# ---------------------------------------------------------------------------
+# pq_topk
+# ---------------------------------------------------------------------------
+
+def test_pq_full_codebook_recovers_exact_l2_ranking(spark):
+    # stride 1 => every vector is its own code in every subspace, so
+    # encode is lossless and ADC distance == exact squared L2
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    rows = [
+        (i, [float((i * 3 + j * 5) % 11) for j in range(8)])
+        for i in range(12)
+    ]
+    vecs = _vecs(spark, rows)
+    probes = vecs.filter(F.col("vec_id") == 0)
+    out = pq_topk(
+        vecs, probes, k=5, dim=8, num_subspaces=2, centroid_stride=1
+    ).collect()
+    import math
+
+    def sl2(a, b):
+        return sum(
+            math.floor((x - y) * (x - y) * 1e6) for x, y in zip(a, b)
+        ) / 1e6
+
+    q = rows[0][1]
+    exact = sorted(
+        ((sl2(q, v), i) for i, v in rows if i != 0)
+    )[:5]
+    got = [(r.approx_dist, r.neighbor_id) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(d, i) for d, i in exact]
+
+
+def test_pq_codes_are_nearest_codebook_entries(spark):
+    # coarse codebook: vectors cluster tightly around two codebook
+    # entries; ADC must rank the same-cluster neighbor first
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),   # code A
+        (2, [10.0, 10.0, 10.0, 10.0]),  # code B (stride 2 -> codes 0, 2)
+        (1, [0.1, 0.1, 0.1, 0.1]),   # near A
+        (3, [9.9, 9.9, 10.1, 10.0]),  # near B
+    ]
+    vecs = _vecs(spark, rows)
+    probes = vecs.filter(F.col("vec_id") == 1)
+    out = sorted(
+        pq_topk(
+            vecs, probes, k=3, dim=4, num_subspaces=2, centroid_stride=2
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    # doc 0 (its own cluster's code) must outrank the far cluster
+    assert out[0].neighbor_id == 0
+    assert {r.neighbor_id for r in out} == {0, 2, 3}
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    vecs = _vecs(spark, [(0, [1.0, 2.0, 3.0])])
+    with pytest.raises(ValueError, match="divisible"):
+        pq_topk(vecs, vecs, k=1, dim=3, num_subspaces=2)
