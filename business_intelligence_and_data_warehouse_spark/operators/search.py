@@ -174,20 +174,37 @@ def rrf_fuse(
 
     Output: (id, rank_a, rank_b, rrf_score) for the fused top
     ``topk`` (rank 0 = absent from that list, keeping the column
-    int-typed). Parity: each reciprocal is one IEEE division and the
-    fused score adds at most TWO terms in a fixed expression order —
-    commutative, engine-identical, no snapping needed.
+    int-typed). Input ranks must therefore be 1-BASED — a 0-based
+    ranking would make its top hit indistinguishable from "absent",
+    so any rank < 1 fails the job loudly (in-scan ``raise_error``, no
+    driver-side pass). Parity: each reciprocal is one IEEE division
+    and the fused score adds at most TWO terms in a fixed expression
+    order — commutative, engine-identical, no snapping needed.
 
     Scale: both inputs are already top-k lists (bounded rows), so the
     full-outer join and the TakeOrdered top-k are trivially small;
     fusing full corpus-sized rankings would instead shuffle on id —
     still a narrow two-int row.
     """
+    def _checked(src: DataFrame) -> "F.Column":
+        rank = F.col(rank_col)
+        return F.when(rank >= 1, rank).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "rrf_fuse: ranks must be 1-based (0 is the "
+                        "absent sentinel), got rank="
+                    ),
+                    rank.cast("string"),
+                )
+            ).cast(src.schema[rank_col].dataType)
+        )
+
     a = ranks_a.select(
-        F.col(id_col).alias("id"), F.col(rank_col).alias("rank_a")
+        F.col(id_col).alias("id"), _checked(ranks_a).alias("rank_a")
     )
     b = ranks_b.select(
-        F.col(id_col).alias("id"), F.col(rank_col).alias("rank_b")
+        F.col(id_col).alias("id"), _checked(ranks_b).alias("rank_b")
     )
     fused = a.join(b, "id", "full_outer").select(
         "id",

@@ -246,11 +246,29 @@ def matryoshka_topk(
     At 100 TB this is a first-pass retriever: prefix top-k' (k' > k)
     shortlists candidates, the full-dim rerank touches only k' rows
     per probe (compose with `cosine_for_pairs`).
+
+    ``d`` must be a real prefix: d < 1 raises immediately, and a
+    vector shorter than d fails in-scan (``raise_error``) — a silent
+    slice-to-whatever would make a recall report against the full-dim
+    top-k read 1.0 and "validate" a shortlist that never truncated.
     """
+    if d < 1:
+        raise ValueError(f"matryoshka prefix width must be >= 1, got {d}")
+
     def trunc(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        vec = F.col(vec_col)
+        guarded = F.when(F.size(vec) >= d, F.slice(vec, 1, d)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"matryoshka_topk: prefix width {d} exceeds "
+                        "embedding width "
+                    ),
+                    F.size(vec).cast("string"),
+                )
+            ).cast(df.schema[vec_col].dataType)
         )
+        return df.select(F.col(id_col), guarded.alias(vec_col))
 
     return brute_force_topk(trunc(vectors), trunc(probes), k, id_col, vec_col)
 

@@ -383,11 +383,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_RATES = {"src1": 0.9, "src2": 0.25, "src3": 0.25}
 _MIX_DEFAULT = 0.5
 
-_O_HEXV_LOCAL = (
-    "(CASE WHEN ascii(substr(hx,{i},1)) >= 97 "
-    "THEN ascii(substr(hx,{i},1)) - 87 "
-    "ELSE ascii(substr(hx,{i},1)) - 48 END)"
-)
+from .pipeline_queries import _O_HEXV as _O_HEXV_LOCAL  # noqa: E402
 
 _O_MIX_CASE = " ".join(
     f"WHEN source = '{s}' THEN {int(r * 4096)}"

@@ -35,7 +35,7 @@ from ..operators.dedup import repeated_ngram_report
 from ..operators.selection import bigram_lm_scores, dsir_weights
 from ..operators.similarity import brute_force_topk, matryoshka_topk
 from ..sources.testdata import load_table
-from .pipeline_queries import _O_ELEMENTS, _O_NORM
+from .pipeline_queries import _O_ELEMENTS, _O_HEXV, _O_NORM
 from .queries import query_fn
 
 # ---------------------------------------------------------------------------
@@ -156,11 +156,6 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DSIR_B = 64
-_O_HEXD = (
-    "(CASE WHEN ascii(substr(hx,{i},1)) >= 97 "
-    "THEN ascii(substr(hx,{i},1)) - 87 "
-    "ELSE ascii(substr(hx,{i},1)) - 48 END)"
-)
 
 
 @query_fn(
@@ -175,7 +170,7 @@ occ AS (
 ),
 buck AS (
   SELECT doc_id, is_t,
-         ({_O_HEXD.format(i=1)} * 16 + {_O_HEXD.format(i=2)}) % {_DSIR_B}
+         ({_O_HEXV.format(i=1)} * 16 + {_O_HEXV.format(i=2)}) % {_DSIR_B}
            AS b
   FROM occ
 ),

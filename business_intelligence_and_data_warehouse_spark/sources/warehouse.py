@@ -135,7 +135,14 @@ def compact_parquet(
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     old = path.rstrip("/") + f"__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
+    try:
+        os.rename(path, old)
+    except BaseException:
+        # first rename failed (path yanked concurrently / parent-dir
+        # perms): the staging copy is a full duplicate of the dataset —
+        # clean it up before propagating
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, path)
     except BaseException:

@@ -429,3 +429,57 @@ def test_pq_rejects_indivisible_dim(spark):
     vecs = _vecs(spark, [(0, [1.0, 2.0, 3.0])])
     with pytest.raises(ValueError, match="divisible"):
         pq_topk(vecs, vecs, k=1, dim=3, num_subspaces=2)
+
+
+# ---------------------------------------------------------------------------
+# round-5 review-fix guards
+# ---------------------------------------------------------------------------
+
+def test_matryoshka_rejects_bad_prefix_widths(spark):
+    vecs = _vecs(spark, [(0, [1.0, 2.0]), (1, [2.0, 1.0])])
+    with pytest.raises(ValueError, match=">= 1"):
+        matryoshka_topk(vecs, vecs, d=0, k=1)
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException, Exception)):
+        matryoshka_topk(vecs, vecs, d=5, k=1).collect()
+
+
+def test_rrf_rejects_zero_based_ranks(spark):
+    from business_intelligence_and_data_warehouse_spark.operators.search import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(1, 0), (2, 1)], "doc_id long, rank int")
+    b = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    with pytest.raises(Exception, match="1-based"):
+        rrf_fuse(a, b, topk=2).collect()
+
+
+def test_compact_parquet_cleans_staging_on_first_rename_failure(spark, tmp_path):
+    import os
+
+    from business_intelligence_and_data_warehouse_spark.sources.warehouse import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "data")
+    spark.range(100).write.parquet(src)
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(a, b):
+        calls["n"] += 1
+        if calls["n"] == 1:  # first rename = path -> old
+            raise OSError("simulated concurrent yank")
+        return real_rename(a, b)
+
+    import unittest.mock as mock
+
+    with mock.patch("os.rename", side_effect=failing_rename):
+        with pytest.raises(OSError, match="simulated"):
+            compact_parquet(spark, src, target_files=1)
+    # original intact, no __compact_ staging dir leaked
+    assert spark.read.parquet(src).count() == 100
+    leftovers = [p for p in os.listdir(tmp_path) if "__compact_" in p or "__old_" in p]
+    assert leftovers == []
