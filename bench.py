@@ -98,6 +98,7 @@ HEADLINE = [
     "text_substring_trim",
     "search_hybrid_rrf",
     "sim_ann_pq",
+    "sim_ann_ivfpq",
 ]
 
 

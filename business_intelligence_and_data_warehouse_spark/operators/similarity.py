@@ -323,47 +323,19 @@ def _subspace_rows(
     )
 
 
-def pq_topk(
+def _pq_codes(
     vectors: DataFrame,
     probes: DataFrame,
-    k: int,
     dim: int,
-    num_subspaces: int = 8,
-    centroid_stride: int = 25,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Product-quantization ANN (Jégou et al., "Product Quantization
-    for Nearest Neighbor Search"): split each vector into m subspaces,
-    encode every corpus vector as its nearest codebook entry PER
-    SUBSPACE (m small codes instead of dim floats), and answer queries
-    by asymmetric distance computation — the query stays full
-    precision, the corpus is read as codes, and the approximate
-    distance is the sum of m table lookups.
-
-    Codebooks are the deterministic stride subset
-    (``vid % centroid_stride == 0``), the same fixed coarse-quantizer
-    stand-in :func:`ivf_topk` uses in place of trained KMeans (and
-    with the same caveat: a production run pins a FIXED-SIZE trained
-    codebook, typically 256 codes per subspace, so the encode cost
-    and the code width stay bounded as the corpus grows).
-
-    Output: (query_id, neighbor_id, rank, approx_dist) — approx
-    squared-L2, ascending, ties on neighbor id. Distances snap
-    per-element (``FLOOR((x-y)^2 * 1e6)`` summed as BIGINT), so
-    encode assignments and ADC ranks are bit-identical cross-engine.
-
-    Scale design: this is the MEMORY-BANDWIDTH answer to ANN — after
-    encode, a corpus vector is m codes (8 bytes at m=8), so the scan
-    side of a query reads ~dim*4/m/1 fewer bytes than brute force.
-    The encode pass is the only corpus-wide work: subspace rows fan
-    out map-side (×m), the codebook join is a broadcast, and the
-    argmin is a partial-aggregated groupBy(vid, j) of narrow rows.
-    ADC joins the (P·m·K)-row distance table — tiny for bounded probe
-    sets — as a broadcast against the code table, then one
-    groupBy(qid, vid) partial-aggregated sum. No corpus self-join
-    anywhere.
-    """
+    num_subspaces: int,
+    centroid_stride: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(codes, dtable) — the two PQ artifacts :func:`pq_topk` and
+    :func:`ivf_pq_topk` share: ``codes`` is the encoded corpus
+    (vid, j, code), ``dtable`` the probe-to-codebook subdistance
+    lookup (qid, j, code, dd as scaled BIGINT)."""
     if dim % num_subspaces != 0:
         raise ValueError(
             f"dim {dim} not divisible by num_subspaces {num_subspaces}"
@@ -414,6 +386,53 @@ def pq_topk(
         "code",
         l2_dec_batch(F.col("sub"), F.col("csub")).alias("dd"),
     )
+    return codes, dtable
+
+
+def pq_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int,
+    dim: int,
+    num_subspaces: int = 8,
+    centroid_stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search"): split each vector into m subspaces,
+    encode every corpus vector as its nearest codebook entry PER
+    SUBSPACE (m small codes instead of dim floats), and answer queries
+    by asymmetric distance computation — the query stays full
+    precision, the corpus is read as codes, and the approximate
+    distance is the sum of m table lookups.
+
+    Codebooks are the deterministic stride subset
+    (``vid % centroid_stride == 0``), the same fixed coarse-quantizer
+    stand-in :func:`ivf_topk` uses in place of trained KMeans (and
+    with the same caveat: a production run pins a FIXED-SIZE trained
+    codebook, typically 256 codes per subspace, so the encode cost
+    and the code width stay bounded as the corpus grows).
+
+    Output: (query_id, neighbor_id, rank, approx_dist) — approx
+    squared-L2, ascending, ties on neighbor id. Distances snap
+    per-element (``FLOOR((x-y)^2 * 1e6)`` summed as BIGINT), so
+    encode assignments and ADC ranks are bit-identical cross-engine.
+
+    Scale design: this is the MEMORY-BANDWIDTH answer to ANN — after
+    encode, a corpus vector is m codes (8 bytes at m=8), so the scan
+    side of a query reads ~dim*4/m/1 fewer bytes than brute force.
+    The encode pass is the only corpus-wide work: subspace rows fan
+    out map-side (×m), the codebook join is a broadcast, and the
+    argmin is a partial-aggregated groupBy(vid, j) of narrow rows.
+    ADC joins the (P·m·K)-row distance table — tiny for bounded probe
+    sets — as a broadcast against the code table, then one
+    groupBy(qid, vid) partial-aggregated sum. No corpus self-join
+    anywhere.
+    """
+    codes, dtable = _pq_codes(
+        vectors, probes, dim, num_subspaces, centroid_stride, id_col, vec_col
+    )
     approx = (
         codes.join(F.broadcast(dtable), ["j", "code"])
         .groupBy("qid", "vid")
@@ -423,6 +442,73 @@ def pq_topk(
     w = W.partitionBy("qid").orderBy("approx_dist", F.col("vid"))
     return (
         approx.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            "rank",
+            "approx_dist",
+        )
+    )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int,
+    dim: int,
+    num_subspaces: int = 8,
+    centroid_stride: int = 25,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the FAISS ``IVFADC`` architecture): coarse cells prune
+    WHICH vectors a probe scores, PQ codes make each score a table
+    lookup — the composition that serves billion-vector corpora,
+    because per-query cost becomes (nprobe/cells of the corpus) rows
+    × (m lookups each) with the corpus stored as m-byte codes.
+
+    Candidate generation is exactly :func:`ivf_topk`'s (cosine cell
+    assignment, nprobe nearest cells per probe); scoring is exactly
+    :func:`pq_topk`'s ADC (snapped squared-L2 over stride codebooks)
+    restricted to the candidates — both halves reuse the factored
+    machinery (`_nearest_centroids`, `_pq_codes`), so the composition
+    cannot drift from its parts. The metric mix (cosine cells, L2
+    scoring) is an approximation on unnormalized vectors — rerank the
+    top-k' with :func:`cosine_for_pairs` when exact cosine order
+    matters, as FAISS users rerank ADC shortlists.
+
+    Output contract matches :func:`pq_topk`; a probe returns at most
+    min(k, candidates-in-its-cells) rows.
+    """
+    from .caching import pin
+
+    corpus_n = pin(_normed(vectors, id_col, vec_col))
+    cents_n = corpus_n.filter(F.col("vid") % centroid_stride == 0)
+    assign = _nearest_centroids(corpus_n, cents_n, 1)
+    probes_n = _normed(probes, id_col, vec_col)
+    probe_cells = _nearest_centroids(
+        probes_n, cents_n, nprobe
+    ).withColumnRenamed("vid", "qid")
+    cand = (
+        probe_cells.join(assign, "cvid")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "vid")
+        .distinct()
+    )
+    codes, dtable = _pq_codes(
+        vectors, probes, dim, num_subspaces, centroid_stride, id_col, vec_col
+    )
+    scored = (
+        cand.join(codes, "vid")
+        .join(F.broadcast(dtable), ["qid", "j", "code"])
+        .groupBy("qid", "vid")
+        .agg((F.sum("dd").cast("double") / DOT_SCALE).alias("approx_dist"))
+    )
+    w = W.partitionBy("qid").orderBy("approx_dist", F.col("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select(
             F.col("qid").alias("query_id"),

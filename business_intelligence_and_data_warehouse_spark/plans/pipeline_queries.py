@@ -524,8 +524,9 @@ _IVF_STRIDE, _IVF_NPROBE, _IVF_K = 25, 4, 10
 
 # shared by sim_ann_ivf (one-shot) and sim_ann_ivf_indexed (prebuilt
 # index) — identical query semantics, different execution lifecycle
-_O_IVF = f"""
-WITH {_O_ELEMENTS},
+# candidate-generation CTE chain (cell assign + probe cells + cand) —
+# shared with the IVF-PQ composition in plans/selection_queries.py
+_O_IVF_CAND = f"""
 adots AS (
   SELECT v.vid AS vid, c.vid AS cvid,
          CAST(SUM(CAST(FLOOR(v.val * c.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
@@ -552,7 +553,12 @@ cand AS (
   SELECT DISTINCT p.qid, a.vid AS cid
   FROM pcells p JOIN assign a ON a.cvid = p.cvid
   WHERE a.vid != p.qid
-),
+)
+"""
+
+_O_IVF = f"""
+WITH {_O_ELEMENTS},
+{_O_IVF_CAND.strip()},
 dots AS (
   SELECT cand.qid, cand.cid,
          CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6

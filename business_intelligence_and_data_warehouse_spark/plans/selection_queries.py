@@ -35,7 +35,7 @@ from ..operators.dedup import repeated_ngram_report
 from ..operators.selection import bigram_lm_scores, dsir_weights
 from ..operators.similarity import brute_force_topk, matryoshka_topk
 from ..sources.testdata import load_table
-from .pipeline_queries import _O_ELEMENTS, _O_HEXV, _O_NORM
+from .pipeline_queries import _O_ELEMENTS, _O_HEXV, _O_IVF_CAND, _O_NORM
 from .queries import query_fn
 
 # ---------------------------------------------------------------------------
@@ -505,10 +505,9 @@ _PQ_STRIDE = 25
 _PQ_K = 10
 
 
-@query_fn(
-    "sim_ann_pq",
-    oracle=f"""
-WITH {_O_ELEMENTS},
+# PQ encode + probe-distance-table CTE chain, shared by sim_ann_pq and
+# the IVF-PQ composition
+_O_PQ_CODES = f"""
 sub AS (
   SELECT vid, CAST((pos - 1) // {_PQ_SD} AS INTEGER) AS j, pos, val FROM el
 ),
@@ -537,7 +536,15 @@ dt AS (
   FROM sub s JOIN cb c ON c.j = s.j AND c.pos = s.pos
   WHERE s.vid % 100 = 0
   GROUP BY 1, 2, 3
-),
+)
+"""
+
+
+@query_fn(
+    "sim_ann_pq",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+{_O_PQ_CODES.strip()},
 ax AS (
   SELECT qid, vid, CAST(SUM(dd) AS DOUBLE) / 1e6 AS approx_dist
   FROM codes JOIN dt USING (j, code)
@@ -569,4 +576,52 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         num_subspaces=_PQ_M,
         centroid_stride=_PQ_STRIDE,
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition (FAISS IVFADC): cell-pruned candidates, ADC scores
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "sim_ann_ivfpq",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+{_O_IVF_CAND.strip()},
+{_O_PQ_CODES.strip()},
+ax AS (
+  SELECT c.qid, c.cid AS vid,
+         CAST(SUM(dd) AS DOUBLE) / 1e6 AS approx_dist
+  FROM cand c
+  JOIN codes ON codes.vid = c.cid
+  JOIN dt ON dt.qid = c.qid AND dt.j = codes.j AND dt.code = codes.code
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, vid AS neighbor_id,
+       CAST(rnk AS INTEGER) AS rank, approx_dist
+FROM (
+  SELECT qid, vid, approx_dist,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY approx_dist, vid) AS rnk
+  FROM ax
+)
+WHERE rnk <= {_PQ_K}
+ORDER BY query_id, rank
+""",
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC) top-10: IVF cell pruning composed with PQ
+    asymmetric-distance scoring (operators/similarity.ivf_pq_topk)."""
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_pq_topk(
+        emb,
+        probes,
+        k=_PQ_K,
+        dim=64,
+        num_subspaces=_PQ_M,
+        centroid_stride=_PQ_STRIDE,
+        nprobe=4,
     ).orderBy("query_id", "rank")

@@ -60,6 +60,7 @@ INVARIANCE_SET = [
     "corpus_temperature_mixture",
     "search_hybrid_rrf",
     "sim_ann_pq",
+    "sim_ann_ivfpq",
 ]
 
 

@@ -483,3 +483,50 @@ def test_compact_parquet_cleans_staging_on_first_rename_failure(spark, tmp_path)
     assert spark.read.parquet(src).count() == 100
     leftovers = [p for p in os.listdir(tmp_path) if "__compact_" in p or "__old_" in p]
     assert leftovers == []
+
+
+# ---------------------------------------------------------------------------
+# ivf_pq_topk
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_is_pq_restricted_to_ivf_candidates(spark):
+    # with nprobe = number of cells, IVF prunes nothing and IVF-PQ
+    # must equal plain PQ exactly
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 13) for j in range(8)])
+        for i in range(20)
+    ]
+    vecs = _vecs(spark, rows)
+    probes = vecs.filter(F.col("vec_id") < 2)
+    full_cells = ivf_pq_topk(
+        vecs, probes, k=5, dim=8, num_subspaces=2,
+        centroid_stride=5, nprobe=4,  # 4 cells (ids 0,5,10,15) = all
+    ).collect()
+    plain = pq_topk(
+        vecs, probes, k=5, dim=8, num_subspaces=2, centroid_stride=5
+    ).collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.approx_dist)
+    assert sorted(map(key, full_cells)) == sorted(map(key, plain))
+
+
+def test_ivfpq_prunes_to_probed_cells(spark):
+    # two well-separated clusters; nprobe=1 must keep candidates inside
+    # the probe's own cluster cell
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    rows = [(i, [float(i % 2 * 100 + j) for j in range(4)]) for i in range(10)]
+    vecs = _vecs(spark, rows)
+    probes = vecs.filter(F.col("vec_id") == 3)  # odd cluster (~100)
+    out = ivf_pq_topk(
+        vecs, probes, k=9, dim=4, num_subspaces=2,
+        centroid_stride=5, nprobe=1,  # cells at ids 0 (even), 5 (odd)
+    ).collect()
+    assert out, "probe found no candidates"
+    assert all(r.neighbor_id % 2 == 1 for r in out)
