@@ -99,6 +99,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "sim_ann_pq",
     "sim_ann_ivfpq",
+    "stream_dedup_neardup",
 ]
 
 

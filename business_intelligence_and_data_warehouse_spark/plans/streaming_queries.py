@@ -27,7 +27,7 @@ from ..streaming.windows import (
     sliding_sums,
     tumbling_counts,
 )
-from .queries import query_fn
+from .queries import ORACLES, query_fn
 
 _RESULT_PARENT: str | None = None
 
@@ -562,3 +562,54 @@ def stream_scd2_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# streaming near-duplicate gate (the crawl-ingest dedup loop)
+# ---------------------------------------------------------------------------
+
+@query_fn("stream_dedup_neardup")
+def stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-crawl increment (doc_id % 10 == 0) classified against
+    the standing corpus BY A REAL STREAM: documents flow through a
+    foreachBatch near-dup gate (streaming/sinks.run_neardup_filter_stream
+    — incremental_dedup per micro-batch + the twin-snapshot idempotence
+    ledger). With a fixed reference corpus the verdicts are
+    batch-grouping-independent, so the oracle is dedup_incremental's
+    closed form verbatim; the accept-novel crawl loop (novel docs join
+    the corpus between batches) is exercised by the two-batch pytest
+    in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sinks import run_neardup_filter_stream
+    from ..streaming.windows import read_document_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = read_document_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    root = tempfile.mkdtemp(prefix="bidw_neardup_gate_")
+    try:
+        verdicts = run_neardup_filter_stream(
+            stream,
+            spark,
+            existing,
+            root,
+            k=3,
+            threshold=0.5,
+            max_df=50,
+        )
+        out_dir = _fresh_result_dir("neardup_out")
+        verdicts.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir).orderBy("doc_id")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# the same closed form as the batch classifier — register it as the
+# oracle (fixed corpus => batch boundaries cannot change verdicts)
+from .pipeline_queries import _O_INCREMENTAL as _O_INC_STREAM  # noqa: E402
+
+ORACLES["stream_dedup_neardup"] = _O_INC_STREAM

@@ -337,3 +337,152 @@ def run_scd2_stream(
     out = store.read()
     assert out is not None, "stream produced no batches"
     return out
+
+
+class _TwinStore:
+    """Two named parquet snapshots behind ONE atomic pointer.
+
+    The near-dup gate must commit its verdict log and its accepted
+    corpus TOGETHER: with two independent stores, a crash between the
+    commits leaves replay either re-classifying a batch against a
+    corpus that already contains the batch's own novel docs (every doc
+    becomes its own exact_dup) or permanently dropping the batch's
+    novel docs from the corpus. One pointer referencing both paths
+    makes the (lineage, batch) skip decision cover both artifacts.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def _state(self) -> dict | None:
+        try:
+            with open(self._pointer()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def read(self, name: str) -> DataFrame | None:
+        state = self._state()
+        if state is None or name not in state["paths"]:
+            return None
+        return self.spark.read.parquet(state["paths"][name])
+
+    def already_applied(self, lineage: str, batch_id: int) -> bool:
+        state = self._state()
+        return (
+            state is not None
+            and state.get("lineage") == lineage
+            and batch_id <= int(state["batch_id"])
+        )
+
+    def commit(
+        self, frames: dict[str, DataFrame], lineage: str, batch_id: int
+    ) -> None:
+        state = self._state()
+        paths = {}
+        for name, df in frames.items():
+            path = os.path.join(
+                self.root, f"{name}_v{batch_id}_{uuid.uuid4().hex[:8]}"
+            )
+            df.write.mode("overwrite").parquet(path)
+            paths[name] = path
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"paths": paths, "lineage": lineage, "batch_id": batch_id}, fh
+            )
+        os.replace(tmp, self._pointer())  # both snapshots flip at once
+        if state is not None:
+            for old in state["paths"].values():
+                if old not in paths.values():
+                    shutil.rmtree(old, ignore_errors=True)
+
+
+def run_neardup_filter_stream(
+    doc_stream: DataFrame,
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 50,
+    accept_novel: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming near-duplicate gate: each document micro-batch is
+    classified against the standing corpus with
+    operators/dedup.incremental_dedup (exact_dup / near_dup / novel)
+    inside a foreachBatch sink; verdicts accumulate in a snapshot
+    store with the same (lineage, batch_id) idempotence ledger as the
+    upsert sink, so at-least-once redelivery cannot double-classify.
+
+    With ``accept_novel`` the batch's novel documents JOIN the
+    standing corpus before the next batch — the crawl-loop contract
+    (later arrivals dedupe against everything accepted so far). The
+    verdict log and the accepted corpus commit through ONE atomic
+    pointer (see :class:`_TwinStore`) so replay is consistent no
+    matter where a crash lands.
+
+    Scale: per batch the cost is incremental_dedup's asymmetric-join
+    contract — O(|batch| x blocking) against the corpus shingle
+    table, never corpus x corpus; the corpus snapshot is a parquet
+    rewrite only when novel docs are accepted (append-only rows, but
+    rewritten as one narrow stage — swap for Delta/Iceberg appends at
+    production scale). Returns the accumulated verdict log.
+    """
+    from ..operators.dedup import incremental_dedup
+
+    store = _TwinStore(spark, root)
+    checkpoint_dir = os.path.join(root, "_checkpoint")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        lineage = _checkpoint_lineage(checkpoint_dir)
+        if store.already_applied(lineage, batch_id):
+            return
+        standing = store.read("corpus") if accept_novel else None
+        if standing is None:
+            standing = corpus
+        out = incremental_dedup(
+            batch_df,
+            standing,
+            k=k,
+            threshold=threshold,
+            max_df=max_df,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        prev = store.read("verdicts")
+        allv = out if prev is None else prev.unionByName(out)
+        frames = {"verdicts": allv}
+        if accept_novel:
+            novel = batch_df.join(
+                out.filter(F.col("verdict") == "novel").select(
+                    F.col("doc_id").alias("_nid")
+                ),
+                F.col(id_col) == F.col("_nid"),
+                "left_semi",
+            )
+            frames["corpus"] = standing.select(*corpus.columns).unionByName(
+                novel.select(*corpus.columns)
+            )
+        store.commit(frames, lineage, batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    out = store.read("verdicts")
+    assert out is not None, "stream produced no batches"
+    return out

@@ -181,3 +181,17 @@ def run_stream_to_table(stream_df: DataFrame, mode: str = "complete") -> DataFra
     spark.table(name).write.mode("overwrite").parquet(out_dir)
     spark.catalog.dropTempView(name)
     return spark.read.parquet(out_dir)
+
+
+def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a micro-batched stream (schema from a
+    static footer read, same honesty rule as the event stream)."""
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )

@@ -352,6 +352,7 @@ _EXECUTES_AT_BUILD = {
     "stream_ohlc_live",
     "stream_upsert_sink",
     "stream_scd2_sink",
+    "stream_dedup_neardup",
     "sim_ann_ivf_indexed",
     "ml_churn_rf",
     "ml_kmeans_embeddings",

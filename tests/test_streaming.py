@@ -406,3 +406,99 @@ def test_scd2_stream_incremental_loads_version_correctly(spark, tmp_path):
         "stale cross-batch redelivery regressed the dimension"
     )
     assert set(dim3) == set(dim2)
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup gate: accept-novel crawl loop + idempotence
+# ---------------------------------------------------------------------------
+
+def _write_docs(spark, src_dir, rows):
+    import uuid as _uuid
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+
+
+def test_neardup_gate_accept_novel_across_batches(spark, tmp_path):
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        run_neardup_filter_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    root = str(tmp_path / "gate")
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dogs")],
+        "doc_id long, text string",
+    )
+    # batch 1: one novel doc; batch 2: a near-copy of BATCH 1's doc —
+    # only the accept-novel loop can classify it as a near_dup
+    novel_text = "completely new content alpha beta gamma delta"
+    _write_docs(spark, src, [(1, novel_text)])
+    _write_docs(spark, src, [(2, novel_text + " epsilon")])
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return run_neardup_filter_stream(
+            stream, spark, corpus, root,
+            k=3, threshold=0.5, max_df=50, accept_novel=True,
+        )
+
+    got = {r.doc_id: r for r in run().collect()}
+    assert got[1].verdict == "novel"
+    # doc 2 arrives in the SECOND micro-batch (maxFilesPerTrigger=1,
+    # one file per write) and must near-dup against batch 1's ACCEPTED
+    # novel doc — the corpus-growth half of the crawl loop
+    assert got[2].verdict == "near_dup"
+    assert got[2].match_id == 1
+
+    # re-run over the same checkpoint: everything is already applied,
+    # verdicts must not duplicate
+    again = run().collect()
+    assert len(again) == len(got)
+
+
+def test_neardup_gate_fixed_corpus_matches_batch_classifier(spark, tmp_path):
+    from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        run_neardup_filter_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    root = str(tmp_path / "gate")
+    corpus = spark.createDataFrame(
+        [
+            (100, "aa bb cc dd ee ff"),
+            (101, "gg hh ii jj kk ll"),
+        ],
+        "doc_id long, text string",
+    )
+    batch_rows = [
+        (1, "aa bb cc dd ee ff"),        # exact dup of 100
+        (2, "aa bb cc dd ee zz"),        # near dup of 100
+        (3, "mm nn oo pp qq rr"),        # novel
+    ]
+    _write_docs(spark, src, batch_rows)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    got = sorted(
+        run_neardup_filter_stream(
+            stream, spark, corpus, root, k=3, threshold=0.3, max_df=50
+        ).collect()
+    )
+    want = sorted(
+        incremental_dedup(
+            spark.createDataFrame(batch_rows, "doc_id long, text string"),
+            corpus,
+            k=3,
+            threshold=0.3,
+            max_df=50,
+        ).collect()
+    )
+    assert got == want
