@@ -100,6 +100,7 @@ HEADLINE = [
     "sim_ann_pq",
     "sim_ann_ivfpq",
     "stream_dedup_neardup",
+    "multimodal_audio_features",
 ]
 
 

@@ -251,3 +251,136 @@ def sample_frames(
             )
 
     return blobs.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: REAL WAV/PCM decode via the stdlib wave module (no media libs)
+# ---------------------------------------------------------------------------
+
+def encode_wav(sample_rate: int, samples_pcm16: bytes) -> bytes:
+    """Mono 16-bit PCM WAV encode (stdlib ``wave`` — the fixture twin
+    of :func:`decode_wav`, same pairing as encode_ppm/decode_ppm)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples_pcm16)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """REAL WAV decode via the dependency-free stdlib ``wave`` module:
+    ``(n_channels, sampwidth, framerate, n_frames, frames)``.
+
+    Like the PPM path this is an actually-executing decode in CI —
+    WAV/PCM is uncompressed, so the stdlib parser covers it; lossy
+    codecs (mp3/ogg) remain the documented torchaudio/av swap-in."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+            w.readframes(w.getnframes()),
+        )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, duration_s double, "
+    "rms double, peak int, mean_amp double"
+)
+
+
+def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL-decode audio feature extractor: parses each payload as WAV
+    (stdlib), converts PCM16 frames to samples and emits rate/length/
+    energy features. Undecodable payloads yield a (-1, -1) row — the
+    corrupt-blob contract of ``_image_features``."""
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "sample_rate", "n_samples", "duration_s", "rms",
+            "peak", "mean_amp",
+        )}
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                nch, width, rate, n, frames = decode_wav(bytes(payload))
+                if nch != 1 or width != 2 or n == 0:
+                    raise ValueError("unsupported layout")
+                s = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+                vals = (
+                    rate,
+                    n,
+                    float(n) / float(rate),
+                    float(np.sqrt((s * s).sum() / n)),
+                    int(np.abs(s).max()),
+                    float(s.sum() / n),
+                )
+            except (ValueError, EOFError, wave.Error):
+                vals = (-1, -1, float("nan"), float("nan"), -1, float("nan"))
+            out["doc_id"].append(did)
+            for k, v in zip(
+                ("sample_rate", "n_samples", "duration_s", "rms", "peak",
+                 "mean_amp"),
+                vals,
+            ):
+                out[k].append(v)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                "duration_s": pd.Series(out["duration_s"], dtype="float64"),
+                "rms": pd.Series(out["rms"], dtype="float64"),
+                "peak": pd.Series(out["peak"], dtype="int32"),
+                "mean_amp": pd.Series(out["mean_amp"], dtype="float64"),
+            }
+        )
+
+
+AUDIO_RATE = 8000
+
+
+def synth_audio_blobs(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV payloads derived from doc ids: a square wave
+    of amplitude ``1000 + (id % 100) * 10`` over ``100 + id % 50``
+    samples at 8 kHz, encoded through :func:`encode_wav`. The point of
+    the closed-form generator is that every downstream feature (rms =
+    amplitude exactly, peak, mean = A/n for odd n else 0, duration =
+    n/rate) is derivable by integer arithmetic in ANY engine — so the
+    REAL decode path gets a DuckDB oracle, not a rows-only check."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                n = 100 + int(did) % 50
+                amp = 1000 + (int(did) % 100) * 10
+                pcm = struct.pack(
+                    "<%dh" % n,
+                    *[amp if i % 2 == 0 else -amp for i in range(n)],
+                )
+                ids.append(did)
+                payloads.append(encode_wav(AUDIO_RATE, pcm))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )

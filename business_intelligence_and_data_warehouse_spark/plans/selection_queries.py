@@ -625,3 +625,46 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_stride=_PQ_STRIDE,
         nprobe=4,
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# multimodal audio: REAL WAV decode with a closed-form oracle
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "multimodal_audio_features",
+    oracle="""
+SELECT doc_id,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(100 + doc_id % 50 AS INTEGER) AS n_samples,
+  CAST(100 + doc_id % 50 AS DOUBLE) / 8000.0e0 AS duration_s,
+  CAST(1000 + (doc_id % 100) * 10 AS DOUBLE) AS rms,
+  CAST(1000 + (doc_id % 100) * 10 AS INTEGER) AS peak,
+  CASE WHEN (100 + doc_id % 50) % 2 = 1
+       THEN CAST(1000 + (doc_id % 100) * 10 AS DOUBLE)
+            / CAST(100 + doc_id % 50 AS DOUBLE)
+       ELSE 0.0e0 END AS mean_amp
+FROM documents
+ORDER BY doc_id
+""",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the Spark multimodal plumbing:
+    deterministic square-wave WAV payloads (operators/multimodal.
+    synth_audio_blobs) stream through the Arrow-batched WAV extractor
+    (stdlib ``wave`` decode + numpy energy features), and because the
+    generator is closed-form the decoded features hash-match a pure
+    arithmetic DuckDB oracle — the decode path itself is
+    oracle-verified, not just the plumbing."""
+    from ..operators.multimodal import (
+        AUDIO_FEATURE_SCHEMA,
+        _audio_features,
+        extract_features,
+        synth_audio_blobs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = synth_audio_blobs(docs)
+    return extract_features(
+        blobs, extractor=_audio_features, schema=AUDIO_FEATURE_SCHEMA
+    ).orderBy("doc_id")

@@ -530,3 +530,43 @@ def test_ivfpq_prunes_to_probed_cells(spark):
     ).collect()
     assert out, "probe found no candidates"
     assert all(r.neighbor_id % 2 == 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# WAV codec + audio extractor
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_and_features(spark):
+    import struct
+
+    from business_intelligence_and_data_warehouse_spark.operators.multimodal import (
+        AUDIO_FEATURE_SCHEMA,
+        _audio_features,
+        decode_wav,
+        encode_wav,
+        extract_features,
+    )
+
+    pcm = struct.pack("<4h", 500, -500, 500, -500)
+    payload = encode_wav(8000, pcm)
+    nch, width, rate, n, frames = decode_wav(payload)
+    assert (nch, width, rate, n) == (1, 2, 8000, 4)
+    assert frames == pcm
+
+    blobs = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not a wav"))],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r.doc_id: r
+        for r in extract_features(
+            blobs, extractor=_audio_features, schema=AUDIO_FEATURE_SCHEMA
+        ).collect()
+    }
+    assert out[1].rms == 500.0
+    assert out[1].peak == 500
+    assert out[1].mean_amp == 0.0
+    assert out[1].duration_s == 4 / 8000
+    # corrupt payload takes the (-1, nan) row, does not kill the batch
+    assert out[2].n_samples == -1
+    assert out[2].peak == -1
