@@ -101,6 +101,7 @@ HEADLINE = [
     "sim_ann_ivfpq",
     "stream_dedup_neardup",
     "multimodal_audio_features",
+    "sim_pq_recall_report",
 ]
 
 

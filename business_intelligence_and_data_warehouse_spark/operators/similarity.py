@@ -1011,3 +1011,42 @@ def semantic_dedup_pairs(
     return scored.filter(F.col("cosine") >= threshold).select(
         F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), "cosine"
     )
+
+
+def brute_force_l2_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k (snapped, ascending, ties on id) — the
+    same-metric exact baseline for the PQ/ADC family (cosine top-k is
+    the wrong yardstick for an L2 quantizer; recall must compare like
+    with like). Broadcast-probe map-side pass, no shuffle before the
+    per-probe rank."""
+    p = probes.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    pairs = c.join(F.broadcast(p)).filter(F.col("qid") != F.col("cid")).select(
+        "qid",
+        "cid",
+        (
+            l2_dec_batch(F.col("qvec"), F.col("cvec")).cast("double")
+            / DOT_SCALE
+        ).alias("dist"),
+    )
+    w = W.partitionBy("qid").orderBy("dist", F.col("cid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            "rank",
+            "dist",
+        )
+    )

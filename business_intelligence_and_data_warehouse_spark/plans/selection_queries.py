@@ -668,3 +668,83 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(
         blobs, extractor=_audio_features, schema=AUDIO_FEATURE_SCHEMA
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PQ recall report: measured recall@k of ADC vs the exact-L2 baseline
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "sim_pq_recall_report",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+pel AS (SELECT * FROM el WHERE vid % 100 = 0),
+bdist AS (
+  SELECT p.vid AS qid, c.vid AS cid,
+         CAST(SUM(CAST(FLOOR((p.val - c.val) * (p.val - c.val) * 1e6)
+                       AS BIGINT)) AS DOUBLE) / 1e6 AS dist
+  FROM pel p JOIN el c ON p.pos = c.pos AND p.vid <> c.vid
+  GROUP BY 1, 2
+),
+bt AS (
+  SELECT qid, cid FROM bdist
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist, cid)
+    <= {_PQ_K}
+),
+{_O_PQ_CODES.strip()},
+ax AS (
+  SELECT dt.qid, codes.vid,
+         CAST(SUM(dd) AS DOUBLE) / 1e6 AS approx_dist
+  FROM codes
+  JOIN dt ON dt.j = codes.j AND dt.code = codes.code
+  WHERE codes.vid <> dt.qid
+  GROUP BY 1, 2
+),
+pt AS (
+  SELECT qid, vid AS cid FROM ax
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY approx_dist, vid)
+    <= {_PQ_K}
+)
+SELECT CAST(COUNT(DISTINCT bt.qid) AS BIGINT) AS n_probes,
+       CAST({_PQ_K} AS INTEGER) AS k,
+       CAST(COUNT(pt.cid) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS BIGINT) AS n_expected,
+       COUNT(pt.cid) * 1.0e0 / COUNT(*) AS recall_at_k
+FROM bt LEFT JOIN pt ON pt.qid = bt.qid AND pt.cid = bt.cid
+""",
+)
+def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@10 of PQ/ADC against the exact squared-L2
+    brute-force baseline (same metric, so the report isolates
+    quantization error — the accuracy side of the m/stride knobs).
+    One row: (n_probes, k, n_hits, n_expected, recall_at_k)."""
+    from ..operators.similarity import brute_force_l2_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_l2_topk(emb, probes, _PQ_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = pq_topk(
+        emb, probes, k=_PQ_K, dim=64,
+        num_subspaces=_PQ_M, centroid_stride=_PQ_STRIDE,
+    ).select("query_id", "neighbor_id")
+    hit = exact.join(
+        approx, ["query_id", "neighbor_id"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        exact.agg(
+            F.countDistinct("query_id").alias("n_probes"),
+            F.count(F.lit(1)).alias("n_expected"),
+        )
+        .crossJoin(F.broadcast(hit))
+        .select(
+            "n_probes",
+            F.lit(_PQ_K).cast("int").alias("k"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            "n_expected",
+            (
+                F.col("n_hits") * F.lit(1.0) / F.col("n_expected")
+            ).alias("recall_at_k"),
+        )
+    )
