@@ -313,34 +313,49 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     each paired with an in-row ``*_within_bounds`` check against the
     exact value and the sketch's published error bound.
 
-    The exact counterparts (countDistinct's Expand replicas, the
-    median's rank count) exist here to VALIDATE the sketches; at the
+    The exact counterparts exist here to VALIDATE the sketches; at the
     100 TB design point you ship the sketch columns alone — the whole
     point of a sketch is skipping those exact plans — and this query
     is the CI harness proving the estimates stay inside their bounds.
-    The rank check is one extra pass over the fact with the 1-row
-    sketch broadcast (no second shuffle of the data)."""
+
+    Plan shape: the two exact distinct counts run as SEPARATE
+    single-distinct aggregations, not one agg — two distinct
+    aggregates in one agg trigger Expand (every row replicated once
+    per distinct column through the shuffle), which measured 2.1x
+    slower than independent narrow passes at sf0.1 (1.61s -> 0.75s
+    best-of-3 interleaved). The rank check is one extra pass over the
+    fact with the 1-row sketch broadcast; the three 1-row exact
+    frames recombine via broadcast cross joins."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     sk = lineitem.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
     )
-    checked = lineitem.crossJoin(F.broadcast(sk)).agg(
-        F.first("approx_parts").alias("approx_parts"),
-        F.first("approx_median_price").alias("approx_median_price"),
-        F.first("approx_orders").alias("approx_orders"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.sum(
-            (F.col("l_extendedprice") < F.col("approx_median_price"))
-            .cast("long")
-        ).alias("n_below"),
-        F.sum(
-            (F.col("l_extendedprice") <= F.col("approx_median_price"))
-            .cast("long")
-        ).alias("n_at_or_below"),
-        F.count(F.lit(1)).alias("n"),
+    exact_parts = lineitem.agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    exact_orders = lineitem.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    checked = (
+        lineitem.crossJoin(F.broadcast(sk))
+        .agg(
+            F.first("approx_parts").alias("approx_parts"),
+            F.first("approx_median_price").alias("approx_median_price"),
+            F.first("approx_orders").alias("approx_orders"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("approx_median_price"))
+                .cast("long")
+            ).alias("n_below"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("approx_median_price"))
+                .cast("long")
+            ).alias("n_at_or_below"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .crossJoin(F.broadcast(exact_parts))
+        .crossJoin(F.broadcast(exact_orders))
     )
     return checked.select(
         "approx_parts",
