@@ -176,7 +176,8 @@ def _image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     sums[0] / n, sums[1] / n, sums[2] / n,
                     hashlib.md5(raster).hexdigest(),
                 )
-            except (ValueError, IndexError):
+            except (ValueError, IndexError, TypeError):
+                # TypeError: NULL payload (bytes(None)) -> sentinel row
                 vals = (-1, -1, float("nan"), float("nan"), float("nan"), None)
             out["doc_id"].append(did)
             for k, v in zip(
@@ -326,7 +327,10 @@ def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     int(np.abs(s).max()),
                     float(s.sum() / n),
                 )
-            except (ValueError, EOFError, wave.Error):
+            except (ValueError, EOFError, TypeError, wave.Error):
+                # TypeError covers NULL payloads (bytes(None)) — a
+                # nullable binary column must take the sentinel row,
+                # not kill the Arrow batch
                 vals = (-1, -1, float("nan"), float("nan"), -1, float("nan"))
             out["doc_id"].append(did)
             for k, v in zip(

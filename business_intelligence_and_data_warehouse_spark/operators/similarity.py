@@ -482,21 +482,10 @@ def ivf_pq_topk(
     Output contract matches :func:`pq_topk`; a probe returns at most
     min(k, candidates-in-its-cells) rows.
     """
-    from .caching import pin
-
-    corpus_n = pin(_normed(vectors, id_col, vec_col))
-    cents_n = corpus_n.filter(F.col("vid") % centroid_stride == 0)
-    assign = _nearest_centroids(corpus_n, cents_n, 1)
-    probes_n = _normed(probes, id_col, vec_col)
-    probe_cells = _nearest_centroids(
-        probes_n, cents_n, nprobe
-    ).withColumnRenamed("vid", "qid")
-    cand = (
-        probe_cells.join(assign, "cvid")
-        .filter(F.col("vid") != F.col("qid"))
-        .select("qid", "vid")
-        .distinct()
+    cand, _ = _ivf_candidates(
+        vectors, probes, centroid_stride, nprobe, id_col, vec_col
     )
+    cand = cand.select("qid", F.col("cid").alias("vid"))
     codes, dtable = _pq_codes(
         vectors, probes, dim, num_subspaces, centroid_stride, id_col, vec_col
     )
@@ -596,6 +585,41 @@ def _cosine_for_pairs_normed(pairs: DataFrame, normed: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_candidates(
+    vectors: DataFrame,
+    probes: DataFrame,
+    centroid_stride: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(candidates, corpus_n) — the IVF candidate-generation core
+    shared by :func:`ivf_topk` (exact-cosine verify) and
+    :func:`ivf_pq_topk` (ADC scoring): stride centroids, cell
+    assignment, nprobe probe cells, deduplicated (qid, cid) pairs
+    with self-matches excluded. Factored so the Spark side cannot
+    drift between the two, mirroring the shared `_O_IVF_CAND` oracle
+    fragment. The pinned normed corpus is returned for callers whose
+    scoring pass needs it (the IVF verify); the pin is ledger-managed
+    like every other."""
+    from .caching import pin
+
+    corpus_n = pin(_normed(vectors, id_col, vec_col))
+    cents_n = corpus_n.filter(F.col("vid") % centroid_stride == 0)
+    assign = _nearest_centroids(corpus_n, cents_n, 1)
+    probes_n = _normed(probes, id_col, vec_col)
+    probe_cells = _nearest_centroids(
+        probes_n, cents_n, nprobe
+    ).withColumnRenamed("vid", "qid")
+    candidates = (
+        probe_cells.join(assign, "cvid")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", F.col("vid").alias("cid"))
+        .distinct()
+    )
+    return candidates, corpus_n
+
+
 def ivf_topk(
     vectors: DataFrame,
     probes: DataFrame,
@@ -627,20 +651,8 @@ def ivf_topk(
     without the pin each branch re-derives the map-side norm over the
     whole corpus, a ~2× constant-factor regression measured at sf0.1.
     """
-    from .caching import pin
-
-    corpus_n = pin(_normed(vectors, id_col, vec_col))
-    cents_n = corpus_n.filter(F.col("vid") % centroid_stride == 0)
-    assign = _nearest_centroids(corpus_n, cents_n, 1)
-    probes_n = _normed(probes, id_col, vec_col)
-    probe_cells = _nearest_centroids(probes_n, cents_n, nprobe).withColumnRenamed(
-        "vid", "qid"
-    )
-    candidates = (
-        probe_cells.join(assign, "cvid")
-        .filter(F.col("vid") != F.col("qid"))
-        .select("qid", F.col("vid").alias("cid"))
-        .distinct()
+    candidates, corpus_n = _ivf_candidates(
+        vectors, probes, centroid_stride, nprobe, id_col, vec_col
     )
     pairs = _cosine_for_pairs_normed(candidates, corpus_n)
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))

@@ -722,6 +722,12 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
+    # the exact subtree has two consumers (hit semi-join + the
+    # n_probes aggregate) but they read IDENTICAL exchanges up through
+    # the per-probe rank window, so ReuseExchange already shares the
+    # expensive UDF distance pass — a pin measured as pure overhead
+    # (sf0.1 interleaved best-of-3: 4.33s unpinned vs 5.24s pinned),
+    # the same negative result as the MinHash band join
     exact = brute_force_l2_topk(emb, probes, _PQ_K).select(
         "query_id", "neighbor_id"
     )

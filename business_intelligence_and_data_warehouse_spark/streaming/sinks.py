@@ -60,7 +60,10 @@ def merge_last_state(
 
 
 class _SnapshotStore:
-    """Versioned parquet snapshot with an atomic current-pointer.
+    """Versioned parquet snapshot with an atomic current-pointer —
+    the single-artifact facade over :class:`_TwinStore` (one frame
+    named ``df``), so the pointer/ledger/prune logic exists exactly
+    once.
 
     The ledger records (lineage, batch_id): micro-batch ids are only
     monotone WITHIN one checkpoint lineage (a reset checkpoint
@@ -70,49 +73,19 @@ class _SnapshotStore:
     """
 
     def __init__(self, spark: SparkSession, root: str):
-        self.spark = spark
-        self.root = root
-        os.makedirs(root, exist_ok=True)
-
-    def _pointer(self) -> str:
-        return os.path.join(self.root, "_CURRENT")
+        self._tw = _TwinStore(spark, root)
 
     def _state(self) -> dict | None:
-        try:
-            with open(self._pointer()) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return None
+        return self._tw._state()
 
     def read(self) -> DataFrame | None:
-        state = self._state()
-        if state is None:
-            return None
-        return self.spark.read.parquet(state["path"])
+        return self._tw.read("df")
 
     def already_applied(self, lineage: str, batch_id: int) -> bool:
-        state = self._state()
-        return (
-            state is not None
-            and state.get("lineage") == lineage
-            and batch_id <= int(state["batch_id"])
-        )
+        return self._tw.already_applied(lineage, batch_id)
 
     def commit(self, df: DataFrame, lineage: str, batch_id: int) -> None:
-        state = self._state()
-        path = os.path.join(self.root, f"v{batch_id}_{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(path)
-        tmp = self._pointer() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"path": path, "lineage": lineage, "batch_id": batch_id}, fh
-            )
-        os.replace(tmp, self._pointer())  # atomic pointer swap
-        if state is not None and state["path"] != path:
-            # prune the superseded version — the pointer no longer
-            # references it, so the rewrite stays O(|snapshot|) disk,
-            # not O(batches x |snapshot|)
-            shutil.rmtree(state["path"], ignore_errors=True)
+        self._tw.commit({"df": df}, lineage, batch_id)
 
 
 def _checkpoint_lineage(checkpoint_dir: str) -> str:
@@ -421,7 +394,11 @@ def run_neardup_filter_stream(
     operators/dedup.incremental_dedup (exact_dup / near_dup / novel)
     inside a foreachBatch sink; verdicts accumulate in a snapshot
     store with the same (lineage, batch_id) idempotence ledger as the
-    upsert sink, so at-least-once redelivery cannot double-classify.
+    upsert sink, so at-least-once redelivery cannot double-classify —
+    and the append itself is keyed (first verdict per doc wins, via an
+    anti-join against the standing log), so even a checkpoint-RESET
+    replay, which defeats any batch-id ledger, converges to the same
+    verdict set instead of duplicating rows.
 
     With ``accept_novel`` the batch's novel documents JOIN the
     standing corpus before the next batch — the crawl-loop contract
@@ -443,12 +420,25 @@ def run_neardup_filter_stream(
     checkpoint_dir = os.path.join(root, "_checkpoint")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # drop the PREVIOUS batch's pinned token tables before this
+        # batch pins its own: incremental_dedup pins the corpus-side
+        # tokenize, and a long-running stream would otherwise hold one
+        # pinned copy per processed batch (the r4 session-residue
+        # class — release_pinned only runs at registry-query
+        # boundaries, never between micro-batches)
+        from ..operators.caching import release_pinned
+
+        release_pinned()
         lineage = _checkpoint_lineage(checkpoint_dir)
         if store.already_applied(lineage, batch_id):
             return
         standing = store.read("corpus") if accept_novel else None
         if standing is None:
             standing = corpus
+        # materialize the verdicts ONCE: both commit frames read `out`
+        # (the verdict append and the novel-doc semi-join), and without
+        # this the whole classification pipeline would execute twice
+        # per accept-novel batch
         out = incremental_dedup(
             batch_df,
             standing,
@@ -457,11 +447,26 @@ def run_neardup_filter_stream(
             max_df=max_df,
             id_col=id_col,
             text_col=text_col,
-        )
+        ).localCheckpoint(eager=True)
         prev = store.read("verdicts")
-        allv = out if prev is None else prev.unionByName(out)
+        if prev is None:
+            allv = out
+        else:
+            # idempotent append: a doc classified in an EARLIER commit
+            # keeps its first verdict. This covers the lineage-RESET
+            # replay (checkpoint deleted/rebuilt => already_applied is
+            # False for redelivered batches): without the anti-join the
+            # replay would duplicate every verdict row, and under
+            # accept_novel would re-classify replayed docs as exact
+            # dups of themselves (the corpus already holds them).
+            allv = prev.unionByName(
+                out.join(prev.select("doc_id"), "doc_id", "left_anti")
+            )
         frames = {"verdicts": allv}
         if accept_novel:
+            # a lineage-reset replay cannot double-add here: replayed
+            # docs are already IN the corpus, so they classify as
+            # exact_dup, never novel
             novel = batch_df.join(
                 out.filter(F.col("verdict") == "novel").select(
                     F.col("doc_id").alias("_nid")

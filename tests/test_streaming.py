@@ -413,8 +413,6 @@ def test_scd2_stream_incremental_loads_version_correctly(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 def _write_docs(spark, src_dir, rows):
-    import uuid as _uuid
-
     df = spark.createDataFrame(rows, "doc_id long, text string")
     df.coalesce(1).write.mode("append").parquet(src_dir)
 
