@@ -500,3 +500,42 @@ def test_neardup_gate_fixed_corpus_matches_batch_classifier(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_neardup_gate_survives_checkpoint_reset(spark, tmp_path):
+    """Deleting the checkpoint (lineage reset) defeats the batch-id
+    ledger — the KEYED verdict append must still converge: no
+    duplicate verdict rows, no self-exact-dup reclassification of
+    replayed docs, and the accepted corpus unchanged."""
+    import shutil as sh
+
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        run_neardup_filter_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    root = str(tmp_path / "gate")
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dogs")],
+        "doc_id long, text string",
+    )
+    _write_docs(spark, src, [(1, "completely new content alpha beta gamma")])
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        return run_neardup_filter_stream(
+            stream, spark, corpus, root, k=3, threshold=0.5,
+            max_df=50, accept_novel=True,
+        )
+
+    first = sorted(map(tuple, run().collect()))
+    assert len(first) == 1 and first[0][1] == "novel"
+
+    # reset the lineage: batch ids restart at 0, already_applied is
+    # False for the replayed batch
+    sh.rmtree(str(tmp_path / "gate" / "_checkpoint"), ignore_errors=True)
+    second = sorted(map(tuple, run().collect()))
+    assert second == first, (
+        "checkpoint-reset replay duplicated or re-classified verdicts"
+    )
