@@ -61,6 +61,12 @@ INVARIANCE_SET = [
     "search_hybrid_rrf",
     "sim_ann_pq",
     "sim_ann_ivfpq",
+    # round-5 behavioral ops: exact-float EWMA fan-out, hash-assigned
+    # experiment scalars, window cumulative shares
+    "events_ewma",
+    "events_ab_test",
+    "events_transition_matrix",
+    "orders_abc_pareto",
 ]
 
 
