@@ -220,3 +220,119 @@ def rrf_fuse(
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), "id").limit(topk)
+
+
+# ---------------------------------------------------------------------------
+# build-once / probe-many BM25 index lifecycle
+# ---------------------------------------------------------------------------
+
+
+def build_search_index(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """BUILD-ONCE half of the serving-search lifecycle: materialize a
+    query-agnostic inverted index to ``index_dir`` — ``postings``
+    (term, doc_id, tf, dl; dl denormalized onto the posting so scoring
+    needs no doc-length join), ``dfs`` (term -> document frequency),
+    and one-row ``stats`` (n_docs, sum_dl as exact BIGINTs; avgdl is
+    derived at probe time with the same double division
+    :func:`bm25_topk` uses, so scores are bit-identical to the
+    from-scratch path).
+
+    :func:`bm25_topk` re-tokenizes the corpus per query — right for a
+    one-shot; a serving deployment pays the corpus scan once per
+    snapshot and answers every query from the index. ``postings`` is
+    repartitioned by term at write so a probe's term-filter prunes to
+    term-clustered files; on a catalog-backed deployment write it
+    ``bucketBy(term)`` and per-query reads touch only the probed
+    terms' buckets.
+    """
+    toks = pin(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokens_ws(normalize_text(F.col(text_col))).alias("toks"),
+        ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    )
+    postings = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings = pin(postings)
+    postings.repartition("term").write.mode("overwrite").parquet(
+        index_dir + "/postings"
+    )
+    (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .write.mode("overwrite")
+        .parquet(index_dir + "/dfs")
+    )
+    (
+        toks.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(index_dir + "/stats")
+    )
+
+
+def probe_search_index(
+    spark,
+    index_dir: str,
+    terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """PROBE-MANY half: answer a bag-of-terms query from a prebuilt
+    :func:`build_search_index` with the SAME output contract (and
+    bit-identical scores) as :func:`bm25_topk`.
+
+    Per-query cost is the term-filtered postings read (the filter
+    pushes into the term-clustered parquet scan — never a corpus
+    re-tokenize), a broadcast of the |terms| df rows, and one
+    per-document aggregate over the hit postings.
+    """
+    postings = spark.read.parquet(index_dir + "/postings").filter(
+        F.col("term").isin(*terms)
+    )
+    dfs = (
+        spark.read.parquet(index_dir + "/dfs")
+        .filter(F.col("term").isin(*terms))
+        .select("term", F.col("df").cast("double").alias("df"))
+    )
+    stats = spark.read.parquet(index_dir + "/stats").select(
+        F.col("n_docs").cast("double").alias("n_docs"),
+        (
+            F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+        ).alias("avgdl"),
+    )
+    scored = postings.join(F.broadcast(dfs), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    sat = (tfd * F.lit(k1 + 1.0)) / (
+        tfd
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + (F.lit(b) * dld) / F.col("avgdl"))
+    )
+    term_score = F.floor(idf * sat * F.lit(SCORE_SCALE)).cast("long")
+    return (
+        scored.select("doc_id", term_score.alias("ts"))
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("ts").cast("double") / F.lit(SCORE_SCALE)).alias("bm25"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )

@@ -1062,3 +1062,93 @@ def brute_force_l2_topk(
             "dist",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-bit (sign) quantization + packed Hamming top-k
+# ---------------------------------------------------------------------------
+
+_SIGN_WORD_BITS = 32
+
+
+def sign_pack(
+    vectors: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-bit quantization: each dimension's sign packs into one bit,
+    32 bits per BIGINT word — (vid, w0, w1, ...) for ``dim`` dims.
+
+    The extreme end of the quantization ladder (float32 -> int8 ->
+    1 bit): a 64-dim vector becomes 8 BYTES, and distance becomes two
+    XOR+popcounts — pure integer ops, bit-identical cross-engine, and
+    a ~32x memory-bandwidth cut over float scans. Packing is a
+    map-side HOF over the bound array (bounded 32-element lambdas;
+    sub-word shifts only, so no sign-bit overflow), no shuffle.
+    """
+    if dim % _SIGN_WORD_BITS != 0:
+        raise ValueError(f"dim={dim} must be a multiple of {_SIGN_WORD_BITS}")
+    words = [
+        F.expr(
+            f"aggregate(transform(slice({vec_col}, {w * _SIGN_WORD_BITS + 1},"
+            f" {_SIGN_WORD_BITS}),"
+            " (x, i) -> IF(x >= 0, shiftleft(CAST(1 AS BIGINT), i),"
+            " CAST(0 AS BIGINT))),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias(f"w{w}")
+        for w in range(dim // _SIGN_WORD_BITS)
+    ]
+    return vectors.select(F.col(id_col).alias("vid"), *words)
+
+
+def hamming_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest corpus vectors per probe under packed sign-bit
+    Hamming distance, with the exact cosine of each surfaced pair as
+    the rerank annotation (the standard binary-quantization serving
+    shape: Hamming shortlist, float rerank).
+
+    Plan: both sides pack map-side; the |probes| packed rows broadcast
+    (the brute-force-cosine join shape at ~1/32 the bytes); ranking is
+    a per-probe window; the cosine rerank joins the k*|probes|
+    shortlist back through ``cosine_for_pairs`` — O(shortlist), not
+    O(corpus). Ordering: hamming ASC, corpus id ASC (total order).
+    """
+    n_words = dim // _SIGN_WORD_BITS
+    c = sign_pack(vectors, dim, id_col, vec_col)
+    p = sign_pack(probes, dim, id_col, vec_col).select(
+        F.col("vid").alias("qid"),
+        *[F.col(f"w{w}").alias(f"pw{w}") for w in range(n_words)],
+    )
+    hamming = None
+    for w in range(n_words):
+        t = F.bit_count(F.col(f"w{w}").bitwiseXOR(F.col(f"pw{w}")))
+        hamming = t if hamming is None else hamming + t
+    pairs = (
+        c.join(F.broadcast(p))
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", F.col("vid").alias("cid"), hamming.alias("hamming"))
+    )
+    w_rank = W.partitionBy("qid").orderBy("hamming", "cid")
+    short = (
+        pairs.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+    return (
+        cosine_for_pairs(short.select("qid", "cid"), vectors, id_col, vec_col)
+        .join(short, ["qid", "cid"])
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            "hamming",
+            "rank",
+            "cosine",
+        )
+    )

@@ -10,5 +10,6 @@ from . import advanced_queries  # noqa: F401  (registers r3 advanced ops)
 from . import warehouse_queries  # noqa: F401  (registers r4 physical-design ops)
 from . import selection_queries  # noqa: F401  (registers r5 data-selection ops)
 from . import behavior_queries  # noqa: F401  (registers r5 behavioral ops)
+from . import graph_queries  # noqa: F401  (registers r5 graph ops)
 
 __all__ = ["ORACLES", "QUERIES", "query_fn"]

@@ -32,7 +32,7 @@ from ..operators.search import bm25_topk
 from ..operators.similarity import quantize_int8, quantized_ip_topk
 from ..sources.testdata import load_table
 from .pipeline_queries import _O_ELEMENTS, _O_NORM
-from .queries import query_fn
+from .queries import ORACLES, query_fn
 
 # ---------------------------------------------------------------------------
 # text: n-gram repetition filter (Gopher rules)
@@ -190,6 +190,50 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('join', 'hash', 'scan')."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+_SEARCH_INDEX_PARENT: str | None = None
+
+
+def _search_index_dir(sf_dir: str) -> str:
+    """Per-process index location (same aliasing rationale as
+    pipeline_queries._dedup_index_dir: a shared fixed path would let
+    two concurrent processes race on overwrite-vs-scan)."""
+    global _SEARCH_INDEX_PARENT
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    if _SEARCH_INDEX_PARENT is None:
+        _SEARCH_INDEX_PARENT = tempfile.mkdtemp(prefix="bidw_search_index_")
+        atexit.register(
+            shutil.rmtree, _SEARCH_INDEX_PARENT, ignore_errors=True
+        )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(_SEARCH_INDEX_PARENT, tag)
+
+
+@query_fn("search_bm25_indexed", oracle=ORACLES["search_bm25"])
+def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME BM25 top-20 answered from the build-once/probe-many
+    inverted index (operators/search.build_search_index /
+    probe_search_index): the corpus is tokenized into term-clustered
+    postings ONCE; each query reads only its terms' postings plus two
+    broadcast stats tables — the serving-search shape, mirroring
+    dedup_incremental_indexed for dedup and sim_ann_ivf_indexed for
+    ANN. Identical oracle to search_bm25: the lifecycle must not move
+    a single score."""
+    import os
+
+    from ..operators.search import build_search_index, probe_search_index
+
+    index_dir = _search_index_dir(sf_dir)
+    if not os.path.isdir(os.path.join(index_dir, "stats")):
+        docs = load_table(spark, sf_dir, "documents")
+        build_search_index(docs, index_dir)
+    return probe_search_index(spark, index_dir, _BM25_TERMS, k=_BM25_K)
 
 
 # ---------------------------------------------------------------------------

@@ -754,3 +754,70 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-bit (sign) quantization + packed Hamming top-k, cosine-reranked
+# ---------------------------------------------------------------------------
+
+
+@query_fn(
+    "sim_binary_hamming",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+words AS (
+  SELECT vid, CAST((pos - 1) // 32 AS INTEGER) AS w,
+         CAST(SUM(CASE WHEN val >= 0
+                       THEN (CAST(1 AS BIGINT) << ((pos - 1) % 32))
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS word
+  FROM el GROUP BY 1, 2
+),
+packed AS (
+  SELECT vid,
+         MAX(CASE WHEN w = 0 THEN word END) AS w0,
+         MAX(CASE WHEN w = 1 THEN word END) AS w1
+  FROM words GROUP BY vid
+),
+pr AS (SELECT * FROM packed WHERE vid % 100 = 0),
+ham AS (
+  SELECT pr.vid AS qid, c.vid AS cid,
+         CAST(bit_count(xor(pr.w0, c.w0))
+              + bit_count(xor(pr.w1, c.w1)) AS INTEGER) AS hamming
+  FROM pr JOIN packed c ON c.vid != pr.vid
+),
+short AS (
+  SELECT qid, cid, hamming,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid)
+              AS INTEGER) AS rank
+  FROM ham QUALIFY rank <= 10
+),
+dots AS (
+  SELECT s.qid, s.cid,
+         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM short s
+  JOIN el a ON a.vid = s.qid
+  JOIN el b ON b.vid = s.cid AND b.pos = a.pos
+  GROUP BY 1, 2
+)
+SELECT s.qid AS query_id, s.cid AS neighbor_id, s.hamming, s.rank,
+       d.dot / NULLIF(nq.norm * nc.norm, 0.0e0) AS cosine
+FROM short s
+JOIN dots d ON d.qid = s.qid AND d.cid = s.cid
+JOIN nrm nq ON nq.vid = s.qid
+JOIN nrm nc ON nc.vid = s.cid
+ORDER BY query_id, rank
+""",
+)
+def sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit sign quantization + packed-word Hamming top-10 with exact
+    cosine rerank annotation: a 64-dim float vector becomes two BIGINT
+    words (8 bytes — a ~32x bandwidth cut over float scans) and
+    distance becomes two XOR+popcounts, pure integer ops that
+    hash-match cross-engine with no snapping at all
+    (operators/similarity.py sign_pack / hamming_topk)."""
+    from ..operators.similarity import hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return hamming_topk(emb, probes, k=10).orderBy("query_id", "rank")

@@ -67,6 +67,9 @@ INVARIANCE_SET = [
     "events_ab_test",
     "events_transition_matrix",
     "orders_abc_pareto",
+    "graph_pagerank",
+    "sim_binary_hamming",
+    "search_bm25_indexed",
 ]
 
 
