@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..functions.text import normalize_text, shingles_of_tokens, tokens_ws
 
@@ -275,5 +276,88 @@ def chunk_documents(
             "chunk_text",
             F.col("n_tokens").cast("int").alias("n_tokens"),
             F.md5("chunk_text").alias("chunk_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus segment ("line") dedup — the C4 recipe
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    docs: DataFrame,
+    seg_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style cross-corpus line dedup: segment every document into
+    fixed-width token "lines", keep only the FIRST occurrence of each
+    distinct segment corpus-wide (order = (doc_id, position)), and
+    re-assemble each document from its surviving segments.
+
+    (C4 deduplicates three-sentence spans across the whole corpus;
+    the testdata has no sentence boundaries, so the fixed token window
+    is the deterministic stand-in — the pipeline shape is identical.)
+
+    Returns (doc_id, clean_text, n_segments, n_removed) for EVERY
+    input document (a fully-duplicated document survives with empty
+    text and n_removed = n_segments — the caller decides whether to
+    drop it).
+
+    Scale design: segmentation is a map-side `transform` over the
+    bound token array (no shuffle, linear fan-out of ~len/seg_tokens
+    rows per doc); keep-first is ONE window over the md5(segment) key
+    (narrow rows: hash + doc + position); re-assembly sorts each
+    document's own kept segments map-side (`array_sort` over collected
+    structs, bounded by document length — never a global sort). Total:
+    two exchanges (segment-hash window, per-doc gather).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_ws(normalize_text(F.col(text_col))).alias("t"),
+    )
+    # >= 1 segment even for an empty/whitespace doc: sequence(0, -1)
+    # would COUNT DOWN (negative default step), not produce empty
+    n_segs = F.greatest(
+        F.ceil(F.size("t") / F.lit(seg_tokens)).cast("int"), F.lit(1)
+    )
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i * seg_tokens + 1, seg_tokens)
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = W.partitionBy(F.md5(F.col("seg"))).orderBy("doc_id", "seg_idx")
+    marked = segs.withColumn(
+        "kept", F.row_number().over(w) == F.lit(1)
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_segments"),
+            F.sum((~F.col("kept")).cast("int")).cast("int").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct(
+                                    F.col("seg_idx").alias("i"),
+                                    F.col("seg").alias("s"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda st: st["s"],
+                ),
+            ).alias("clean_text"),
         )
     )

@@ -87,3 +87,85 @@ FROM {table}"""
         for name, kind in cols
     ]
     return "\nUNION ALL\n".join(parts) + '\nORDER BY "column"'
+
+
+# ---------------------------------------------------------------------------
+# declarative constraint suite (deequ-style checks)
+# ---------------------------------------------------------------------------
+
+
+def with_ref_flag(
+    df: DataFrame, keys: DataFrame, key_col: str, ref_key_col: str, flag: str
+) -> DataFrame:
+    """Adds boolean ``flag``: the row's ``key_col`` exists in
+    ``keys[ref_key_col]`` (NULL keys count as present — completeness
+    is its own check). The key set joins by broadcast: dimension key
+    sets are small by design; for a fact-sized reference swap in a
+    left-semi + union instead."""
+    k = keys.select(F.col(ref_key_col).alias("__ref_key")).distinct()
+    return (
+        df.join(
+            F.broadcast(k), df[key_col] == F.col("__ref_key"), "left"
+        )
+        .withColumn(
+            flag,
+            F.col(key_col).isNull() | F.col("__ref_key").isNotNull(),
+        )
+        .drop("__ref_key")
+    )
+
+
+def quality_report(
+    df: DataFrame,
+    row_checks: dict[str, F.Column],
+    unique_cols: list[str] | None = None,
+    thresholds: dict[str, float] | None = None,
+    default_threshold: float = 1.0,
+) -> DataFrame:
+    """Constraint-suite report (the deequ/'expectations' pattern): one
+    row per check with (check, metric, threshold, passed).
+
+    ``row_checks`` maps check name -> boolean per-row Column; the
+    metric is the passing fraction (exact BIGINT count / BIGINT count,
+    one IEEE division). ``unique_cols`` adds a uniqueness check per
+    column (metric = exact distinct / count). ``passed`` compares the
+    deterministic metric to the check's threshold.
+
+    Plan: every row check folds into ONE aggregate over one scan
+    (map-side partial); melting the 1-row wide aggregate to long form
+    is a map-side explode. Each unique col adds a DISTINCT aggregate —
+    ONE stays Expand-free (two-stage aggregate); two+ trigger the
+    multi-distinct Expand replication (see SCALE.md round-5 note), so
+    split reports rather than listing many unique cols in one.
+    """
+    unique_cols = unique_cols or []
+    thresholds = thresholds or {}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, expr in row_checks.items():
+        aggs.append(F.sum(expr.cast("long")).alias(f"__c_{name}"))
+    for col in unique_cols:
+        aggs.append(F.count_distinct(F.col(col)).alias(f"__d_{col}"))
+    wide = df.agg(*aggs)
+
+    entries = []
+    for name in row_checks:
+        entries.append((name, F.col(f"__c_{name}")))
+    for col in unique_cols:
+        entries.append((f"unique_{col}", F.col(f"__d_{col}")))
+    structs = [
+        F.struct(
+            F.lit(name).alias("check"),
+            (num.cast("double") / F.col("__n").cast("double")).alias(
+                "metric"
+            ),
+            F.lit(
+                float(thresholds.get(name, default_threshold))
+            ).alias("threshold"),
+        )
+        for name, num in entries
+    ]
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.check", "r.metric", "r.threshold")
+        .withColumn("passed", F.col("metric") >= F.col("threshold"))
+    )

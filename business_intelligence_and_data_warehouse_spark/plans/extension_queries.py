@@ -1320,3 +1320,74 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         docs, chunk_tokens=_CHUNK_C, overlap=_CHUNK_O
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality constraint suite (deequ-style)
+# ---------------------------------------------------------------------------
+
+
+@query_fn(
+    "data_quality_checks",
+    oracle="""
+WITH refk AS (SELECT DISTINCT c_custkey FROM customer),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_complete,
+         CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS c_status,
+         CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_price,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+                        AND o_orderdate < TIMESTAMP '2001-01-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_dates,
+         CAST(SUM(CASE WHEN o_custkey IS NULL
+                        OR refk.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_orderkey
+  FROM orders LEFT JOIN refk ON refk.c_custkey = orders.o_custkey
+),
+checks AS (
+  SELECT 'completeness_o_custkey' AS check, c_complete AS num, 1.0e0 AS threshold FROM agg
+  UNION ALL SELECT 'accepted_status', c_status, 1.0e0 FROM agg
+  UNION ALL SELECT 'positive_totalprice', c_price, 1.0e0 FROM agg
+  UNION ALL SELECT 'orderdate_in_range', c_dates, 1.0e0 FROM agg
+  UNION ALL SELECT 'ref_custkey_in_customer', c_ref, 1.0e0 FROM agg
+  UNION ALL SELECT 'unique_o_orderkey', d_orderkey, 1.0e0 FROM agg
+)
+SELECT c.check,
+       CAST(c.num AS DOUBLE) / CAST(a.n AS DOUBLE) AS metric,
+       c.threshold,
+       CAST(c.num AS DOUBLE) / CAST(a.n AS DOUBLE) >= c.threshold AS passed
+FROM checks c CROSS JOIN agg a
+ORDER BY c.check
+""",
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over the orders load (the
+    deequ/'expectations' pattern — operators/profile.quality_report):
+    completeness, accepted-set, range, referential-integrity (broadcast
+    key-set flag), date-bounds, and exact-distinct uniqueness checks
+    fold into ONE aggregate pass; the report is one row per check with
+    the passing fraction against its threshold. The date-bounds check
+    fails on this data (orders run into 2001) — both verdict branches
+    are exercised."""
+    from ..operators.profile import quality_report, with_ref_flag
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    flagged = with_ref_flag(
+        orders, customer, "o_custkey", "c_custkey", "__ref_ok"
+    )
+    report = quality_report(
+        flagged,
+        row_checks={
+            "completeness_o_custkey": F.col("o_custkey").isNotNull(),
+            "accepted_status": F.col("o_orderstatus").isin("F", "O", "P"),
+            "positive_totalprice": F.col("o_totalprice") > 0,
+            "orderdate_in_range": (
+                F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+            )
+            & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp")),
+            "ref_custkey_in_customer": F.col("__ref_ok"),
+        },
+        unique_cols=["o_orderkey"],
+    )
+    return report.orderBy("check")

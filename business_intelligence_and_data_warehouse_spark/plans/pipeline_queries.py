@@ -1384,3 +1384,56 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_dedup_index(
         new, spark, index_dir, k=3, threshold=_JACCARD_T, max_df=_MAX_DF
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus segment ("line") dedup — the C4 recipe
+# ---------------------------------------------------------------------------
+
+_LINE_SEG = 8
+
+
+@query_fn(
+    "text_line_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_O_NORM}, ' ') AS t FROM documents
+),
+segs AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+         array_to_string(
+           list_slice(t, i * {_LINE_SEG} + 1, i * {_LINE_SEG} + {_LINE_SEG}),
+           ' ') AS seg
+  FROM (
+    SELECT doc_id, t,
+           unnest(range(0, GREATEST(
+             CAST(CEIL(len(t) / {_LINE_SEG}.0e0) AS BIGINT), 1))) AS i
+    FROM toks
+  )
+),
+marked AS (
+  SELECT doc_id, seg_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                            ORDER BY doc_id, seg_idx) = 1 AS kept
+  FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_segments,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS INTEGER) AS n_removed,
+       COALESCE(string_agg(CASE WHEN kept THEN seg END, ' '
+                           ORDER BY seg_idx), '') AS clean_text
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus line dedup over fixed 8-token segments:
+    keep each distinct segment's first occurrence corpus-wide and
+    re-assemble every document from its survivors
+    (operators/corpus_quality.line_dedup — map-side segmentation, one
+    segment-hash window, one per-doc gather)."""
+    from ..operators.corpus_quality import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup(docs, seg_tokens=_LINE_SEG).orderBy("doc_id")

@@ -70,6 +70,8 @@ INVARIANCE_SET = [
     "graph_pagerank",
     "sim_binary_hamming",
     "search_bm25_indexed",
+    "text_line_dedup",
+    "data_quality_checks",
 ]
 
 
