@@ -102,6 +102,12 @@ HEADLINE = [
     "stream_dedup_neardup",
     "multimodal_audio_features",
     "sim_pq_recall_report",
+    # r5 physical-design + sketch batch
+    "warehouse_zorder_layout",
+    "contamination_bloom",
+    "events_heavy_hitters",
+    "topk_revenue_per_nation",
+    "warehouse_tombstone_delete",
 ]
 
 

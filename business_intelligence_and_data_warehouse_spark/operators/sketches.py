@@ -1,0 +1,217 @@
+"""Hash-sketch operators: Bloom-filter membership and count-min
+frequency estimation, both engine-portable and broadcast-shaped.
+
+Reference parity: the reference (a BI warehouse —
+`Python Analytics/PythonAnalysis.py`, Kettle ETL) has no sketch
+surface; these belong to the LLM-data-pipeline extension mandate
+(approximate membership for contamination/runtime filters, bounded
+frequency state for heavy hitters), alongside the HLL/quantile
+sketches already covered by ``approx_sketches``.
+
+Determinism: every hash position is integer arithmetic over md5 hex
+digits (the ``operators/split.py`` ascii-CASE family), so sketch
+contents, probe outcomes, and even the *false positives* are
+bit-identical across engines and partitionings — a DuckDB oracle can
+replay the sketch exactly. No RNG, no JVM ``hash()``.
+
+Scale design (100 TB):
+
+* A Bloom filter over a benchmark/eval set is O(m_bits) — kilobytes —
+  regardless of how many shingles it summarizes, so it BROADCASTS
+  where the eval shingle *set* (MBs..GBs) might not. Probing is k
+  broadcast hash joins on the word index (map-side, no explode, no
+  added shuffle): the corpus scan is never reshuffled to test
+  membership. No false negatives, so a downstream exact verify only
+  has to touch the bloom-positive slice — the runtime-filter shape
+  Spark itself uses for join pruning.
+* A count-min sketch is a fixed d×w grid whose cells are plain SUMs —
+  partial-aggregatable map-side, mergeable across shards/streams (the
+  reason to prefer it over an exact per-key count at 100 TB is the
+  bounded state, not speed at small SF). Point estimates are d
+  broadcast joins + a least(); estimates only ever overcount.
+
+Both probe paths stage the md5 digest's two slices as bound columns
+ONCE per row (the HOF-staging rule, SCALE.md): the k/depth probe
+expressions are then integer adds off those columns, not k separate
+md5 evaluations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .split import _hex_val
+
+
+def _hexn(h: Column, start: int, n: int) -> Column:
+    """Integer value of ``n`` lowercase hex digits of ``h`` starting at
+    1-based position ``start`` (ascii arithmetic; portable)."""
+    v: Column | None = None
+    for j in range(n):
+        d = _hex_val(F.substring(h, start + j, 1))
+        v = d if v is None else v * 16 + d
+    assert v is not None
+    return v
+
+
+def _with_hash_slices(df: DataFrame, key: Column) -> DataFrame:
+    """Stage the double-hashing base ``_ha`` and odd stride ``_hb``
+    (two disjoint 20-bit md5 slices) as bound columns; every probe
+    position is then ``(_ha + i * _hb) % m`` — integer ops only."""
+    h = F.md5(key.cast("string"))
+    return df.withColumn("_hx", h).select(
+        "*",
+        _hexn(F.col("_hx"), 1, 5).alias("_ha"),
+        (_hexn(F.col("_hx"), 6, 5) * 2 + 1).alias("_hb"),
+    ).drop("_hx")
+
+
+def _pos(i: int, modulus: int) -> Column:
+    """i-th probe position off the staged slices, in [0, modulus)."""
+    return (F.col("_ha") + F.lit(i) * F.col("_hb")) % F.lit(modulus)
+
+
+def _bit_mask(pos_mod_32: Column) -> Column:
+    """``1 << (pos % 32)`` as BIGINT. Column-valued shift amounts are
+    expressed as ``2**n`` (pow is exact for integer exponents ≤ 31 —
+    every value is a representable double), since ``F.shiftleft``
+    only takes literal shift counts."""
+    return F.pow(F.lit(2.0), pos_mod_32.cast("double")).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 1 << 18,
+    k: int = 4,
+) -> DataFrame:
+    """(word, bits) bitmap rows of a Bloom filter over the keys — at
+    most ``m_bits / 32`` rows (32-bit words held in BIGINT, so no
+    sign-bit edge at either engine).
+
+    The build is one bounded aggregate: keys fan out k set-bit rows
+    map-side, then ``bit_or`` collapses them onto the ≤ m/32 word
+    space (partial aggregation does the heavy lifting before the
+    exchange).
+    """
+    staged = _with_hash_slices(keys.select(F.col(key_col)), F.col(key_col))
+    rows = staged.select(
+        F.explode(F.array(*[_pos(i, m_bits) for i in range(k)])).alias("pos")
+    )
+    return (
+        rows.select(
+            (F.col("pos") / F.lit(32)).cast("long").alias("word"),
+            _bit_mask(F.col("pos") % 32).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+    flag_col: str = "bloom_positive",
+) -> DataFrame:
+    """Adds ``flag_col``: whether ``key_col`` may be in the set the
+    bloom summarizes (false positives possible, false negatives not).
+
+    Plan shape: k broadcast hash joins on the word index — map-side
+    only, no explode, no new shuffle of ``df``; a missing word row
+    means all-zero bits (left join + coalesce).
+    """
+    out = _with_hash_slices(df, F.col(key_col))
+    hit_all: Column | None = None
+    for i in range(k):
+        pos = _pos(i, m_bits)
+        word = (pos / F.lit(32)).cast("long")
+        mask = _bit_mask(pos % 32)
+        b_i = F.broadcast(
+            bloom.select(
+                F.col("word").alias(f"_bw{i}"), F.col("bits").alias(f"_bb{i}")
+            )
+        )
+        out = out.join(b_i, word == F.col(f"_bw{i}"), "left")
+        hit_i = (
+            F.coalesce(F.col(f"_bb{i}"), F.lit(0)).bitwiseAND(mask) == mask
+        )
+        hit_all = hit_i if hit_all is None else hit_all & hit_i
+    assert hit_all is not None
+    return out.withColumn(flag_col, hit_all).drop(
+        "_ha", "_hb", *[c for i in range(k) for c in (f"_bw{i}", f"_bb{i}")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(row, col, cnt) cells of a count-min sketch over the key stream
+    — at most ``depth × width`` rows, one partial-aggregated shuffle.
+
+    Each occurrence of a key increments one cell per row; cells are
+    plain sums, so shard sketches merge by adding cells (the property
+    that makes this the bounded-state answer for a 100 TB stream
+    where per-key exact counts would be another full-size table).
+    """
+    staged = _with_hash_slices(df.select(F.col(key_col)), F.col(key_col))
+    cells = staged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _pos(i, width).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select("c.row", "c.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    key_col: str,
+    cms: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    est_col: str = "est_count",
+) -> DataFrame:
+    """Adds ``est_col``: the count-min point estimate (min over the
+    depth cells; ≥ the true count, never under). ``depth`` broadcast
+    joins on the per-row column index — the sketch is ≤ depth×width
+    rows, split by row into depth single-row-indexed lookup sides."""
+    out = _with_hash_slices(keys, F.col(key_col))
+    ests = []
+    for i in range(depth):
+        col_i = _pos(i, width)
+        c_i = F.broadcast(
+            cms.filter(F.col("row") == i).select(
+                F.col("col").alias(f"_cc{i}"), F.col("cnt").alias(f"_cn{i}")
+            )
+        )
+        out = out.join(c_i, col_i == F.col(f"_cc{i}"), "left")
+        ests.append(F.coalesce(F.col(f"_cn{i}"), F.lit(0)))
+    return out.withColumn(est_col, F.least(*ests)).drop(
+        "_ha", "_hb", *[c for i in range(depth) for c in (f"_cc{i}", f"_cn{i}")]
+    )

@@ -11,5 +11,6 @@ from . import warehouse_queries  # noqa: F401  (registers r4 physical-design ops
 from . import selection_queries  # noqa: F401  (registers r5 data-selection ops)
 from . import behavior_queries  # noqa: F401  (registers r5 behavioral ops)
 from . import graph_queries  # noqa: F401  (registers r5 graph ops)
+from . import physical_queries  # noqa: F401  (registers r5 physical/sketch ops)
 
 __all__ = ["ORACLES", "QUERIES", "query_fn"]

@@ -1,0 +1,531 @@
+"""Physical-design & sketch registry queries (round 5, batch 3):
+Z-order clustering evidence, Bloom-filter contamination pruning,
+count-min heavy hitters, bounded per-group top-k, and tombstone
+delete propagation.
+
+Reference parity anchors:
+* Z-order / tombstones extend the reference's warehouse layer
+  (`Database Creation/*.sql` declares the FK chain but stores heaps,
+  no layout or deletion workflow) the way bucketing did in round 4.
+* Per-group top-k generalizes the reference's global top-k
+  (`TASK 2A SQL Analytical Queries.sql` 5A LIMIT 20).
+* The sketch pair belongs to the LLM-pipeline mandate (approximate
+  membership for decontamination runtime filters, bounded frequency
+  state) — design notes in operators/sketches.py.
+
+Every query is hash-exact against its DuckDB oracle: sketches use
+md5-hex integer hashing (even false positives replay identically),
+layouts use integer bit interleaves, and money sums go through the
+decimal parity helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parity import dsum, o_dsum
+from ..operators.layout import scale_to_bits, zorder_key
+from ..operators.retention import propagate_deletes
+from ..operators.sketches import cms_build, cms_estimate
+from ..operators.topk import topk_per_group
+from ..sources.testdata import load_table
+from .pipeline_queries import _O_HEXV, _O_NORM
+from .queries import query_fn
+
+# ---------------------------------------------------------------------------
+# shared oracle fragments
+# ---------------------------------------------------------------------------
+
+# integer value of 5 md5 hex digits starting at 1-based position p
+# (the double-hashing slices of operators/sketches.py)
+
+
+def _o_hex5(p: int) -> str:
+    return " + ".join(
+        f"{_O_HEXV.format(i=p + j)} * {16 ** (4 - j)}" for j in range(5)
+    )
+
+
+# Morton interleave of x, y (each bits wide) — bit b of x at 2b, of y
+# at 2b+1; mirrors operators/layout.py zorder_key
+
+
+def _o_zorder(x: str, y: str, bits: int) -> str:
+    parts = []
+    for b in range(bits):
+        parts.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        parts.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout evidence: box-probe pruning vs a single-column layout
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10  # per-dimension resolution
+_Z_SHIFT = 14  # 2*_Z_BITS - 6 -> 64 z-buckets
+_L_BITS = 6  # 64 linear (day-ordered) buckets
+
+
+@query_fn(
+    "warehouse_zorder_layout",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+           AS day,
+         CAST(o_custkey AS BIGINT) AS cust
+  FROM orders
+),
+mx AS (
+  SELECT MAX(day) AS max_day, MAX(cust) AS max_cust FROM base
+),
+scaled AS (
+  SELECT day, cust,
+         (day * {1 << _Z_BITS}) // (max_day + 1) AS x,
+         (cust * {1 << _Z_BITS}) // (max_cust + 1) AS y,
+         (day * {1 << _L_BITS}) // (max_day + 1) AS lb
+  FROM base, mx
+),
+zed AS (
+  SELECT day, cust, lb, ({_o_zorder('x', 'y', _Z_BITS)}) AS z FROM scaled
+),
+b AS (
+  SELECT 'zorder' AS layout, z >> {_Z_SHIFT} AS bucket, day, cust FROM zed
+  UNION ALL
+  SELECT 'linear' AS layout, lb AS bucket, day, cust FROM zed
+),
+stats AS (
+  SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(day) AS d_min, MAX(day) AS d_max,
+         MIN(cust) AS c_min, MAX(cust) AS c_max
+  FROM b GROUP BY 1, 2
+)
+SELECT layout, bucket, n_rows, d_min, d_max, c_min, c_max,
+       NOT (d_max < (max_day * 45) // 100 OR d_min > (max_day * 55) // 100
+            OR c_max < (max_cust * 45) // 100
+            OR c_min > (max_cust * 55) // 100) AS overlaps_probe
+FROM stats, mx
+ORDER BY layout, bucket
+""",
+)
+def warehouse_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket min/max spans of (order day, customer key) under a
+    Z-order bucketing vs a day-only linear bucketing, plus whether
+    each bucket survives a centered 10%×10% box probe.
+
+    The point the table proves: the linear layout's buckets are tight
+    on `day` only — every bucket spans the whole `cust` axis, so only
+    the probe's day side prunes (measured at sf0.01: 8 of 44 buckets
+    / 18% of rows overlap) — while Z-ordering bounds BOTH spans, so
+    the box probe prunes multiplicatively (4 of 48 buckets / 9% of
+    rows), and a cust-only probe, which the linear layout cannot
+    prune AT ALL, still skips under Z-order. This is the row-group
+    min/max skipping a 100 TB scan lives on; the bucket stats here
+    are exactly what parquet footers would hold after
+    `operators/layout.py write_zordered` (tests/test_physical.py
+    checks the physical files too).
+
+    One scan, one broadcast scalar max pair, one aggregate over the
+    union of the two bucketings — no joins of the fact against itself.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        F.col("o_custkey").cast("long").alias("cust"),
+    )
+    mx = base.agg(
+        F.max("day").alias("max_day"), F.max("cust").alias("max_cust")
+    )
+    scaled = base.crossJoin(F.broadcast(mx)).select(
+        "day",
+        "cust",
+        scale_to_bits(F.col("day"), F.col("max_day"), _Z_BITS).alias("x"),
+        scale_to_bits(F.col("cust"), F.col("max_cust"), _Z_BITS).alias("y"),
+        scale_to_bits(F.col("day"), F.col("max_day"), _L_BITS).alias("lb"),
+    )
+    zed = scaled.select(
+        "day",
+        "cust",
+        "lb",
+        zorder_key([F.col("x"), F.col("y")], _Z_BITS).alias("z"),
+    )
+    buckets = zed.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright("z", _Z_SHIFT).alias("bucket"),
+        "day",
+        "cust",
+    ).unionByName(
+        zed.select(
+            F.lit("linear").alias("layout"),
+            F.col("lb").alias("bucket"),
+            "day",
+            "cust",
+        )
+    )
+    stats = buckets.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("day").alias("d_min"),
+        F.max("day").alias("d_max"),
+        F.min("cust").alias("c_min"),
+        F.max("cust").alias("c_max"),
+    )
+    lo = lambda m: F.floor(F.col(m) * 45 / 100)  # noqa: E731
+    hi = lambda m: F.floor(F.col(m) * 55 / 100)  # noqa: E731
+    return (
+        stats.crossJoin(F.broadcast(mx))
+        .select(
+            "layout",
+            "bucket",
+            "n_rows",
+            "d_min",
+            "d_max",
+            "c_min",
+            "c_max",
+            (
+                ~(
+                    (F.col("d_max") < lo("max_day"))
+                    | (F.col("d_min") > hi("max_day"))
+                    | (F.col("c_max") < lo("max_cust"))
+                    | (F.col("c_min") > hi("max_cust"))
+                )
+            ).alias("overlaps_probe"),
+        )
+        .orderBy("layout", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: exact results off an approximate filter
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 18  # bits -> 8192 BIGINT words, kilobytes broadcast
+_BLOOM_K = 4
+_CB_STRIDE, _CB_K, _CB_T = 25, 5, 0.2
+
+
+@query_fn(
+    "contamination_bloom",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_O_NORM}, ' ') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {_CB_K} + 2)) AS i
+  FROM toks WHERE len(t) >= {_CB_K}
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{_CB_K - 1}], ' ') AS s
+  FROM idx
+),
+evals AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_CB_STRIDE} = 0),
+ehash AS (
+  SELECT s, {_o_hex5(1)} AS a, ({_o_hex5(6)}) * 2 + 1 AS b
+  FROM (SELECT s, md5(s) AS hx FROM evals)
+),
+epos AS (
+  SELECT (a + i.i * b) % {_BLOOM_M} AS pos
+  FROM ehash, (VALUES (0), (1), (2), (3)) i(i)
+),
+bloom AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM epos GROUP BY 1
+),
+train AS (
+  SELECT doc_id, s FROM sh WHERE doc_id % {_CB_STRIDE} != 0
+),
+thash AS (
+  SELECT doc_id, s, {_o_hex5(1)} AS a, ({_o_hex5(6)}) * 2 + 1 AS b
+  FROM (SELECT doc_id, s, md5(s) AS hx FROM train)
+),
+probed AS (
+  SELECT t.doc_id, t.s,
+         (COALESCE(b0.bits, 0)
+            & (CAST(1 AS BIGINT) << CAST((a + 0*b) % 32 AS INTEGER)))
+           = (CAST(1 AS BIGINT) << CAST((a + 0*b) % 32 AS INTEGER))
+         AND (COALESCE(b1.bits, 0)
+            & (CAST(1 AS BIGINT) << CAST((a + 1*b) % 32 AS INTEGER)))
+           = (CAST(1 AS BIGINT) << CAST((a + 1*b) % 32 AS INTEGER))
+         AND (COALESCE(b2.bits, 0)
+            & (CAST(1 AS BIGINT) << CAST((a + 2*b) % 32 AS INTEGER)))
+           = (CAST(1 AS BIGINT) << CAST((a + 2*b) % 32 AS INTEGER))
+         AND (COALESCE(b3.bits, 0)
+            & (CAST(1 AS BIGINT) << CAST((a + 3*b) % 32 AS INTEGER)))
+           = (CAST(1 AS BIGINT) << CAST((a + 3*b) % 32 AS INTEGER))
+           AS bloom_hit
+  FROM thash t
+  LEFT JOIN bloom b0 ON b0.word = ((a + 0*b) % {_BLOOM_M}) // 32
+  LEFT JOIN bloom b1 ON b1.word = ((a + 1*b) % {_BLOOM_M}) // 32
+  LEFT JOIN bloom b2 ON b2.word = ((a + 2*b) % {_BLOOM_M}) // 32
+  LEFT JOIN bloom b3 ON b3.word = ((a + 3*b) % {_BLOOM_M}) // 32
+),
+verified AS (
+  SELECT p.doc_id, p.bloom_hit,
+         (p.bloom_hit AND e.s IS NOT NULL) AS true_hit
+  FROM probed p LEFT JOIN evals e ON p.s = e.s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hits,
+       CAST(SUM(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_hits,
+       CAST(SUM(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_positives,
+       CAST(SUM(CASE WHEN true_hit THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) >= {_CB_T}e0 AS flag_contaminated
+FROM verified
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-side decontamination against the eval split's shingle set
+    THROUGH a Bloom filter, with exact verification of the positives
+    and per-document false-positive accounting.
+
+    Same eval/train framing as ``contamination_check`` (eval =
+    ``doc_id % 25 == 0``, 5-token shingles), but here membership is
+    asked of an O(kilobytes) bitmap instead of the eval shingle set:
+    at 100 TB the benchmark suite's shingles are GBs (broadcast-able
+    only with pain) while the bloom is 32 KB no matter what — and the
+    no-false-negative guarantee means the exact verify join only has
+    to touch bloom-positive shingles, so the result is EXACT while
+    the expensive join is pruned by the filter. The report's
+    ``n_false_positives`` column is the honesty meter for the m/k
+    sizing (operators/sketches.py).
+
+    Plan: one corpus tokenize, bloom build bounded by m/32 rows, k
+    broadcast word-joins (map-side) on the train scan, one broadcast
+    verify join, one per-doc aggregate.
+    """
+    from ..operators.corpus_quality import contamination_bloom_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_bloom_report(
+        docs, _CB_STRIDE, _CB_K, _CB_T, _BLOOM_M, _BLOOM_K
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# count-min heavy hitters over the event stream
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W, _CMS_TOP = 4, 1024, 20
+
+
+@query_fn(
+    "events_heavy_hitters",
+    oracle=f"""
+WITH ehash AS (
+  SELECT user_id, {_o_hex5(1)} AS a, ({_o_hex5(6)}) * 2 + 1 AS b
+  FROM (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS hx FROM events)
+),
+cells AS (
+  SELECT i.i AS row, (a + i.i * b) % {_CMS_W} AS col
+  FROM ehash, (VALUES (0), (1), (2), (3)) i(i)
+),
+cms AS (
+  SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2
+),
+users AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY 1
+),
+uhash AS (
+  SELECT user_id, exact_count,
+         {_o_hex5(1)} AS a, ({_o_hex5(6)}) * 2 + 1 AS b
+  FROM (SELECT user_id, exact_count,
+               md5(CAST(user_id AS VARCHAR)) AS hx FROM users)
+),
+est AS (
+  SELECT u.user_id, u.exact_count,
+         LEAST(COALESCE(c0.cnt, 0), COALESCE(c1.cnt, 0),
+               COALESCE(c2.cnt, 0), COALESCE(c3.cnt, 0)) AS est_count
+  FROM uhash u
+  LEFT JOIN cms c0 ON c0.row = 0 AND c0.col = (a + 0*b) % {_CMS_W}
+  LEFT JOIN cms c1 ON c1.row = 1 AND c1.col = (a + 1*b) % {_CMS_W}
+  LEFT JOIN cms c2 ON c2.row = 2 AND c2.col = (a + 2*b) % {_CMS_W}
+  LEFT JOIN cms c3 ON c3.row = 3 AND c3.col = (a + 3*b) % {_CMS_W}
+)
+SELECT user_id, est_count, exact_count,
+       est_count - exact_count AS overcount
+FROM est
+ORDER BY est_count DESC, user_id
+LIMIT {_CMS_TOP}
+""",
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by count-min ESTIMATED event count, with the
+    exact count and the (always ≥ 0) overcount alongside.
+
+    The sketch is the 100-TB artifact: a d×w grid of plain sums that
+    partial-aggregates map-side and merges across shards/streams in
+    bounded memory, where the exact per-key table is another
+    full-cardinality dataset. The exact counts here are the built-in
+    accuracy report (est ≥ exact always; equality whenever no
+    collision) — the same honesty-column pattern as the ANN recall
+    reports. Estimation is depth broadcast joins off the staged md5
+    slices; no shuffle of the key table beyond its own count.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cms = cms_build(events, "user_id", _CMS_D, _CMS_W)
+    users = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    est = cms_estimate(users, "user_id", cms, _CMS_D, _CMS_W, "est_count")
+    return (
+        est.select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(_CMS_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# bounded per-group top-k: top customers per nation
+# ---------------------------------------------------------------------------
+
+_TOPK = 3
+
+
+@query_fn(
+    "topk_revenue_per_nation",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey, {o_dsum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT n_name, c_custkey, revenue
+  FROM per_cust
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY n_name ORDER BY revenue DESC, c_custkey
+  ) AS rk FROM j
+)
+SELECT n_name, CAST(rk AS INTEGER) AS rank, c_custkey, revenue
+FROM r WHERE rk <= {_TOPK}
+ORDER BY n_name, rank
+""",
+)
+def topk_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by lifetime order revenue within each nation —
+    the per-group generalization of the reference's global top-20
+    (5A), computed with the k-bounded two-phase aggregate of
+    operators/topk.py instead of a window sort of every customer.
+
+    Revenue is the decimal power-sum (exact, layout-independent); the
+    nation lookup broadcasts; the top-k aggregate's exchange carries
+    3-row buffers per (nation, salt), never the customer table sorted.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice")).alias("revenue")
+    )
+    joined = (
+        per_cust.join(
+            customer.select("c_custkey", "c_nationkey"),
+            per_cust.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "revenue", "c_custkey")
+    )
+    top = topk_per_group(
+        joined, ["n_name"], "revenue", "c_custkey", _TOPK
+    )
+    return top.select("n_name", "rank", "c_custkey", "revenue").orderBy(
+        "n_name", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# tombstone delete propagation across the FK chain
+# ---------------------------------------------------------------------------
+
+_TS_MOD = 97
+
+
+@query_fn(
+    "warehouse_tombstone_delete",
+    oracle=f"""
+WITH dc AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {_TS_MOD} = 0
+),
+do_ AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM dc)
+),
+dl AS (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM do_)
+)
+SELECT 'customer' AS table_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS rows_before,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS rows_deleted,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS rows_after
+UNION ALL
+SELECT 'orders',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM do_),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM do_)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dl),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM dl)
+ORDER BY table_name
+""",
+)
+def warehouse_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-sweep audit: delete every 97th customer and cascade
+    through orders and line items along the FK chain the reference
+    declares (`Database Creation/DWH Creation.sql` customer → orders →
+    fact), reporting rows_before / rows_deleted / rows_after per
+    table.
+
+    The root prune broadcasts the tombstone keys (erasure batches are
+    small); the grandchild prune shuffles on the order key — the
+    honest cost at 100 TB, and the place a Bloom runtime filter
+    (operators/sketches.py) cuts the shuffled volume when the deleted
+    fraction is low. The cleaned tables themselves are returned by
+    the operator (tested in tests/test_physical.py); this query is
+    the audit artifact a compliance run files.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    tombstones = customer.filter(
+        F.col("c_custkey") % _TS_MOD == 0
+    ).select("c_custkey")
+    _, audit = propagate_deletes(
+        customer,
+        "customer",
+        "c_custkey",
+        tombstones,
+        [
+            ("orders", orders, "customer", "c_custkey", "o_custkey"),
+            ("lineitem", lineitem, "orders", "o_orderkey", "l_orderkey"),
+        ],
+    )
+    return audit.orderBy("table_name")

@@ -72,6 +72,13 @@ INVARIANCE_SET = [
     "search_bm25_indexed",
     "text_line_dedup",
     "data_quality_checks",
+    # round-5 physical/sketch batch: hash-sketch flags and estimates,
+    # interleaved-bit buckets, k-bounded buffers, cascade counts
+    "contamination_bloom",
+    "events_heavy_hitters",
+    "warehouse_zorder_layout",
+    "topk_revenue_per_nation",
+    "warehouse_tombstone_delete",
 ]
 
 
