@@ -108,6 +108,10 @@ HEADLINE = [
     "events_heavy_hitters",
     "topk_revenue_per_nation",
     "warehouse_tombstone_delete",
+    # r5 tokenizer-prep + projection batch
+    "corpus_vocab_coverage",
+    "text_char_entropy",
+    "embedding_random_projection",
 ]
 
 

@@ -139,6 +139,62 @@ def contamination_check(
     )
 
 
+def char_entropy_stats(
+    docs: DataFrame,
+    min_entropy: float = 3.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) over the
+    normalized text, plus a low-entropy drop flag — the cheap
+    compression-ratio proxy of Gopher/RefinedWeb-class quality
+    filtering (repetitive machine junk compresses well = low char
+    entropy; natural English sits near ~4 nats/char).
+
+    (doc_id, n_chars, entropy, pass_entropy).
+
+    Exactness: H = Σ_c (n_c/n)·ln(n/n_c) is computed with the
+    log-space snap (operators/selection.py): each per-character term
+    ``FLOOR((ln n − ln n_c)·1e6)`` is a BIGINT over integer counts, so
+    the weighted sum is exact integer arithmetic and the final
+    division is one deterministic float op — layout- and
+    engine-independent (same recipe as ``text_lm_perplexity``).
+
+    Scale: the char-frequency aggregate keys on (doc, char) — bounded
+    by alphabet size per doc, partial-aggregated map-side; per-doc
+    totals come from a window over the counts table (alphabet-sized),
+    never a second corpus scan.
+    """
+    from .selection import LOG_SCALE, _log_term
+
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), "")).alias("c"),
+    )
+    counts = chars.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    w = W.partitionBy("doc_id")
+    terms = counts.withColumn("n", F.sum("n_c").over(w)).select(
+        "doc_id",
+        "n",
+        (_log_term(F.col("n"), F.col("n_c")) * F.col("n_c")).alias("t"),
+    )
+    ent = F.col("t_sum").cast("double") / F.col("n") / F.lit(
+        float(LOG_SCALE)
+    )
+    return (
+        terms.groupBy("doc_id", "n")
+        .agg(F.sum("t").alias("t_sum"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            ent.alias("entropy"),
+            (ent >= F.lit(min_entropy)).alias("pass_entropy"),
+        )
+    )
+
+
 def contamination_bloom_report(
     docs: DataFrame,
     eval_stride: int = 25,

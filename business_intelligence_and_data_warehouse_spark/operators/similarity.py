@@ -1152,3 +1152,73 @@ def hamming_topk(
             "cosine",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (deterministic ±1 signs)
+# ---------------------------------------------------------------------------
+
+def random_projection(
+    vectors: DataFrame,
+    d_out: int = 16,
+    d_in: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project each vector onto ``d_out`` dimensions with a dense
+    ±1 sign matrix (Achlioptas' database-friendly JL variant) —
+    dimensionality reduction for cheaper downstream ANN/dedup passes.
+
+    Output long form: (vid, j 0-based output dim, proj BIGINT) where
+    ``proj = Σ_i FLOOR(val_i · 1e6) · sign(i, j)`` — elements are
+    snapped ONCE to integers, so every projected coordinate is an
+    exact integer sum, bit-identical across engines and layouts
+    (divide by 1e6·sqrt(d_out) for the JL-scaled float view; kept
+    integer here the way the quantized-IP family keeps scores).
+
+    The sign matrix is ARITHMETIC, not stored state: sign(i, j) = +1
+    iff the first hex digit of md5("i_j") < 8 — the same
+    hyperplane-free determinism as the LSH operators, so a 100 TB run
+    ships no matrix, and any shard (or another engine) regenerates
+    the identical projection.
+
+    Plan: element long-form (map-side posexplode) joins the
+    BROADCAST d_in×d_out sign table on the input position, then one
+    partial-aggregated shuffle on (vid, j). Fan-out is d_out per
+    element — linear, no vector-vector pairs anywhere.
+    """
+    from .split import _hex_val
+
+    spark = vectors.sparkSession
+    signs = (
+        spark.range(d_in)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(
+            spark.range(d_out).select(F.col("id").cast("int").alias("j"))
+        )
+        .select(
+            "i",
+            "j",
+            F.when(
+                _hex_val(
+                    F.substring(
+                        F.md5(F.concat_ws("_", F.col("i"), F.col("j"))), 1, 1
+                    )
+                )
+                < 8,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+    )
+    el = element_table(vectors, id_col, vec_col).select(
+        "vid",
+        (F.col("pos") - 1).alias("i"),
+        F.floor(F.col("val") * DOT_SCALE).cast("long").alias("e"),
+    )
+    return (
+        el.join(F.broadcast(signs), "i")
+        .groupBy("vid", "j")
+        .agg(F.sum(F.col("e") * F.col("sign")).alias("proj"))
+    )

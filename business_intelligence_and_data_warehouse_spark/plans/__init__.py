@@ -12,5 +12,6 @@ from . import selection_queries  # noqa: F401  (registers r5 data-selection ops)
 from . import behavior_queries  # noqa: F401  (registers r5 behavioral ops)
 from . import graph_queries  # noqa: F401  (registers r5 graph ops)
 from . import physical_queries  # noqa: F401  (registers r5 physical/sketch ops)
+from . import corpus_queries  # noqa: F401  (registers r5 tokenizer-prep ops)
 
 __all__ = ["ORACLES", "QUERIES", "query_fn"]

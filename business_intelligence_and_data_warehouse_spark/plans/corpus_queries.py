@@ -1,0 +1,169 @@
+"""Tokenizer-prep & projection registry queries (round 5, batch 4):
+vocabulary coverage, character-entropy quality scoring, and
+Johnson–Lindenstrauss random projection.
+
+All three extend the LLM-pipeline surface (the reference has no text
+or embedding layer): vocab/OOV is the measurement pass before fixing
+a tokenizer vocabulary, char entropy is the compression-proxy quality
+filter of Gopher/RefinedWeb-class curation, and the ±1 JL projection
+is the cheap dimensionality cut ahead of ANN/dedup passes. Each is
+hash-exact: OOV counts are integers, entropy uses the per-term
+log-snap (operators/selection.py), and projections are exact integer
+sums over once-snapped elements with an arithmetic sign matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .pipeline_queries import _O_ELEMENTS, _O_HEXV, _O_NORM
+from .queries import query_fn
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV-rate report
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 500
+
+
+@query_fn(
+    "corpus_vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_O_NORM}, ' ') AS t FROM documents
+),
+occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+dfreq AS (
+  SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM occ GROUP BY 1
+),
+vocab AS (SELECT w FROM dfreq ORDER BY df DESC, w LIMIT {_VOCAB_V}),
+scored AS (
+  SELECT o.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+  FROM occ o LEFT JOIN vocab v ON o.w = v.w
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus-induced top-500
+    document-frequency vocabulary (ties broken by token, so the
+    boundary cut is deterministic) — the coverage measurement a
+    tokenizer-prep pass runs before fixing a vocab. The induced vocab
+    is V rows and BROADCASTS to the scoring scan; the corpus is never
+    reshuffled to be scored (operators/vocab.py)."""
+    from ..operators.vocab import induce_vocab, oov_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_report(docs, induce_vocab(docs, _VOCAB_V)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality filter
+# ---------------------------------------------------------------------------
+
+_ENT_MIN = 3.0
+
+
+@query_fn(
+    "text_char_entropy",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, {_O_NORM} AS t FROM documents
+),
+chars AS (
+  SELECT doc_id, unnest(string_split(t, '')) AS c FROM norm
+),
+counts AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n_c
+  FROM chars GROUP BY 1, 2
+),
+tot AS (
+  SELECT doc_id, n_c,
+         CAST(SUM(n_c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM counts
+),
+terms AS (
+  SELECT doc_id, n,
+         CAST(FLOOR((ln(CAST(n AS DOUBLE)) - ln(CAST(n_c AS DOUBLE)))
+                    * 1e6) AS BIGINT) * n_c AS t
+  FROM tot
+)
+SELECT doc_id,
+       n AS n_chars,
+       CAST(SUM(t) AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS entropy,
+       (CAST(SUM(t) AS DOUBLE) / CAST(n AS DOUBLE) / 1e6) >= {_ENT_MIN}e0
+         AS pass_entropy
+FROM terms
+GROUP BY doc_id, n
+ORDER BY doc_id
+""",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy (nats) per document with the
+    low-entropy drop flag — the compression-ratio proxy filter.
+    Per-character log terms are FLOOR-snapped to integers before the
+    weighted sum, so the entropy is exact integer arithmetic divided
+    once (operators/corpus_quality.py char_entropy_stats)."""
+    from ..operators.corpus_quality import char_entropy_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy_stats(docs, _ENT_MIN).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# JL random projection
+# ---------------------------------------------------------------------------
+
+_RP_DOUT = 16
+
+
+@query_fn(
+    "embedding_random_projection",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+sgn AS (
+  SELECT i, j, hx FROM (
+    SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
+           md5(CAST(i.i AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)) AS hx
+    FROM range(0, 64) i(i) CROSS JOIN range(0, {_RP_DOUT}) j(j)
+  )
+),
+signs AS (
+  SELECT i, j,
+         CASE WHEN {_O_HEXV.format(i=1)} < 8 THEN 1 ELSE -1 END AS sign
+  FROM sgn
+),
+ei AS (
+  SELECT vid, CAST(pos - 1 AS INTEGER) AS i,
+         CAST(FLOOR(val * 1e6) AS BIGINT) AS e
+  FROM el
+)
+SELECT vid AS vec_id, j, CAST(SUM(e * sign) AS BIGINT) AS proj
+FROM ei JOIN signs USING (i)
+GROUP BY 1, 2
+ORDER BY vec_id, j
+""",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64→16-dim ±1 random projection of the embedding corpus
+    (Achlioptas JL), long form (vec_id, j, proj) with exact integer
+    coordinates. The sign matrix is arithmetic (md5 hex digit), so no
+    matrix state ships anywhere and any engine regenerates the
+    identical projection (operators/similarity.py random_projection)."""
+    from ..operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        random_projection(emb, _RP_DOUT)
+        .select(F.col("vid").alias("vec_id"), "j", "proj")
+        .orderBy("vec_id", "j")
+    )

@@ -79,6 +79,11 @@ INVARIANCE_SET = [
     "warehouse_zorder_layout",
     "topk_revenue_per_nation",
     "warehouse_tombstone_delete",
+    # round-5 tokenizer-prep batch: df-boundary vocab cut, snapped-log
+    # entropy, integer projection sums
+    "corpus_vocab_coverage",
+    "text_char_entropy",
+    "embedding_random_projection",
 ]
 
 

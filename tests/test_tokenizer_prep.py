@@ -1,0 +1,108 @@
+"""Semantics tests for the round-5 tokenizer-prep batch: vocabulary
+induction/OOV, char entropy, and JL random projection."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from business_intelligence_and_data_warehouse_spark.operators.corpus_quality import (
+    char_entropy_stats,
+)
+from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+    random_projection,
+)
+from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+    induce_vocab,
+    oov_report,
+)
+from business_intelligence_and_data_warehouse_spark.sources.testdata import (
+    load_table,
+)
+
+
+def test_vocab_cut_is_deterministic_at_the_df_boundary(spark):
+    # 6 tokens, all df=1 -> the v=3 cut must be decided by token order,
+    # not partition luck
+    docs = spark.createDataFrame(
+        [(1, "zeta"), (2, "alpha"), (3, "mid"), (4, "beta"), (5, "q"), (6, "x")],
+        ["doc_id", "text"],
+    )
+    got = [r.w for r in induce_vocab(docs, 3).collect()]
+    assert got == ["alpha", "beta", "mid"]
+
+
+def test_oov_counts_occurrences_not_types(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "bb cc cc cc")], ["doc_id", "text"]
+    )
+    vocab = spark.createDataFrame([("aa",), ("bb",)], ["w"])
+    rows = {r.doc_id: r for r in oov_report(docs, vocab).collect()}
+    assert rows[1].n_tokens == 3 and rows[1].n_oov == 0
+    # cc occurs 3 times -> 3 OOV occurrences, not 1 OOV type
+    assert rows[2].n_tokens == 4 and rows[2].n_oov == 3
+    assert rows[2].oov_rate == 0.75
+
+
+def test_char_entropy_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in char_entropy_stats(docs).collect()}
+    # single symbol -> exactly 0
+    assert rows[1].entropy == 0.0
+    # uniform over 2 symbols -> ln 2 (within the 1e-6 snap grid)
+    assert abs(rows[2].entropy - math.log(2)) < 2e-6
+    # uniform over 4 symbols -> ln 4
+    assert abs(rows[3].entropy - math.log(4)) < 2e-6
+    assert not rows[1].pass_entropy and not rows[3].pass_entropy
+
+
+def test_random_projection_shape_and_linearity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    proj = random_projection(emb, d_out=8)
+    rows = proj.collect()
+    ids = {r.vid for r in rows}
+    assert len(rows) == len(ids) * 8
+    # projection of 2x the vector == 2x the projection, up to the
+    # one-time element snap: FLOOR(2v*1e6) vs 2*FLOOR(v*1e6) differ by
+    # at most 1 per element -> 64 per coordinate
+    doubled = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    p2 = {
+        (r.vid, r.j): r.proj
+        for r in random_projection(doubled, d_out=8).collect()
+    }
+    for r in rows:
+        assert abs(p2[(r.vid, r.j)] - 2 * r.proj) <= 64
+
+
+def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
+    """The JL property itself: for a ±1 sign matrix,
+    E[‖proj‖²] = d_out · ‖e‖² per vector (e = the snapped elements),
+    with chi-square-like concentration (sd ≈ √(2/d_out) ≈ 35% at
+    d_out=16). Check every sampled vector lands within generous ~4σ
+    multiplicative bounds, and the ensemble mean lands much tighter.
+
+    (Pairwise-distance RANK preservation is deliberately not asserted:
+    this corpus's random embeddings have concentrated pairwise
+    distances, so ranks under 25% JL distortion are noise.)"""
+    emb = load_table(spark, sf_dir, "embeddings").limit(30)
+    orig = {
+        r.vec_id: r.embedding
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    proj = {}
+    for r in random_projection(emb, d_out=16).collect():
+        proj.setdefault(r.vid, [0] * 16)[r.j] = r.proj
+    ratios = []
+    for vid, v in orig.items():
+        e2 = sum(math.floor(x * 1e6) ** 2 for x in v)
+        p2 = sum(x * x for x in proj[vid])
+        ratios.append(p2 / (16 * e2))
+    assert all(0.2 <= r <= 4.0 for r in ratios), sorted(ratios)[:3]
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 <= mean <= 1.4, mean
