@@ -112,6 +112,7 @@ HEADLINE = [
     "corpus_vocab_coverage",
     "text_char_entropy",
     "embedding_random_projection",
+    "stream_heavy_hitters",
 ]
 
 

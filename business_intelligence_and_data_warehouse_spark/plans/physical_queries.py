@@ -317,10 +317,11 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_D, _CMS_W, _CMS_TOP = 4, 1024, 20
 
-
-@query_fn(
-    "events_heavy_hitters",
-    oracle=f"""
+# shared by events_heavy_hitters (batch) and stream_heavy_hitters
+# (foreachBatch sketch merge): count-min cells are plain sums, so the
+# merged stream sketch is BIT-IDENTICAL to the one-shot batch sketch —
+# both hash-match this single closed form
+_O_CMS_TOPK = f"""
 WITH ehash AS (
   SELECT user_id, {_o_hex5(1)} AS a, ({_o_hex5(6)}) * 2 + 1 AS b
   FROM (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS hx FROM events)
@@ -358,8 +359,10 @@ SELECT user_id, est_count, exact_count,
 FROM est
 ORDER BY est_count DESC, user_id
 LIMIT {_CMS_TOP}
-""",
-)
+"""
+
+
+@query_fn("events_heavy_hitters", oracle=_O_CMS_TOPK)
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 users by count-min ESTIMATED event count, with the
     exact count and the (always ≥ 0) overcount alongside.
@@ -375,6 +378,12 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     cms = cms_build(events, "user_id", _CMS_D, _CMS_W)
+    return _cms_topk_report(events, cms)
+
+
+def _cms_topk_report(events: DataFrame, cms: DataFrame) -> DataFrame:
+    """Estimate + exact + overcount top-k off a (row, col, cnt) sketch
+    — shared by the batch and streaming heavy-hitter queries."""
     users = events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("exact_count")
     )
@@ -389,6 +398,56 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "user_id")
         .limit(_CMS_TOP)
     )
+
+
+@query_fn("stream_heavy_hitters", oracle=_O_CMS_TOPK)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME heavy-hitter report maintained BY A REAL STREAM: the
+    event table flows in 4 micro-batches through a foreachBatch sink
+    that builds a per-batch count-min grid and MERGES it into a
+    snapshot-store sketch by cellwise addition
+    (streaming/sinks.run_cms_stream, idempotent under the batch-id
+    ledger). Because count-min cells are plain sums, the merged
+    sketch — and therefore every estimate — is bit-identical to the
+    one-shot batch sketch, so this hash-matches the identical closed
+    form as ``events_heavy_hitters``: the mergeability that lets 1000
+    executors or N stream epochs keep bounded state, verified end to
+    end rather than claimed.
+    """
+    import shutil
+    import tempfile
+
+    from ..streaming.sinks import run_cms_stream
+    from .streaming_queries import _fresh_result_dir
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="bidw_cms_src_")
+    root = tempfile.mkdtemp(prefix="bidw_cms_store_")
+    try:
+        # 4 files -> 4 micro-batches (maxFilesPerTrigger=1); the
+        # row->file assignment is irrelevant: sketch merge is exact
+        # and commutative, which is the point being demonstrated
+        events.repartition(4).write.mode("overwrite").parquet(src_dir)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        cms = run_cms_stream(
+            stream, spark, "user_id", _CMS_D, _CMS_W, root
+        )
+        out = _cms_topk_report(events, cms)
+        # materialize before the snapshot dir the lazy plan reads from
+        # is removed (same contract as stream_upsert_sink)
+        out_dir = _fresh_result_dir("cms_out")
+        out.write.mode("overwrite").parquet(out_dir)
+        return (
+            spark.read.parquet(out_dir)
+            .orderBy(F.desc("est_count"), "user_id")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -168,6 +168,61 @@ def run_upsert_stream(
     return out
 
 
+def run_cms_stream(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    key_col: str,
+    depth: int,
+    width: int,
+    root: str,
+) -> DataFrame:
+    """Maintain a count-min sketch over a stream: each micro-batch's
+    d×w grid (operators/sketches.cms_build) is merged into the stored
+    sketch by CELLWISE ADDITION — exact, commutative, and idempotent
+    under the snapshot store's batch-id ledger, so replayed batches
+    never double-count and the final sketch equals the one-shot batch
+    sketch bit for bit.
+
+    This is the bounded-state streaming frequency story at 100 TB:
+    per-key exact counts grow with key cardinality, the sketch stays
+    d×w rows per epoch no matter what flows through. Returns a LAZY
+    read of the final snapshot — same materialize-before-reuse
+    contract as :func:`run_upsert_stream`.
+    """
+    from ..operators.sketches import cms_build
+
+    store = _SnapshotStore(spark, root)
+    checkpoint_dir = os.path.join(root, "_checkpoint")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        lineage = _checkpoint_lineage(checkpoint_dir)
+        if store.already_applied(lineage, batch_id):
+            return  # redelivered batch within this lineage: skip
+        batch_cms = cms_build(batch_df, key_col, depth, width)
+        cur = store.read()
+        merged = (
+            batch_cms
+            if cur is None
+            else cur.unionByName(batch_cms)
+            .groupBy("row", "col")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        store.commit(merged, lineage, batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    out = store.read()
+    assert out is not None, "stream produced no batches"
+    return out
+
+
 def run_scd2_stream(
     stream_df: DataFrame,
     spark: SparkSession,

@@ -289,6 +289,31 @@ def test_contamination_bloom_fp_accounting(spark, sf_dir):
         assert r.n_false_positives == r.n_bloom_hits - r.n_true_hits
 
 
+def test_cms_stream_merge_equals_one_shot_sketch(spark, sf_dir, tmp_path):
+    """The streaming sketch loop: 3 micro-batches through the
+    foreachBatch merge sink must yield a sketch bit-identical to the
+    one-shot batch sketch over the union — the mergeability contract
+    the stream_heavy_hitters oracle leans on."""
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        run_cms_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streamed = run_cms_stream(
+        stream, spark, "user_id", 4, 1024, str(tmp_path / "store")
+    )
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, cms_build(events, "user_id").collect()))
+    assert got == want
+
+
 def test_events_heavy_hitters_overcount_nonnegative(spark, sf_dir):
     from business_intelligence_and_data_warehouse_spark.plans.queries import (
         QUERIES,

@@ -353,6 +353,7 @@ _EXECUTES_AT_BUILD = {
     "stream_upsert_sink",
     "stream_scd2_sink",
     "stream_dedup_neardup",
+    "stream_heavy_hitters",
     "sim_ann_ivf_indexed",
     "ml_churn_rf",
     "ml_kmeans_embeddings",
