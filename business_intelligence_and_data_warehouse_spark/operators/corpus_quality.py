@@ -205,6 +205,7 @@ def contamination_bloom_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_storage: str | None = "MEMORY_AND_DISK",
+    probe_storage: str | None = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Train-side decontamination THROUGH a Bloom filter over the eval
     split's shingles, with exact verification of the positives and
@@ -250,28 +251,51 @@ def contamination_bloom_report(
     )
     is_eval = F.col("doc_id") % eval_stride == 0
     eval_set = sh.filter(is_eval).select("s").distinct()
-    bloom = bloom_build(eval_set, "s", m_bits, n_hashes)
+    # the bitmap is ≤ m/32 rows but each of the k probe joins
+    # broadcasts its own ALIASED copy (renamed columns -> non-identical
+    # plans -> no broadcast-exchange reuse), so without a pin the
+    # bloom-build aggregate executes once PER PROBE JOIN per probed
+    # materialization — the kilobyte table is always pinned
+    from .caching import pin
+
+    bloom = pin(bloom_build(eval_set, "s", m_bits, n_hashes))
     probed = bloom_probe(
         sh.filter(~is_eval), "s", bloom, m_bits, n_hashes, "bloom_hit"
     )
-    verified = probed.join(
-        F.broadcast(eval_set.withColumn("_in_eval", F.lit(1))), "s", "left"
-    ).select(
-        "doc_id",
-        "bloom_hit",
-        (F.col("bloom_hit") & F.col("_in_eval").isNotNull()).alias(
-            "true_hit"
-        ),
-    )
-    bh = F.col("bloom_hit").cast("long")
-    th = F.col("true_hit").cast("long")
-    return verified.groupBy("doc_id").agg(
+    # the exact verify touches ONLY the bloom-positive slice — the
+    # runtime-filter shape this operator exists for: the slice is
+    # |true hits| + |false positives| rows, so at scale the verify
+    # join's probe side is benchmark-sized, not corpus-sized, and can
+    # be a plain shuffle join when the eval set outgrows broadcast
+    # (no false negatives means nothing is lost by the pruning).
+    # probed feeds BOTH the totals aggregate and the verify slice, and
+    # its k word-joins re-execute per consumer without a pin (measured
+    # sf0.1 interleaved best-of-3: unpinned 8.1s vs pinned 3.3s vs the
+    # unpruned single-pass 2.9s — the pruned shape costs ~15% here and
+    # wins at scale where the verify join dominates);
+    # probe_storage=None opts out (e.g. when materializing the
+    # corpus-scale probed table is worse than re-scanning the pinned
+    # shingles).
+    probed = _maybe_pin(probed, probe_storage)
+    totals = probed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
-        F.sum(bh).alias("n_bloom_hits"),
-        F.sum(th).alias("n_true_hits"),
-        F.sum(bh * (1 - th)).alias("n_false_positives"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+    )
+    true_hits = (
+        probed.filter(F.col("bloom_hit"))
+        .join(F.broadcast(eval_set), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_true_hits"))
+    )
+    th = F.coalesce(F.col("n_true_hits"), F.lit(0))
+    return totals.join(true_hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        th.alias("n_true_hits"),
+        (F.col("n_bloom_hits") - th).alias("n_false_positives"),
         (
-            F.sum(th).cast("double") / F.count(F.lit(1))
+            th.cast("double") / F.col("n_shingles")
             >= F.lit(flag_threshold)
         ).alias("flag_contaminated"),
     )

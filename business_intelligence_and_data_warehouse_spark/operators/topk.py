@@ -42,10 +42,17 @@ def topk_per_group(
 
     ``order_col`` must be numeric (it is negated to express DESC via
     an ascending struct sort — exact for integral/decimal types).
+    NULL order values rank LAST (after every non-null, ties by
+    ``tie_col``) — the same placement as the window form's
+    ``ORDER BY order_col DESC`` (Spark desc = NULLS LAST), so the two
+    forms are interchangeable even on null-bearing measures; a bare
+    negated-struct sort would have put NULLs FIRST and let them evict
+    real top-k rows.
     """
     payload_cols = payload_cols or []
     item = F.struct(
-        (-F.col(order_col)).alias("_neg"),
+        F.col(order_col).isNull().alias("_isnull"),  # false < true
+        F.coalesce(-F.col(order_col), F.lit(0)).alias("_neg"),
         F.col(tie_col).alias("_tie"),
         *[F.col(c).alias(c) for c in payload_cols],
     )
@@ -70,7 +77,9 @@ def topk_per_group(
     ).select(
         *group_cols,
         (F.col("_pos") + 1).alias("rank"),
-        (-F.col("_it._neg")).alias(order_col),
+        F.when(F.col("_it._isnull"), F.lit(None))
+        .otherwise(-F.col("_it._neg"))
+        .alias(order_col),
         F.col("_it._tie").alias(tie_col),
         *[F.col(f"_it.{c}").alias(c) for c in payload_cols],
     )

@@ -25,12 +25,27 @@ from pyspark.sql import functions as F
 from ..functions.text import normalize_text, tokens_ws
 
 
-def _occurrences(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, w) one row per token OCCURRENCE (not distinct)."""
+def occurrences(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, w) one row per token OCCURRENCE (not distinct) — the
+    ONE corpus scan both the induction and the scoring pass read;
+    callers running both should pin it (the shared-tokenize rule,
+    SCALE.md) rather than let each consumer re-derive the corpus
+    normalize+split."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         tokens_ws(normalize_text(F.col(text_col))).alias("toks"),
     ).select("doc_id", F.explode("toks").alias("w"))
+
+
+def induce_vocab_from_occ(occ: DataFrame, v: int = 500) -> DataFrame:
+    """Top ``v`` tokens by DOCUMENT frequency from an occurrence table
+    (ties broken by token asc — fully deterministic): (w, df)."""
+    dfreq = occ.groupBy("w").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return dfreq.orderBy(F.desc("df"), "w").limit(v)
 
 
 def induce_vocab(
@@ -39,24 +54,13 @@ def induce_vocab(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Top ``v`` tokens by DOCUMENT frequency (ties broken by token
-    asc — fully deterministic): (w, df)."""
-    occ = _occurrences(docs, id_col, text_col)
-    dfreq = occ.groupBy("w").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    return dfreq.orderBy(F.desc("df"), "w").limit(v)
+    """:func:`induce_vocab_from_occ` over a raw document table."""
+    return induce_vocab_from_occ(occurrences(docs, id_col, text_col), v)
 
 
-def oov_report(
-    docs: DataFrame,
-    vocab: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Per-document OOV stats against ``vocab`` (a (w, ...) table):
-    (doc_id, n_tokens, n_oov, oov_rate)."""
-    occ = _occurrences(docs, id_col, text_col)
+def oov_report_from_occ(occ: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-document OOV stats against ``vocab`` (a (w, ...) table)
+    from an occurrence table: (doc_id, n_tokens, n_oov, oov_rate)."""
     scored = occ.join(
         F.broadcast(vocab.select("w").withColumn("_in", F.lit(1))),
         "w",
@@ -68,3 +72,13 @@ def oov_report(
         F.sum(oov).alias("n_oov"),
         (F.sum(oov).cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
+
+
+def oov_report(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`oov_report_from_occ` over a raw document table."""
+    return oov_report_from_occ(occurrences(docs, id_col, text_col), vocab)

@@ -59,11 +59,25 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary cut is deterministic) — the coverage measurement a
     tokenizer-prep pass runs before fixing a vocab. The induced vocab
     is V rows and BROADCASTS to the scoring scan; the corpus is never
-    reshuffled to be scored (operators/vocab.py)."""
-    from ..operators.vocab import induce_vocab, oov_report
+    reshuffled to be scored (operators/vocab.py).
+
+    The occurrence table is the ONE corpus scan both the induction
+    aggregate and the scoring join read (unlike exchanges —
+    ReuseExchange cannot share them), so it is pinned: sf0.1
+    interleaved best-of-3 measured pinned 0.77s vs unpinned 1.00s.
+    """
+    from ..operators.dedup import _maybe_pin
+    from ..operators.vocab import (
+        induce_vocab_from_occ,
+        occurrences,
+        oov_report_from_occ,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return oov_report(docs, induce_vocab(docs, _VOCAB_V)).orderBy("doc_id")
+    occ = _maybe_pin(occurrences(docs), "MEMORY_AND_DISK")
+    return oov_report_from_occ(
+        occ, induce_vocab_from_occ(occ, _VOCAB_V)
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -127,8 +127,9 @@ def warehouse_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     `operators/layout.py write_zordered` (tests/test_physical.py
     checks the physical files too).
 
-    One scan, one broadcast scalar max pair, one aggregate over the
-    union of the two bucketings — no joins of the fact against itself.
+    One fact scan feeding a map-side inline expansion of both bucket
+    ids (plus the scalar-max scan), one aggregate — no joins of the
+    fact against itself, no union re-deriving it per layout.
     """
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
@@ -153,18 +154,26 @@ def warehouse_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lb",
         zorder_key([F.col("x"), F.col("y")], _Z_BITS).alias("z"),
     )
+    # both layouts' bucket ids emit from ONE map-side inline expansion
+    # — a union of two projections would re-derive the scan+scale+z
+    # subtree under each branch (Spark does not merge scan-only
+    # subtrees), tripling the fact reads the docstring's "one scan"
+    # promises
     buckets = zed.select(
-        F.lit("zorder").alias("layout"),
-        F.shiftright("z", _Z_SHIFT).alias("bucket"),
         "day",
         "cust",
-    ).unionByName(
-        zed.select(
-            F.lit("linear").alias("layout"),
-            F.col("lb").alias("bucket"),
-            "day",
-            "cust",
-        )
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright("z", _Z_SHIFT).alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.col("lb").alias("bucket"),
+                ),
+            )
+        ),
     )
     stats = buckets.groupBy("layout", "bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),

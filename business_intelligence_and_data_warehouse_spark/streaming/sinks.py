@@ -188,6 +188,17 @@ def run_cms_stream(
     d×w rows per epoch no matter what flows through. Returns a LAZY
     read of the final snapshot — same materialize-before-reuse
     contract as :func:`run_upsert_stream`.
+
+    The sketch is SCOPED TO ONE CHECKPOINT LINEAGE: cellwise addition
+    is not idempotent, so a reset/rebuilt checkpoint (new lineage id,
+    batch ids restart at 0, the source replays from scratch) must NOT
+    add its replayed batches onto the old lineage's cells — that would
+    double every count. On a lineage change the stored sketch is
+    discarded and rebuilt from the replay, which is exactly the
+    replayed epoch's correct counts (the upsert/SCD sinks survive a
+    reset because their merges are idempotent; a counting merge is
+    not, so it resets — same reason Delta keys txn idempotence on
+    (appId, version) and counting sinks re-derive on app change).
     """
     from ..operators.sketches import cms_build
 
@@ -199,7 +210,12 @@ def run_cms_stream(
         if store.already_applied(lineage, batch_id):
             return  # redelivered batch within this lineage: skip
         batch_cms = cms_build(batch_df, key_col, depth, width)
-        cur = store.read()
+        state = store._state()
+        cur = (
+            store.read()
+            if state is not None and state.get("lineage") == lineage
+            else None  # new lineage: full replay, fresh sketch
+        )
         merged = (
             batch_cms
             if cur is None

@@ -314,6 +314,58 @@ def test_cms_stream_merge_equals_one_shot_sketch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_cms_stream_resets_on_checkpoint_lineage_change(spark, sf_dir, tmp_path):
+    """Cellwise addition is not idempotent: a rebuilt checkpoint (new
+    lineage, batch ids restart, source replays in full) must RESET the
+    stored sketch, not add the replay onto it — otherwise every count
+    doubles. The first run's sketch and the post-reset rerun's sketch
+    must both equal the one-shot batch sketch."""
+    import shutil
+
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        run_cms_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(2).write.parquet(src)
+    root = str(tmp_path / "store")
+
+    def stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    want = sorted(map(tuple, cms_build(events, "user_id").collect()))
+    first = run_cms_stream(stream(), spark, "user_id", 4, 1024, root)
+    assert sorted(map(tuple, first.collect())) == want
+    # simulate a checkpoint reset: new lineage, full source replay
+    shutil.rmtree(f"{root}/_checkpoint")
+    second = run_cms_stream(stream(), spark, "user_id", 4, 1024, root)
+    assert sorted(map(tuple, second.collect())) == want
+
+
+def test_topk_ranks_null_order_values_last(spark):
+    """NULL measures must rank after every non-null row — the window
+    form's desc = NULLS LAST placement — not seize rank 1 via the
+    nulls-first struct sort."""
+    df = spark.createDataFrame(
+        [("a", None, 1), ("a", 10, 2), ("a", 20, 3), ("b", None, 4)],
+        "g string, v int, id int",
+    )
+    rows = {
+        (r.g, r.rank): (r.v, r.id)
+        for r in topk_per_group(df, ["g"], "v", "id", 2).collect()
+    }
+    assert rows[("a", 1)] == (20, 3)
+    assert rows[("a", 2)] == (10, 2)
+    # group of only-null measure: the null row still surfaces (rank 1)
+    # with its NULL intact, exactly like row_number over desc
+    assert rows[("b", 1)] == (None, 4)
+
+
 def test_events_heavy_hitters_overcount_nonnegative(spark, sf_dir):
     from business_intelligence_and_data_warehouse_spark.plans.queries import (
         QUERIES,
