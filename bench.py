@@ -113,6 +113,7 @@ HEADLINE = [
     "text_char_entropy",
     "embedding_random_projection",
     "stream_heavy_hitters",
+    "events_hll_cardinality",
 ]
 
 

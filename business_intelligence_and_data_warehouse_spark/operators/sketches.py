@@ -215,3 +215,93 @@ def cms_estimate(
     return out.withColumn(est_col, F.least(*ests)).drop(
         "_ha", "_hb", *[c for i in range(depth) for c in (f"_cc{i}", f"_cn{i}")]
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 2^12 = 4096 registers
+HLL_M = 1 << HLL_P
+
+
+def _rho16(v: Column) -> Column:
+    """Leading-zero rank of a 16-bit window: position (1-based) of the
+    highest set bit from the top, 17 when the window is all zeros —
+    a pure comparison ladder (no log2/bit_length), portable to any
+    SQL engine bit for bit."""
+    # strongest comparison FIRST: a chained when() evaluates in
+    # order, so v >= 2^15 must be the outermost branch (wrapping it
+    # last would make the weakest test win and pin rho at 16)
+    expr: Column | None = None
+    for rank, bit in enumerate(range(15, -1, -1), start=1):
+        cond = v >= (1 << bit)
+        expr = (
+            F.when(cond, F.lit(rank))
+            if expr is None
+            else expr.when(cond, F.lit(rank))
+        )
+    assert expr is not None
+    return expr.otherwise(F.lit(17))
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """(bucket, max_rho) register table of a HyperLogLog over the key
+    stream — at most 2**p rows, one partial-aggregated shuffle (MAX is
+    the merge, so shard registers combine by cellwise max: the same
+    bounded-state mergeability story as the count-min grid, for
+    cardinality instead of frequency).
+
+    Hash layout off md5 hex digits: bucket = first p bits (p must be
+    a multiple of 4 here — hex-digit arithmetic), rho = leading-zero
+    rank of the NEXT 16 bits.
+    """
+    if p % 4 != 0:
+        raise ValueError(f"p must be a multiple of 4 (hex digits), got {p}")
+    key = F.col(key_col).cast("string")
+    h = F.md5(key)
+    staged = df.select(
+        _hexn(h, 1, p // 4).alias("bucket"),
+        _rho16(_hexn(F.md5(key), p // 4 + 1, 4)).alias("rho"),
+    )
+    return staged.groupBy("bucket").agg(F.max("rho").alias("max_rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+    """One-row cardinality estimate from a register table.
+
+    (m, n_filled, v_empty, est_raw, estimate) — ``est_raw`` is the
+    raw HLL estimate alpha·m²/Z (every term of Z is a dyadic rational
+    2^-rho, so the harmonic sum and the estimate are bit-identical
+    cross-engine); ``estimate`` applies the standard linear-counting
+    small-range correction m·ln(m/V) when est_raw ≤ 2.5m and V > 0,
+    snapped ``FLOOR(x·1e6)/1e6`` because ln is the one libm call that
+    is NOT bit-identical across engines (the log-snap recipe).
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("max_rho"))).alias(
+            "z_filled"
+        ),
+    )
+    z = F.col("z_filled") + (F.lit(m) - F.col("n_filled"))  # empty -> 2^0
+    v_empty = (F.lit(m) - F.col("n_filled")).cast("long")
+    est_raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / z
+    corrected = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.floor(F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty) * 1e6)
+        / 1e6,
+    ).otherwise(F.floor(est_raw * 1e6) / 1e6)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("n_filled").cast("long").alias("n_filled"),
+        v_empty.alias("v_empty"),
+        est_raw.alias("est_raw"),
+        corrected.alias("estimate"),
+    )

@@ -597,3 +597,103 @@ def warehouse_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return audit.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality with a bit-replayable register table
+# ---------------------------------------------------------------------------
+
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 4096)
+_O_RHO = "CASE " + " ".join(
+    f"WHEN w >= {1 << bit} THEN {rank}"
+    for rank, bit in enumerate(range(15, -1, -1), start=1)
+) + " ELSE 17 END"
+
+
+@query_fn(
+    "events_hll_cardinality",
+    oracle=f"""
+WITH h AS (
+  SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+),
+slots AS (
+  SELECT ({_O_HEXV.format(i=1)} * 256
+          + {_O_HEXV.format(i=2)} * 16
+          + {_O_HEXV.format(i=3)}) AS bucket,
+         ({_O_HEXV.format(i=4)} * 4096
+          + {_O_HEXV.format(i=5)} * 256
+          + {_O_HEXV.format(i=6)} * 16
+          + {_O_HEXV.format(i=7)}) AS w
+  FROM h
+),
+regs AS (
+  SELECT bucket, MAX({_O_RHO}) AS max_rho FROM slots GROUP BY 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_filled,
+         SUM(1e0 / CAST(1 << max_rho AS DOUBLE)) AS z_filled
+  FROM regs
+),
+ex AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events
+),
+est AS (
+  SELECT n_filled,
+         CAST(4096 - n_filled AS BIGINT) AS v_empty,
+         {_HLL_ALPHA!r}e0 * 4096e0 * 4096e0
+           / (z_filled + (4096 - n_filled)) AS est_raw
+  FROM agg
+)
+SELECT CAST(4096 AS INTEGER) AS m,
+       n_filled,
+       v_empty,
+       est_raw,
+       CASE WHEN est_raw <= 10240e0 AND v_empty > 0
+            THEN FLOOR(4096e0 * ln(4096e0 / v_empty) * 1e6) / 1e6
+            ELSE FLOOR(est_raw * 1e6) / 1e6 END AS estimate,
+       n_exact,
+       (CASE WHEN est_raw <= 10240e0 AND v_empty > 0
+             THEN FLOOR(4096e0 * ln(4096e0 / v_empty) * 1e6) / 1e6
+             ELSE FLOOR(est_raw * 1e6) / 1e6 END
+        - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+FROM est, ex
+""",
+)
+def events_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimate from a 4096-register HyperLogLog whose
+    register table, harmonic sum, and even the small-range correction
+    replay bit-identically in the DuckDB oracle — completing the
+    sketch family (Bloom = membership, count-min = frequency, HLL =
+    cardinality), next to ``approx_sketches``' built-in
+    ``approx_count_distinct`` which is self-validated but not
+    replayable.
+
+    Exactness chain: bucket/rho come from md5-hex integer arithmetic
+    (rho via a 16-branch comparison ladder, no log2); every harmonic
+    term 2^-rho is a dyadic rational, so the register sum is exact in
+    ANY summation order; the raw estimate is three correctly-rounded
+    IEEE ops; only the linear-counting branch calls ln, which gets
+    the FLOOR(x*1e6) snap. ``n_exact``/``rel_err`` are the built-in
+    accuracy report. Registers merge by cellwise MAX — the same
+    bounded-state shard/stream mergeability as the count-min grid.
+    """
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    events = load_table(spark, sf_dir, "events")
+    regs = hll_registers(events, "user_id")
+    est = hll_estimate(regs)
+    exact = events.agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "n_filled",
+        "v_empty",
+        "est_raw",
+        "estimate",
+        "n_exact",
+        (
+            (F.col("estimate") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_err"),
+    )

@@ -84,6 +84,7 @@ INVARIANCE_SET = [
     "corpus_vocab_coverage",
     "text_char_entropy",
     "embedding_random_projection",
+    "events_hll_cardinality",
 ]
 
 

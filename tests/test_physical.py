@@ -103,6 +103,51 @@ def test_cms_never_undercounts_and_merges(spark):
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_rho_ladder_and_merge(spark):
+    from pyspark.sql import functions as F2
+
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        _rho16,
+    )
+
+    cases = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (32767,), (32768,), (65535,)], ["v"]
+    ).select("v", _rho16(F2.col("v")).alias("rho"))
+    got = {r.v: r.rho for r in cases.collect()}
+    # rho = leading-zero rank in a 16-bit window (all-zero -> 17)
+    assert got == {0: 17, 1: 16, 2: 15, 3: 15, 32767: 2, 32768: 1, 65535: 1}
+
+
+def test_hll_registers_merge_by_max_and_estimate_tracks_truth(spark):
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    keys = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    regs = hll_registers(keys, "k")
+    # shard registers merged by cellwise MAX == one-shot registers
+    r1 = hll_registers(keys.filter("id % 2 = 0"), "k")
+    r2 = hll_registers(keys.filter("id % 2 = 1"), "k")
+    merged = (
+        r1.unionByName(r2)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert sorted(map(tuple, regs.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    est = hll_estimate(regs).collect()[0]
+    # 4096 registers -> standard error ~1.04/sqrt(m) ~ 1.6%; allow 4σ
+    assert abs(est.estimate - 5000) / 5000 < 0.07, est.estimate
+
+
+# ---------------------------------------------------------------------------
 # z-order layout
 # ---------------------------------------------------------------------------
 
