@@ -1,12 +1,15 @@
-"""Hash-sketch operators: Bloom-filter membership and count-min
-frequency estimation, both engine-portable and broadcast-shaped.
+"""Hash-sketch operators — Bloom-filter membership, count-min
+frequency, and HyperLogLog cardinality — all engine-portable and
+broadcast/bounded-state shaped.
 
 Reference parity: the reference (a BI warehouse —
 `Python Analytics/PythonAnalysis.py`, Kettle ETL) has no sketch
 surface; these belong to the LLM-data-pipeline extension mandate
 (approximate membership for contamination/runtime filters, bounded
-frequency state for heavy hitters), alongside the HLL/quantile
-sketches already covered by ``approx_sketches``.
+frequency state for heavy hitters, replayable cardinality); the
+built-in `approx_count_distinct`/quantile sketches remain covered by
+``approx_sketches`` with self-validation, where these three replay
+bit-identically in a DuckDB oracle.
 
 Determinism: every hash position is integer arithmetic over md5 hex
 digits (the ``operators/split.py`` ascii-CASE family), so sketch
@@ -222,7 +225,6 @@ def cms_estimate(
 # ---------------------------------------------------------------------------
 
 HLL_P = 12  # 2^12 = 4096 registers
-HLL_M = 1 << HLL_P
 
 
 def _rho16(v: Column) -> Column:
@@ -266,7 +268,7 @@ def hll_registers(
     h = F.md5(key)
     staged = df.select(
         _hexn(h, 1, p // 4).alias("bucket"),
-        _rho16(_hexn(F.md5(key), p // 4 + 1, 4)).alias("rho"),
+        _rho16(_hexn(h, p // 4 + 1, 4)).alias("rho"),
     )
     return staged.groupBy("bucket").agg(F.max("rho").alias("max_rho"))
 
@@ -286,9 +288,13 @@ def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
     alpha = 0.7213 / (1 + 1.079 / m)
     agg = registers.agg(
         F.count(F.lit(1)).alias("n_filled"),
-        F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("max_rho"))).alias(
-            "z_filled"
-        ),
+        # COALESCE: SUM over zero rows is NULL, which would make an
+        # empty key stream estimate NULL instead of the correct 0
+        # (empty -> z = m -> linear counting -> m*ln(m/m) = 0)
+        F.coalesce(
+            F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("max_rho"))),
+            F.lit(0.0),
+        ).alias("z_filled"),
     )
     z = F.col("z_filled") + (F.lit(m) - F.col("n_filled"))  # empty -> 2^0
     v_empty = (F.lit(m) - F.col("n_filled")).cast("long")

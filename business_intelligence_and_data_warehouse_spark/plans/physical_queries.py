@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 from ..functions.parity import dsum, o_dsum
 from ..operators.layout import scale_to_bits, zorder_key
 from ..operators.retention import propagate_deletes
-from ..operators.sketches import cms_build, cms_estimate
+from ..operators.sketches import (
+    cms_build,
+    cms_estimate,
+    hll_estimate,
+    hll_registers,
+)
 from ..operators.topk import topk_per_group
 from ..sources.testdata import load_table
 from .pipeline_queries import _O_HEXV, _O_NORM
@@ -631,7 +636,7 @@ regs AS (
 ),
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_filled,
-         SUM(1e0 / CAST(1 << max_rho AS DOUBLE)) AS z_filled
+         COALESCE(SUM(1e0 / CAST(1 << max_rho AS DOUBLE)), 0e0) AS z_filled
   FROM regs
 ),
 ex AS (
@@ -677,8 +682,6 @@ def events_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy report. Registers merge by cellwise MAX — the same
     bounded-state shard/stream mergeability as the count-min grid.
     """
-    from ..operators.sketches import hll_estimate, hll_registers
-
     events = load_table(spark, sf_dir, "events")
     regs = hll_registers(events, "user_id")
     est = hll_estimate(regs)

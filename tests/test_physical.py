@@ -145,6 +145,12 @@ def test_hll_registers_merge_by_max_and_estimate_tracks_truth(spark):
     est = hll_estimate(regs).collect()[0]
     # 4096 registers -> standard error ~1.04/sqrt(m) ~ 1.6%; allow 4σ
     assert abs(est.estimate - 5000) / 5000 < 0.07, est.estimate
+    # empty key stream -> 0, not NULL (SUM-over-zero-rows is NULL;
+    # the operator coalesces so linear counting yields m*ln(m/m) = 0)
+    empty = hll_estimate(
+        hll_registers(keys.filter("1 = 0"), "k")
+    ).collect()[0]
+    assert empty.n_filled == 0 and empty.estimate == 0.0
 
 
 # ---------------------------------------------------------------------------
