@@ -114,6 +114,7 @@ HEADLINE = [
     "embedding_random_projection",
     "stream_heavy_hitters",
     "events_hll_cardinality",
+    "incremental_join_delta",
 ]
 
 

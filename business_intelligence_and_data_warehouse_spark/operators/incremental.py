@@ -55,3 +55,34 @@ def present(aggs: DataFrame) -> DataFrame:
         F.col("sum_dec").cast("double").alias("revenue"),
         F.col("n").alias("n_orders"),
     )
+
+
+def join_delta(
+    base_left: DataFrame,
+    delta_left: DataFrame,
+    base_right: DataFrame,
+    delta_right: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Incremental view maintenance of an inner equi-join under
+    inserts: the NEW result rows of ``(L ∪ dL) ⋈ (R ∪ dR)`` are
+    exactly ``dL⋈R ∪ L⋈dR ∪ dL⋈dR`` — three joins whose probe or
+    build side is DELTA-sized, so maintaining a 100 TB join view
+    costs delta-proportional work instead of a full recompute (the
+    classical counting/DBToaster delta rule, insert-only case; the
+    base sides still scan but never join base-against-base).
+
+    Requires the deltas to be disjoint from their bases (insert-only
+    IVM); a ``src`` column labels which term produced each row, so
+    the disjoint union is auditable.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def tag(df: DataFrame, label: str) -> DataFrame:
+        return df.withColumn("src", F.lit(label))
+
+    return (
+        tag(delta_left.join(base_right, keys), "dL_R")
+        .unionByName(tag(base_left.join(delta_right, keys), "L_dR"))
+        .unionByName(tag(delta_left.join(delta_right, keys), "dL_dR"))
+    )

@@ -700,3 +700,54 @@ def events_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_exact").cast("double")
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance of a join (insert-only delta rule)
+# ---------------------------------------------------------------------------
+
+@query_fn(
+    "incremental_join_delta",
+    oracle="""
+SELECT o_custkey AS custkey,
+       o_orderkey,
+       c_mktsegment,
+       CASE WHEN o_orderkey % 10 = 0 AND c_custkey % 7 != 0 THEN 'dL_R'
+            WHEN o_orderkey % 10 != 0 AND c_custkey % 7 = 0 THEN 'L_dR'
+            ELSE 'dL_dR' END AS src
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 10 = 0 OR c_custkey % 7 = 0
+ORDER BY o_orderkey
+""",
+)
+def incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join twin of ``incremental_agg_merge``: maintain an
+    orders⋈customer view under an insert batch on EACH side without
+    recomputing the join. The operator emits exactly the new result
+    rows as dL⋈R ∪ L⋈dR ∪ dL⋈dR (the classical insert-only delta
+    rule) — every term joins a delta-sized side, so view maintenance
+    at 100 TB is delta-proportional while base⋈base never runs. The
+    oracle is the PREDICATE form over the full recomputed join
+    (either side in the delta), so the hash match proves the delta
+    rule produces byte-identical view updates.
+    """
+    from ..operators.incremental import join_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    d_l = F.col("o_orderkey") % 10 == 0
+    d_r = F.col("custkey") % 7 == 0
+    out = join_delta(
+        orders.filter(~d_l),
+        orders.filter(d_l),
+        customer.filter(~d_r),
+        customer.filter(d_r),
+        on="custkey",
+    )
+    return out.select("custkey", "o_orderkey", "c_mktsegment", "src").orderBy(
+        "o_orderkey"
+    )

@@ -85,6 +85,7 @@ INVARIANCE_SET = [
     "text_char_entropy",
     "embedding_random_projection",
     "events_hll_cardinality",
+    "incremental_join_delta",
 ]
 
 

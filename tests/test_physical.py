@@ -325,6 +325,51 @@ def test_propagate_deletes_cleans_the_chain(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# incremental join maintenance
+# ---------------------------------------------------------------------------
+
+def test_join_delta_equals_full_recompute_difference(spark, sf_dir):
+    """The delta rule's defining property: old_view ∪ delta_rows ==
+    new full join, with the three delta terms disjoint (insert-only
+    deltas guarantee it)."""
+    from business_intelligence_and_data_warehouse_spark.operators.incremental import (
+        join_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    d_l = F.col("o_orderkey") % 10 == 0
+    d_r = F.col("custkey") % 7 == 0
+    delta = join_delta(
+        orders.filter(~d_l),
+        orders.filter(d_l),
+        customer.filter(~d_r),
+        customer.filter(d_r),
+        on="custkey",
+    )
+    old_view = orders.filter(~d_l).join(customer.filter(~d_r), "custkey")
+    maintained = sorted(
+        map(
+            tuple,
+            old_view.select("custkey", "o_orderkey")
+            .unionByName(delta.select("custkey", "o_orderkey"))
+            .collect(),
+        )
+    )
+    full = sorted(
+        map(tuple, orders.join(customer, "custkey").collect())
+    )
+    assert maintained == full
+    # the three terms are disjoint: no (custkey, o_orderkey) repeats
+    n = delta.count()
+    assert delta.select("custkey", "o_orderkey").distinct().count() == n
+
+
+# ---------------------------------------------------------------------------
 # registry-level invariants of the new queries
 # ---------------------------------------------------------------------------
 
