@@ -115,6 +115,7 @@ HEADLINE = [
     "stream_heavy_hitters",
     "events_hll_cardinality",
     "incremental_join_delta",
+    "dedup_lsh_recall_report",
 ]
 
 

@@ -86,6 +86,7 @@ INVARIANCE_SET = [
     "embedding_random_projection",
     "events_hll_cardinality",
     "incremental_join_delta",
+    "dedup_lsh_recall_report",
 ]
 
 
