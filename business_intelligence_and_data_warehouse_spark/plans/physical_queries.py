@@ -1,7 +1,8 @@
 """Physical-design & sketch registry queries (round 5, batch 3):
 Z-order clustering evidence, Bloom-filter contamination pruning,
-count-min heavy hitters, bounded per-group top-k, and tombstone
-delete propagation.
+count-min heavy hitters (batch + the live foreachBatch merge twin),
+a bit-replayable HyperLogLog, bounded per-group top-k, tombstone
+delete propagation, and insert-only join view maintenance.
 
 Reference parity anchors:
 * Z-order / tombstones extend the reference's warehouse layer

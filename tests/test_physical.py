@@ -173,6 +173,41 @@ def test_zorder_key_interleaves_bits(spark):
     assert got[(3, 5)] == 0b100111
 
 
+def test_zorder_key_three_columns(spark):
+    # bit b of column i lands at position b*n + i for ANY n, not just 2
+    df = spark.createDataFrame([(1, 1, 1), (2, 0, 1)], ["x", "y", "w"])
+    got = {
+        (r.x, r.y, r.w): r.z
+        for r in df.select(
+            "x",
+            "y",
+            "w",
+            zorder_key([F.col("x"), F.col("y"), F.col("w")], 2).alias("z"),
+        ).collect()
+    }
+    # (1,1,1): bit0 of each -> positions 0,1,2 -> 0b111
+    assert got[(1, 1, 1)] == 0b111
+    # (2,0,1): x bit1 -> pos 3; w bit0 -> pos 2 -> 0b1100
+    assert got[(2, 0, 1)] == 0b1100
+
+
+def test_propagate_deletes_with_empty_tombstones(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cleaned, audit = propagate_deletes(
+        customer,
+        "customer",
+        "c_custkey",
+        customer.filter(F.lit(False)).select("c_custkey"),
+        [("orders", orders, "customer", "c_custkey", "o_custkey")],
+    )
+    a = {r.table_name: r for r in audit.collect()}
+    assert a["customer"].rows_deleted == 0
+    assert a["orders"].rows_deleted == 0
+    assert a["customer"].rows_after == customer.count()
+    assert cleaned["orders"].count() == orders.count()
+
+
 def test_zordered_write_prunes_second_dim_probes(spark, sf_dir, tmp_path):
     """The layout claim itself, against PHYSICAL files: for a probe on
     the SECOND clustered dimension only (cust range), every day-sorted
