@@ -1493,8 +1493,11 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     buy on THIS corpus.
 
     One pinned shingle table feeds the signature, truth, and verify
-    passes (unlike exchanges — the shared-tokenize rule); the pair
-    sets are pinned because each feeds two count branches.
+    passes (unlike exchanges — the shared-tokenize rule); ``cand`` is
+    pinned because it feeds BOTH aggregate branches plus the verify
+    probe; ``truth`` has a single consumer and stays unpinned (the
+    ledger rule: persists pay only across separate actions or unlike
+    exchanges).
     """
     from ..operators.caching import pin
     from ..operators.dedup import jaccard_for_pairs, minhash_lsh_candidates
@@ -1502,10 +1505,8 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = pin(shingle_table(docs, 3))
     cand = pin(minhash_lsh_candidates(sh, 4, 2))
-    truth = pin(
-        jaccard_pairs(sh, _JACCARD_T, max_df=_MAX_DF).select(
-            "doc_a", "doc_b"
-        )
+    truth = jaccard_pairs(sh, _JACCARD_T, max_df=_MAX_DF).select(
+        "doc_a", "doc_b"
     )
     # two aggregate branches instead of four count actions: truth
     # carries its hit marker (cand ⊇ hits), candidates carry their
