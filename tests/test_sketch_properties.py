@@ -1,0 +1,140 @@
+"""Randomized property tests for the round-5 sketch/layout/top-k
+operators — Python references drive Hypothesis-generated inputs
+through the Spark implementations.
+
+Each property is the operator's load-bearing contract: z-key
+injectivity (files can't merge distant points), Bloom
+no-false-negatives (the exact-verify pruning is only sound without
+them), CMS/HLL never-undercount/merge laws, and top-k equivalence to
+the window form on arbitrary data including ties.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from business_intelligence_and_data_warehouse_spark.operators.layout import (
+    zorder_key,
+)
+from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+    bloom_build,
+    bloom_probe,
+    cms_build,
+    cms_estimate,
+)
+from business_intelligence_and_data_warehouse_spark.operators.topk import (
+    topk_per_group,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _zorder_reference(x: int, y: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+@settings(**_SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zorder_matches_reference_and_is_injective(spark, pts):
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], 10).alias("z")
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _zorder_reference(x, y, 10)
+    # injective on the domain: distinct points -> distinct z
+    assert len(set(got.values())) == len(set(pts))
+
+
+@settings(**_SETTINGS)
+@given(
+    members=st.lists(
+        st.text(
+            alphabet="abcdefghij0123456789", min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_bloom_never_misses_a_member(spark, members):
+    df = spark.createDataFrame([(m,) for m in members], ["key"])
+    bloom = bloom_build(df, "key")
+    probed = bloom_probe(df, "key", bloom).collect()
+    assert all(r.bloom_positive for r in probed)
+
+
+@settings(**_SETTINGS)
+@given(
+    stream=st.lists(
+        st.integers(min_value=0, max_value=25), min_size=1, max_size=120
+    )
+)
+def test_cms_point_estimates_never_undercount(spark, stream):
+    df = spark.createDataFrame([(str(v),) for v in stream], ["key"])
+    cms = cms_build(df, "key", depth=3, width=64)
+    exact = df.groupBy("key").agg(F.count(F.lit(1)).alias("exact"))
+    rows = cms_estimate(exact, "key", cms, depth=3, width=64).collect()
+    truth = {}
+    for v in stream:
+        truth[str(v)] = truth.get(str(v), 0) + 1
+    assert {r.key: r.exact for r in rows} == truth
+    assert all(r.est_count >= r.exact for r in rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group
+            st.integers(min_value=-50, max_value=50),  # value (ties!)
+            st.integers(min_value=0, max_value=10**6),  # unique-ish id
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_topk_matches_python_reference_with_ties(spark, rows, k):
+    # dedupe ids so the tie-break column is a key
+    seen, uniq = set(), []
+    for g, v, i in rows:
+        if i not in seen:
+            seen.add(i)
+            uniq.append((g, v, i))
+    df = spark.createDataFrame(uniq, "g int, v int, id int")
+    got = sorted(
+        (r.g, r.rank, r.v, r.id)
+        for r in topk_per_group(df, ["g"], "v", "id", k).collect()
+    )
+    ref = []
+    by_g: dict[int, list] = {}
+    for g, v, i in uniq:
+        by_g.setdefault(g, []).append((v, i))
+    for g, items in by_g.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (v, i) in enumerate(items[:k], start=1):
+            ref.append((g, rank, v, i))
+    assert got == sorted(ref)
