@@ -138,3 +138,66 @@ def test_topk_matches_python_reference_with_ties(spark, rows, k):
         for rank, (v, i) in enumerate(items[:k], start=1):
             ref.append((g, rank, v, i))
     assert got == sorted(ref)
+
+
+def _py_rho16(v: int) -> int:
+    """Reference: leading-zero rank of a 16-bit window (17 if zero)."""
+    return 17 if v == 0 else 17 - v.bit_length()
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=65535), min_size=1, max_size=50
+    )
+)
+def test_hll_rho_ladder_matches_bit_length_reference(spark, vals):
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        _rho16,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {
+        r.v: r.rho
+        for r in df.select("v", _rho16(F.col("v")).alias("rho")).collect()
+    }
+    for v in set(vals):
+        assert got[v] == _py_rho16(v), v
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(min_value=1, max_value=12),
+    d_out=st.sampled_from([4, 8]),
+)
+def test_random_projection_signs_match_python_md5(spark, n, d_out):
+    """The arithmetic sign matrix is the whole 'no shipped state'
+    claim: any engine (here: plain Python hashlib) must regenerate the
+    identical projection."""
+    import hashlib
+
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        random_projection,
+    )
+
+    vecs = [
+        (i, [((i * 7 + j * 3) % 13) / 13.0 for j in range(64)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {
+        (r.vid, r.j): r.proj
+        for r in random_projection(df, d_out=d_out).collect()
+    }
+
+    def sign(i, j):
+        h = hashlib.md5(f"{i}_{j}".encode()).hexdigest()
+        return 1 if int(h[0], 16) < 8 else -1
+
+    import math
+
+    for vid, emb in vecs:
+        e = [math.floor(x * 1e6) for x in emb]
+        for j in range(d_out):
+            want = sum(e[i] * sign(i, j) for i in range(64))
+            assert got[(vid, j)] == want, (vid, j)
