@@ -6,7 +6,8 @@ Spark-first re-expressions of the reference's dimension ETLs:
   JS generator loop (`ETL/ETL for time.ktr:567-637`), derives calendar
   attributes in a JS UDF (:816-962) and flags Brazilian holidays with an
   embedded computus (:681-815). Here: ``explode(sequence(...))`` +
-  native date functions + a broadcast-joined generated holiday table.
+  native date functions + the generated holiday calendar folded into a
+  constant IN-list (a few dozen dates — cheaper than a broadcast join).
   The dense, date-ordered surrogate ``time_key`` (Kettle ``Sequence``
   step, :532-566) becomes ``row_number()`` over the date order —
   deterministic and contiguous, unlike ``monotonically_increasing_id``.
@@ -26,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleansing import underscores_to_spaces
 from ..functions.dates import with_calendar_attributes
-from ..functions.holidays import holiday_df
+from ..functions.holidays import brazilian_holidays
 
 DIM_TIME_START = "2016-01-01"
 DIM_TIME_END = "2020-12-31"
@@ -48,10 +49,12 @@ def build_dim_time(
     )
     cal = with_calendar_attributes(days, "date")
     start_year, end_year = int(start[:4]), int(end[:4])
-    holidays = holiday_df(spark, start_year, end_year)
-    flagged = cal.join(
-        F.broadcast(holidays), cal.date == holidays.holiday_date, "left"
-    ).withColumn("is_holiday", F.col("holiday_date").isNotNull())
+    # The holiday calendar for any realistic range is a few dozen dates,
+    # so it folds into an IN-list literal: zero extra jobs (the previous
+    # broadcast-join form paid a createDataFrame + broadcast build every
+    # run), and Catalyst compiles it to a constant set membership test.
+    holidays = [d for d, _ in brazilian_holidays(start_year, end_year)]
+    flagged = cal.withColumn("is_holiday", F.col("date").isin(holidays))
     return (
         flagged.withColumn(
             "time_key", F.row_number().over(W.orderBy("date")).cast("int")

@@ -7,6 +7,20 @@ Tables (one parquet file each, see /root/repo/TESTDATA.md):
 Parquet scans are the fast path: Catalyst pushes filters and prunes
 columns into the scan, so callers should select/filter on the returned
 DataFrame directly rather than materialising it first.
+
+``load_table`` memoizes the returned DataFrame per
+(applicationId, dir, table).  A DataFrame is an immutable logical plan,
+so handing the same object to every caller is semantically identical to
+re-reading — but ``spark.read.parquet`` pays a driver-side file listing
++ schema read (~0.1s of py4j round-trips) on EVERY call, which at 88
+battery queries × 1-5 tables each was the single largest fixed
+per-invocation cost in the whole engine (measured: 0.10-0.15s/call
+warm; a 4-table query paid ~0.5s before any work started).  The
+testdata directories are immutable for the life of a session, so the
+cached plan can never go stale; keying by applicationId drops entries
+with their session.  On a real cluster the same pattern holds: you
+would register the tables once in a catalog, not re-infer them per
+query.
 """
 
 from __future__ import annotations
@@ -48,9 +62,35 @@ def sf_of(sf_dir: str) -> float:
     return float("nan")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# (applicationId, abs sf_dir, table) -> analyzed DataFrame plan.  Tiny by
+# construction: 10 tables x a handful of sf dirs per session.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_cache() -> int:
+    """Drop every memoized table plan; returns how many were cached."""
+    n = len(_TABLE_CACHE)
+    _TABLE_CACHE.clear()
+    return n
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, use_cache: bool = True
+) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown testdata table {name!r}; have {TABLES}")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    if use_cache:
+        cached = _TABLE_CACHE.get(key)
+        if cached is not None:
+            return cached
+    df = _read_table(spark, sf_dir, name)
+    if use_cache:
+        _TABLE_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Generations of events.parquet have stored ts as TIMESTAMP(NANOS)
         # (which Spark's vectorized reader rejects -> read as raw int64 and
