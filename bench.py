@@ -114,6 +114,7 @@ HEADLINE = [
     "embedding_random_projection",
     "stream_heavy_hitters",
     "events_hll_cardinality",
+    "quantile_sketch_prices",
     "incremental_join_delta",
     "dedup_lsh_recall_report",
 ]

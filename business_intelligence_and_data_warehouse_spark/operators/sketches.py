@@ -41,7 +41,7 @@ md5 evaluations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .split import _hex_val
@@ -310,4 +310,82 @@ def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
         v_empty.alias("v_empty"),
         est_raw.alias("est_raw"),
         corrected.alias("estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch (hash-priority bottom-k)
+# ---------------------------------------------------------------------------
+
+def quantile_sketch_build(
+    df: DataFrame,
+    value_col: str,
+    key: Column,
+    k: int = 1024,
+) -> DataFrame:
+    """(priority, value) quantile sketch: the k rows whose md5
+    priorities are smallest — a deterministic uniform sample without
+    replacement (completing the sketch family: membership / frequency
+    / cardinality / QUANTILES).
+
+    Why bottom-k instead of a literal KLL: KLL's compactor decisions
+    depend on arrival order, so its content is neither partition-
+    invariant nor replayable by another engine.  Hash-priority
+    bottom-k keeps the properties that matter at 100 TB — fixed O(k)
+    state, one TakeOrdered pass (k-row buffers per partition, no full
+    shuffle), mergeable — and makes the "compaction" deterministic:
+    keep the k lexicographically-smallest digests.  Shard-merge ==
+    single-pass is then an exact SET IDENTITY (the k smallest of a
+    union are the k smallest overall), not an approximation, and a
+    DuckDB oracle replays sketch content AND estimates bit for bit.
+    Rank error is the uniform-sample bound O(n/sqrt(k)).
+
+    ``key`` need not be row-unique, but rows sharing a key MUST carry
+    equal values (fold the value into the key when the natural key can
+    repeat): tied priorities with equal values make every boundary
+    choice output-identical.  Lowercase-hex md5 strings sort the same
+    in every engine, so no integer conversion is needed.
+    """
+    return (
+        df.select(
+            F.md5(key.cast("string")).alias("priority"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .orderBy("priority")
+        .limit(k)
+    )
+
+
+def quantile_sketch_merge(sketches: list[DataFrame], k: int = 1024) -> DataFrame:
+    """Merge shard sketches: union, keep the k smallest priorities —
+    exactly the single-pass sketch over the concatenated inputs."""
+    if not sketches:
+        raise ValueError("quantile_sketch_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("priority").limit(k)
+
+
+def quantile_sketch_quantiles(
+    sketch: DataFrame, qs: tuple[float, ...]
+) -> DataFrame:
+    """(q, n_sample, est) type-1 quantile estimates from the sample:
+    the value at rank max(ceil(q * n_sample), 1) of the sample ordered
+    by (value, priority).  All arithmetic is IEEE multiply + ceil over
+    identical inputs, so estimates replay exactly cross-engine."""
+    ranked = sketch.select(
+        "value",
+        F.row_number().over(W.orderBy("value", "priority")).cast("long").alias("r"),
+    )
+    n = sketch.agg(F.count(F.lit(1)).alias("n_sample"))
+    qrows = n.select(
+        "n_sample", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    ).withColumn(
+        "rank",
+        F.greatest(F.ceil(F.col("q") * F.col("n_sample")).cast("long"), F.lit(1).cast("long")),
+    )
+    return (
+        ranked.join(F.broadcast(qrows), ranked.r == qrows.rank)
+        .select("q", "n_sample", F.col("value").alias("est"))
     )

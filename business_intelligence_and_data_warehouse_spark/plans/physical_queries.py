@@ -22,10 +22,10 @@ decimal parity helpers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.parity import dsum, o_dsum
+from ..functions.parity import dpctl, dsum, o_dpctl, o_dsum
 from ..operators.layout import scale_to_bits, zorder_key
 from ..operators.retention import propagate_deletes
 from ..operators.sketches import (
@@ -759,4 +759,112 @@ def incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("custkey", "o_orderkey", "c_mktsegment", "src").orderBy(
         "o_orderkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch: bottom-k priority sample over lineitem prices
+# ---------------------------------------------------------------------------
+
+_QSK_K = 1024
+_QSK_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+_O_QSK_PX = ", ".join(
+    f"{o_dpctl('l_extendedprice', q)} AS p{i}" for i, q in enumerate(_QSK_QS)
+)
+_O_QSK_CASE = (
+    "CASE "
+    + " ".join(f"WHEN q = {q!r}e0 THEN p{i}" for i, q in enumerate(_QSK_QS))
+    + " END"
+)
+
+
+@query_fn(
+    "quantile_sketch_prices",
+    oracle=f"""
+WITH sample AS (
+  SELECT md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+             || '-' || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR))
+           AS priority,
+         CAST(l_extendedprice AS DOUBLE) AS value
+  FROM lineitem
+  ORDER BY priority
+  LIMIT {_QSK_K}
+),
+ranked AS (
+  SELECT value,
+         CAST(row_number() OVER (ORDER BY value, priority) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_sample
+  FROM sample
+),
+qs(q) AS (VALUES {", ".join(f"({q!r}e0)" for q in _QSK_QS)}),
+est AS (
+  SELECT q, n_sample, value AS est
+  FROM qs JOIN ranked
+    ON ranked.r = GREATEST(CAST(CEIL(q * n_sample) AS BIGINT), CAST(1 AS BIGINT))
+),
+px AS (SELECT {_O_QSK_PX} FROM lineitem)
+SELECT est.q, est.n_sample, est.est,
+       {_O_QSK_CASE} AS exact,
+       (est.est - {_O_QSK_CASE}) / {_O_QSK_CASE} AS rel_err
+FROM est, px
+ORDER BY est.q
+""",
+)
+def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from a k=1024 hash-priority bottom-k sketch
+    over ``l_extendedprice``, with the exact interpolated percentile
+    and relative error as the in-row accuracy report — the fourth
+    sketch (membership / frequency / cardinality / QUANTILES), and
+    the replayable counterpart of the reference's percentile surface
+    (`Python Analytics/PythonAnalysis.py:517-518` df.describe
+    quantiles).
+
+    Exactness chain: the sketch content is the k lexicographically
+    smallest md5 priorities (deterministic in any partitioning; the
+    oracle replays the same LIMIT), rank selection is IEEE multiply +
+    ceil over identical inputs, and the exact side goes through the
+    shared ``dpctl`` decimal snap.  Shard mergeability is an exact
+    set identity (pytest-pinned in tests/test_sketches.py).
+    """
+    from ..operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    # (11,785 dup pairs at sf0.01); folding the 2-decimal price into the
+    # key makes tied priorities carry EQUAL values, so the bottom-k
+    # boundary choice cannot change the output (decimal -> string is
+    # engine-stable; raw double -> string is not).
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+    )
+    sketch = quantile_sketch_build(li, "l_extendedprice", key, k=_QSK_K)
+    est = quantile_sketch_quantiles(sketch, _QSK_QS)
+    px = li.agg(
+        *[dpctl("l_extendedprice", q).alias(f"p{i}") for i, q in enumerate(_QSK_QS)]
+    )
+    exact_case: Column | None = None
+    for i, q in enumerate(_QSK_QS):
+        branch = (F.col("q") == F.lit(float(q)), F.col(f"p{i}"))
+        exact_case = (
+            F.when(*branch) if exact_case is None else exact_case.when(*branch)
+        )
+    assert exact_case is not None
+    return (
+        est.crossJoin(F.broadcast(px))
+        .withColumn("exact", exact_case)
+        .select(
+            "q",
+            "n_sample",
+            "est",
+            "exact",
+            ((F.col("est") - F.col("exact")) / F.col("exact")).alias("rel_err"),
+        )
+        .orderBy("q")
     )

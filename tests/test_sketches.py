@@ -35,3 +35,73 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
     assert row.hll_parts_within_bounds
     assert row.hll_orders_within_bounds
     assert row.kll_median_within_bounds
+
+
+def test_quantile_sketch_shard_merge_equals_single_pass(spark, sf_dir):
+    """The bottom-k priority sketch's merge is an exact set identity:
+    merging per-shard sketches yields the SAME (priority, value) rows
+    as one pass over the full table — bit-identical, not approximate."""
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+        quantile_sketch_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+    )
+    k = 256
+    single = quantile_sketch_build(li, "l_extendedprice", key, k=k)
+    shards = [
+        quantile_sketch_build(
+            li.filter(F.col("l_orderkey") % 3 == i), "l_extendedprice", key, k=k
+        )
+        for i in range(3)
+    ]
+    merged = quantile_sketch_merge(shards, k=k)
+
+    def rows(df):
+        return sorted((r.priority, r.value) for r in df.collect())
+
+    assert rows(merged) == rows(single)
+
+    qs = (0.1, 0.5, 0.9)
+    est_single = {r.q: r.est for r in quantile_sketch_quantiles(single, qs).collect()}
+    est_merged = {r.q: r.est for r in quantile_sketch_quantiles(merged, qs).collect()}
+    assert est_single == est_merged
+    assert len(est_single) == len(qs)
+
+
+def test_quantile_sketch_small_input_and_accuracy(spark, sf_dir):
+    """k larger than the input keeps every row (n_sample = n); the
+    k=1024 estimate stays within the uniform-sample rank bound of the
+    exact interpolated percentile on the registry query's own output."""
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_quantiles,
+    )
+    from business_intelligence_and_data_warehouse_spark.plans.physical_queries import (
+        quantile_sketch_prices,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").limit(10)
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+    )
+    sk = quantile_sketch_build(li, "l_extendedprice", key, k=1024)
+    est = quantile_sketch_quantiles(sk, (0.5,)).collect()
+    assert len(est) == 1 and est[0].n_sample == 10
+
+    out = quantile_sketch_prices(spark, sf_dir).collect()
+    assert [r.q for r in out] == [0.25, 0.5, 0.75, 0.9, 0.99]
+    for r in out:
+        # uniform sample of k: rank error concentrates within
+        # ~3/sqrt(k) of quantile fraction -> generous value-side bound
+        assert abs(r.rel_err) < 0.25, r
