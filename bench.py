@@ -116,6 +116,7 @@ HEADLINE = [
     "events_hll_cardinality",
     "quantile_sketch_prices",
     "incremental_join_delta",
+    "incremental_join_counting",
     "dedup_lsh_recall_report",
 ]
 

@@ -74,9 +74,17 @@ def join_delta(
 
     Requires the deltas to be disjoint from their bases (insert-only
     IVM); a ``src`` column labels which term produced each row, so
-    the disjoint union is auditable.
+    the disjoint union is auditable (inputs must not already carry a
+    ``src`` column — guarded below).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    for df, who in (
+        (base_left, "join_delta base_left"),
+        (delta_left, "join_delta delta_left"),
+        (base_right, "join_delta base_right"),
+        (delta_right, "join_delta delta_right"),
+    ):
+        _require_free_columns(df, ("src",), who)
 
     def tag(df: DataFrame, label: str) -> DataFrame:
         return df.withColumn("src", F.lit(label))
@@ -85,4 +93,81 @@ def join_delta(
         tag(delta_left.join(base_right, keys), "dL_R")
         .unionByName(tag(base_left.join(delta_right, keys), "L_dR"))
         .unionByName(tag(delta_left.join(delta_right, keys), "dL_dR"))
+    )
+
+
+def _require_free_columns(df: DataFrame, names: tuple[str, ...], who: str) -> None:
+    """Reserved-name guard: tag/multiplicity columns this module adds
+    must not silently overwrite caller data."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"{who}: input already has reserved column(s) {clash}; "
+            "rename them before calling"
+        )
+
+
+def join_delta_counting(
+    base_left: DataFrame,
+    delta_left: DataFrame,
+    base_right: DataFrame,
+    delta_right: DataFrame,
+    on: list[str] | str,
+    m_col: str = "_m",
+) -> DataFrame:
+    """Counting (multiset) IVM of an inner equi-join: every frame
+    carries a signed multiplicity column ``m_col`` (+1 insert, -1
+    delete; an update is a -1 old row plus a +1 new row), and the
+    returned frame is the SIGNED DELTA of the join view —
+    ``dL⋈R ∪ L⋈dR ∪ dL⋈dR`` with multiplicities multiplied (the
+    classical counting algebra; DBToaster's first-order delta).
+
+    Unlike the insert-only :func:`join_delta`, this handles deletes
+    and updates: a view row disappears when its summed multiplicity
+    reaches zero in :func:`apply_multiset_delta`.  Cross terms
+    compose correctly — deleting an L row AND its matching R row
+    yields -1 -1 +1 = -1 against the view's +1, net zero.
+
+    Scale shape unchanged from the insert-only rule: every term joins
+    a delta-sized side; base⋈base never runs.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    for df, who in (
+        (base_left, "join_delta_counting base_left"),
+        (delta_left, "join_delta_counting delta_left"),
+        (base_right, "join_delta_counting base_right"),
+        (delta_right, "join_delta_counting delta_right"),
+    ):
+        if m_col not in df.columns:
+            raise ValueError(f"{who}: missing multiplicity column {m_col!r}")
+
+    def mul(left: DataFrame, right: DataFrame) -> DataFrame:
+        l2 = left.withColumnRenamed(m_col, "_ml")
+        r2 = right.withColumnRenamed(m_col, "_mr")
+        return (
+            l2.join(r2, keys)
+            .withColumn(m_col, F.col("_ml") * F.col("_mr"))
+            .drop("_ml", "_mr")
+        )
+
+    return (
+        mul(delta_left, base_right)
+        .unionByName(mul(base_left, delta_right))
+        .unionByName(mul(delta_left, delta_right))
+    )
+
+
+def apply_multiset_delta(
+    view: DataFrame, delta: DataFrame, m_col: str = "_m"
+) -> DataFrame:
+    """Fold a signed delta into a multiset view: group on the payload,
+    sum multiplicities, drop rows that cancel to zero.  The shuffle
+    carries |view groups| + |delta| rows — delta-proportional when the
+    view is already aggregated storage."""
+    cols = [c for c in view.columns if c != m_col]
+    return (
+        view.unionByName(delta.select(*view.columns))
+        .groupBy(*cols)
+        .agg(F.sum(m_col).alias(m_col))
+        .filter(F.col(m_col) != 0)
     )

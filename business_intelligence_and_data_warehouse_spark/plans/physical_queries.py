@@ -868,3 +868,104 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+# ---------------------------------------------------------------------------
+# counting (multiset) IVM: inserts + deletes + updates against the
+# full-recompute oracle
+# ---------------------------------------------------------------------------
+
+
+@query_fn(
+    "incremental_join_counting",
+    oracle="""
+WITH lf AS (
+  SELECT o_custkey AS custkey, o_orderkey,
+         CASE WHEN o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
+                   AND o_orderkey % 13 = 0
+              THEN 'UPDATED' ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0
+),
+rf AS (
+  SELECT c_custkey AS custkey, c_mktsegment FROM customer
+  WHERE c_custkey % 5 = 0 OR c_custkey % 11 <> 0
+)
+SELECT lf.custkey, o_orderkey, o_orderpriority, c_mktsegment,
+       CAST(1 AS BIGINT) AS m
+FROM lf JOIN rf ON lf.custkey = rf.custkey
+ORDER BY o_orderkey
+""",
+)
+def incremental_join_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting/multiset IVM for joins under INSERTS + DELETES +
+    UPDATES: deltas carry signed multiplicities, the view update is
+    the same three-term join algebra over signed deltas, and rows
+    whose multiplicity cancels to zero leave the view — extending the
+    insert-only ``incremental_join_delta`` the way the reference's
+    SCD2 ETL retracts closed versions (`ETL/etl for customer with
+    scd2.ktr:833-914`).
+
+    The Spark side MAINTAINS the view incrementally (base-join
+    materialization + delta terms + multiset fold); the oracle
+    RECOMPUTES the final join from the final table states.  Hash
+    equality proves the delta algebra converges to the recompute,
+    deletes and updates included (the cross-term cancellation — an L
+    delete meeting an R delete — is exercised by overlapping the
+    modulus predicates).
+    """
+    from ..operators.incremental import (
+        apply_multiset_delta,
+        join_delta_counting,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_orderpriority"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    ins_l = F.col("o_orderkey") % 10 == 0
+    del_l = F.col("o_orderkey") % 7 == 0
+    upd_l = F.col("o_orderkey") % 13 == 0
+    base_l = orders.filter(~ins_l).withColumn("_m", F.lit(1).cast("long"))
+    delta_l = (
+        orders.filter(ins_l).withColumn("_m", F.lit(1).cast("long"))
+        .unionByName(
+            orders.filter(~ins_l & del_l).withColumn(
+                "_m", F.lit(-1).cast("long")
+            )
+        )
+        .unionByName(  # update = retract old + assert new
+            orders.filter(~ins_l & ~del_l & upd_l).withColumn(
+                "_m", F.lit(-1).cast("long")
+            )
+        )
+        .unionByName(
+            orders.filter(~ins_l & ~del_l & upd_l)
+            .withColumn("o_orderpriority", F.lit("UPDATED"))
+            .withColumn("_m", F.lit(1).cast("long"))
+        )
+    )
+    ins_r = F.col("custkey") % 5 == 0
+    del_r = F.col("custkey") % 11 == 0
+    base_r = customer.filter(~ins_r).withColumn("_m", F.lit(1).cast("long"))
+    delta_r = (
+        customer.filter(ins_r).withColumn("_m", F.lit(1).cast("long"))
+        .unionByName(
+            customer.filter(~ins_r & del_r).withColumn(
+                "_m", F.lit(-1).cast("long")
+            )
+        )
+    )
+    view0 = (
+        base_l.withColumnRenamed("_m", "_ml")
+        .join(base_r.withColumnRenamed("_m", "_mr"), "custkey")
+        .withColumn("_m", F.col("_ml") * F.col("_mr"))
+        .drop("_ml", "_mr")
+    )
+    delta = join_delta_counting(base_l, delta_l, base_r, delta_r, on="custkey")
+    final = apply_multiset_delta(view0, delta)
+    return final.select(
+        "custkey", "o_orderkey", "o_orderpriority", "c_mktsegment",
+        F.col("_m").alias("m"),
+    ).orderBy("o_orderkey")

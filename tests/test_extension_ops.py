@@ -159,3 +159,81 @@ def test_chunk_documents_overlap_invariants(spark):
     assert by_doc[2] == [(0, "only five little tokens here".split(), 5)]
     # exact-fit doc -> one chunk, no empty tail window
     assert len(by_doc[3]) == 1 and by_doc[3][0][2] == 32
+
+
+@pytest.mark.parametrize("cut", [0.0, 0.3, 0.7, 1.0])
+def test_counting_ivm_equals_full_recompute(spark, cut):
+    """apply(view(base), delta(insert+delete+update)) == view(final)
+    for EVERY split point, including empty base and empty delta —
+    the multiset algebra must converge to the recompute exactly."""
+    import random
+
+    from business_intelligence_and_data_warehouse_spark.operators.incremental import (
+        apply_multiset_delta,
+        join_delta_counting,
+    )
+
+    rng = random.Random(29)
+    n = 300
+    # final left rows; base = a prefix of them plus soon-to-be-deleted
+    # and pre-update rows, delta = the signed difference
+    final_l = [(i, rng.randrange(40), f"p{rng.randrange(5)}") for i in range(n)]
+    n_base = int(n * cut)
+    deleted = [(10_000 + i, rng.randrange(40), "dead") for i in range(20)]
+    upd_ids = [i for i in range(n_base) if i % 9 == 0]
+    base_l = (
+        [
+            (i, k, ("old" if i in set(upd_ids) else p))
+            for i, k, p in final_l[:n_base]
+        ]
+        + deleted
+    )
+    delta_l = (
+        [(i, k, p, 1) for i, k, p in final_l[n_base:]]
+        + [(i, k, p, -1) for i, k, p in deleted]
+        + [
+            (i, k, "old", -1)
+            for i, k, p in final_l[:n_base]
+            if i in set(upd_ids)
+        ]
+        + [(i, k, p, 1) for i, k, p in final_l[:n_base] if i in set(upd_ids)]
+    )
+    final_r = [(k, f"seg{k % 3}") for k in range(40)]
+    base_r = final_r[: int(40 * cut)] + [(90 + j, "gone") for j in range(4)]
+    delta_r = [(k, s, 1) for k, s in final_r[int(40 * cut):]] + [
+        (90 + j, "gone", -1) for j in range(4)
+    ]
+
+    L_SCHEMA, R_SCHEMA = "id long, k long, p string", "k long, seg string"
+    bl = spark.createDataFrame(base_l or [], L_SCHEMA).withColumn("_m", F.lit(1).cast("long"))
+    dl = spark.createDataFrame(delta_l or [], L_SCHEMA + ", _m long")
+    br = spark.createDataFrame(base_r or [], R_SCHEMA).withColumn("_m", F.lit(1).cast("long"))
+    dr = spark.createDataFrame(delta_r or [], R_SCHEMA + ", _m long")
+
+    view0 = (
+        bl.withColumnRenamed("_m", "_ml")
+        .join(br.withColumnRenamed("_m", "_mr"), "k")
+        .withColumn("_m", F.col("_ml") * F.col("_mr"))
+        .drop("_ml", "_mr")
+    )
+    delta = join_delta_counting(bl, dl, br, dr, on="k")
+    got = apply_multiset_delta(view0, delta)
+
+    fl = spark.createDataFrame(final_l, L_SCHEMA)
+    fr = spark.createDataFrame(final_r, R_SCHEMA)
+    want = fl.join(fr, "k").withColumn("_m", F.lit(1).cast("long"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_counting_ivm_reserved_column_guards(spark):
+    from business_intelligence_and_data_warehouse_spark.operators.incremental import (
+        join_delta,
+        join_delta_counting,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    tagged = df.withColumn("src", F.lit("x"))
+    with pytest.raises(ValueError, match="reserved column"):
+        join_delta(tagged, df, df, df, on="k")
+    with pytest.raises(ValueError, match="missing multiplicity"):
+        join_delta_counting(df, df, df, df, on="k")
