@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_incremental",
     # r5 data-selection / substring-dedup family
     "dedup_repeated_ngrams",
+    "dedup_max_dup_spans",
     "text_lm_perplexity",
     "dsir_importance_weights",
     "sim_matryoshka_topk",

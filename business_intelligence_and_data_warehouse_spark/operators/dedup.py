@@ -850,6 +850,83 @@ def trim_repeated_spans(
     )
 
 
+def maximal_dup_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_storage: str | None = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """MAXIMAL duplicated passages per document — one row per maximal
+    contiguous run of tokens covered by cross-document duplicated
+    k-grams: (doc_id, span_start, span_end, span_len, span_text).
+
+    :func:`repeated_ngram_report`'s islands merge OVERLAPPING
+    intervals (enough for exact coverage totals) but split a
+    contiguous covered run where two duplicated grams are exactly
+    adjacent (positions p and p+k: intervals [p, p+k-1], [p+k,
+    p+2k-1] touch without overlapping).  Spans here merge on
+    ADJACENCY (a new span starts only when i > prev_end + 1), so
+    every reported row is a whole duplicated passage, maximal in the
+    strict sense: the token before ``span_start`` and after
+    ``span_end`` are NOT covered by any duplicated gram
+    (property-pinned in tests/test_selection.py).
+
+    :func:`trim_repeated_spans` is unaffected — it removes the
+    covered-position UNION, which equals the union of these maximal
+    spans; this operator exists to hand the passages themselves to
+    curation review / attribution, the span-level artifact Lee et
+    al.'s substring dedup reports.
+
+    Scale shape matches the report: md5-hashed grams pre-shuffle,
+    doc-partitioned island windows, span text re-assembled by a
+    ``slice`` of the pinned token array (never a global sort).
+    """
+    toks = _maybe_pin(token_table(docs, id_col, text_col), tokens_storage)
+    dp = _cross_doc_dup_positions(toks, k, min_docs)
+    w_prev = (
+        W_.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W_.unboundedPreceding, -1)
+    )
+    w_run = (
+        W_.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W_.unboundedPreceding, 0)
+    )
+    spans = (
+        dp.withColumn("pe", F.max("e").over(w_prev))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("pe").isNull() | (F.col("i") > F.col("pe") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("isl", F.sum("new_isl").over(w_run))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("i").cast("int").alias("span_start"),
+            F.max("e").cast("int").alias("span_end"),
+        )
+        .drop("isl")
+    )
+    return spans.join(toks, "doc_id").select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("toks"),
+                F.col("span_start"),
+                F.col("span_end") - F.col("span_start") + 1,
+            ),
+        ).alias("span_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact-duplicate RESOLUTION: keep the best copy, not the first
 # ---------------------------------------------------------------------------

@@ -821,3 +821,49 @@ def sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
     return hamming_topk(emb, probes, k=10).orderBy("query_id", "rank")
+
+# ---------------------------------------------------------------------------
+# maximal duplicated passages (adjacency-merged spans, k = 5, df >= 2)
+# ---------------------------------------------------------------------------
+
+
+@query_fn(
+    "dedup_max_dup_spans",
+    oracle=f"""
+WITH {_O_DUP_SPANS},
+m AS (
+  SELECT doc_id, i, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM dp
+),
+isl AS (
+  SELECT doc_id, i, e,
+         SUM(CASE WHEN pe IS NULL OR i > pe + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM m
+),
+spans AS (
+  SELECT doc_id, CAST(MIN(i) AS INTEGER) AS span_start,
+         CAST(MAX(e) AS INTEGER) AS span_end
+  FROM isl GROUP BY doc_id, isl_id
+)
+SELECT s.doc_id, span_start, span_end,
+       CAST(span_end - span_start + 1 AS INTEGER) AS span_len,
+       array_to_string(t[span_start:span_end], ' ') AS span_text
+FROM spans s JOIN toks USING (doc_id)
+ORDER BY doc_id, span_start
+""",
+)
+def dedup_max_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated passages (adjacency-merged spans of
+    cross-document repeated 5-grams) with the passage text —
+    operators/dedup.maximal_dup_spans; every row's maximality is
+    property-pinned in tests."""
+    from ..operators.dedup import maximal_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return maximal_dup_spans(docs, k=_RN_K, min_docs=2).orderBy(
+        "doc_id", "span_start"
+    )

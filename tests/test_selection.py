@@ -570,3 +570,49 @@ def test_wav_roundtrip_and_features(spark):
     # corrupt payload takes the (-1, nan) row, does not kill the batch
     assert out[2].n_samples == -1
     assert out[2].peak == -1
+
+
+def test_maximal_dup_spans_are_maximal_and_exactly_cover(spark, sf_dir):
+    """Every reported span is a maximal contiguous covered run: all
+    positions inside are covered by a duplicated k-gram interval, and
+    the positions immediately before/after are not.  The covered set
+    is recomputed over an INDEPENDENT path (interval explode +
+    distinct), so the island-window chaining is cross-checked."""
+    from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+        _cross_doc_dup_positions,
+        maximal_dup_spans,
+        token_table,
+    )
+    from business_intelligence_and_data_warehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    k = 5
+    spans = maximal_dup_spans(docs, k=k, min_docs=2).collect()
+    toks = token_table(docs)
+    covered_rows = (
+        _cross_doc_dup_positions(toks, k, 2)
+        .select("doc_id", F.explode(F.sequence("i", "e")).alias("t"))
+        .distinct()
+        .collect()
+    )
+    covered: dict[int, set[int]] = {}
+    for r in covered_rows:
+        covered.setdefault(r.doc_id, set()).add(r.t)
+    assert spans, "expected at least one duplicated span in the corpus"
+    seen: dict[int, set[int]] = {}
+    for s in spans:
+        cv = covered.get(s.doc_id, set())
+        inside = set(range(s.span_start, s.span_end + 1))
+        assert inside <= cv, f"span not fully covered: {s}"
+        assert s.span_start - 1 not in cv, f"span extends left: {s}"
+        assert s.span_end + 1 not in cv, f"span extends right: {s}"
+        assert s.span_len == s.span_end - s.span_start + 1
+        assert len(s.span_text.split(" ")) == s.span_len
+        overlap = seen.setdefault(s.doc_id, set()) & inside
+        assert not overlap, f"spans overlap within doc: {s}"
+        seen[s.doc_id] |= inside
+    # spans exactly partition the covered set
+    for doc_id, cv in covered.items():
+        assert seen.get(doc_id, set()) == cv
