@@ -111,6 +111,7 @@ HEADLINE = [
     "warehouse_tombstone_delete",
     # r5 tokenizer-prep + projection batch
     "corpus_vocab_coverage",
+    "corpus_domain_quota",
     "text_char_entropy",
     "embedding_random_projection",
     "stream_heavy_hitters",

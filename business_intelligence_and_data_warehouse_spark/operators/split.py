@@ -137,3 +137,46 @@ def stratified_fixed_k(
         .filter(F.col("sample_rank") <= k)
         .drop("bucket")
     )
+
+
+def domain_token_quota(
+    df: DataFrame,
+    cap_tokens: int,
+    tokens_col: str = "n_tokens",
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain TOKEN caps with deterministic smallest-hash
+    retention — the C4/RefinedWeb-style volume control: no single
+    domain may contribute more than ``cap_tokens`` tokens to the
+    corpus, and which documents survive is a pure function of their
+    content hashes, not arrival order.
+
+    Keep a document iff the RUNNING token total over its domain —
+    accumulated in (hash bucket, id) order — stays ≤ the cap: the
+    greedy hash-ordered prefix. Properties inherited from the
+    hash_bucket family: reruns and repartitions are identical, adding
+    documents to OTHER domains never changes a domain's kept set, and
+    any SQL engine replays the decision for audit. (Adding a
+    smaller-hash document to the SAME domain can displace later ones
+    — inherent to any fixed cap.)
+
+    Adds ``cum_tokens`` (the running total including the row itself).
+    One shuffle on the domain key; the window is domain-partitioned.
+    At 100 TB domains are the natural partition and per-domain state
+    is one running integer — no skew beyond the domain histogram
+    itself, which the cap is precisely there to flatten.
+    """
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(stratum_col)
+        .orderBy("bucket", id_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("bucket", hash_bucket(F.col(id_col)))
+        .withColumn("cum_tokens", F.sum(tokens_col).over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= cap_tokens)
+        .drop("bucket")
+    )

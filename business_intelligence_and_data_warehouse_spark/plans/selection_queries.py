@@ -867,3 +867,58 @@ def dedup_max_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_dup_spans(docs, k=_RN_K, min_docs=2).orderBy(
         "doc_id", "span_start"
     )
+
+# ---------------------------------------------------------------------------
+# per-domain token quotas (C4/RefinedWeb-style volume caps)
+# ---------------------------------------------------------------------------
+
+_QUOTA_CAP = 800
+
+
+@query_fn(
+    "corpus_domain_quota",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split({_O_NORM}, ' ')) AS INTEGER) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source, n_tokens,
+         ({_O_HEXV.format(i=1)} * 256
+          + {_O_HEXV.format(i=2)} * 16
+          + {_O_HEXV.format(i=3)}) AS bucket
+  FROM d
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY bucket, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM b
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {_QUOTA_CAP}
+ORDER BY doc_id
+""",
+)
+def corpus_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token caps (≤ 800 tokens per domain) with
+    deterministic smallest-hash retention
+    (operators/split.domain_token_quota) — the volume-control half of
+    the mixing story whose rate half is ``corpus_temperature_mixture``:
+    temperature weights decide how much of each domain you WANT,
+    quotas bound how much any domain may SUPPLY."""
+    from ..operators.dedup import token_table
+    from ..operators.split import domain_token_quota
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_table(docs).select(
+        "doc_id", F.size("toks").cast("int").alias("n_tokens")
+    )
+    d = docs.select("doc_id", "source").join(toks, "doc_id")
+    return domain_token_quota(d, cap_tokens=_QUOTA_CAP).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    ).orderBy("doc_id")

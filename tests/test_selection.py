@@ -616,3 +616,47 @@ def test_maximal_dup_spans_are_maximal_and_exactly_cover(spark, sf_dir):
     # spans exactly partition the covered set
     for doc_id, cv in covered.items():
         assert seen.get(doc_id, set()) == cv
+
+
+def test_domain_token_quota_invariances(spark):
+    """Per-domain greedy hash-prefix: kept set respects the cap, is
+    ordered by hash priority, and is INVARIANT to rows added in other
+    domains (the incremental-corpus property the operator promises)."""
+    from business_intelligence_and_data_warehouse_spark.operators.split import (
+        domain_token_quota,
+        hash_bucket,
+    )
+
+    rows = [(i, f"dom{i % 3}", 10 + (i % 7)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    cap = 60
+    kept = domain_token_quota(df, cap_tokens=cap).collect()
+    by_dom: dict[str, list] = {}
+    for r in kept:
+        by_dom.setdefault(r.source, []).append(r)
+    assert set(by_dom) == {"dom0", "dom1", "dom2"}
+    for dom, rs in by_dom.items():
+        assert max(r.cum_tokens for r in rs) <= cap
+        # greedy prefix: replay in python off the same hash buckets
+        all_dom = (
+            df.filter(F.col("source") == dom)
+            .withColumn("bucket", hash_bucket(F.col("doc_id")))
+            .collect()
+        )
+        total, expect = 0, []
+        for r in sorted(all_dom, key=lambda r: (r.bucket, r.doc_id)):
+            total += r.n_tokens
+            if total > cap:
+                break
+            expect.append(r.doc_id)
+        assert sorted(r.doc_id for r in rs) == sorted(expect)
+    # other-domain invariance: add rows only to dom0; dom1/dom2 unchanged
+    extra = spark.createDataFrame(
+        [(1000 + i, "dom0", 10) for i in range(30)],
+        "doc_id long, source string, n_tokens int",
+    )
+    kept2 = domain_token_quota(df.unionByName(extra), cap_tokens=cap).collect()
+    for dom in ("dom1", "dom2"):
+        assert sorted(r.doc_id for r in kept2 if r.source == dom) == sorted(
+            r.doc_id for r in by_dom[dom]
+        )
