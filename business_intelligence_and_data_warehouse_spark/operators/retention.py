@@ -49,6 +49,14 @@ def propagate_deletes(
     cascade keys, and both audit counts all read the same marked
     lineage.
     """
+    for name, df in [(root_name, root)] + [
+        (name, df) for name, df, *_ in children
+    ]:
+        if "_del" in df.columns:
+            raise ValueError(
+                f"propagate_deletes: table {name!r} already has a '_del' "
+                "column (reserved for the delete marker); rename it first"
+            )
     ts = F.broadcast(
         tombstones.select(F.col(root_key))
         .distinct()

@@ -78,6 +78,76 @@ def scd1_upsert(
     )
 
 
+def _scd1_merge_clauses(nat_key: Sequence[str]) -> str:
+    """The ON fragment a Delta ``MERGE ... WHEN MATCHED UPDATE SET *
+    WHEN NOT MATCHED INSERT *`` would use for the SCD1 upsert — shared
+    by the jar-free twin so the condition logic is exercised in CI
+    while the Delta writer jar is absent (same contract as
+    :func:`_delta_merge_clauses` for SCD2)."""
+    return " AND ".join(f"t.{k} = s.{k}" for k in nat_key)
+
+
+def scd1_upsert_via_merge_semantics(
+    dim: DataFrame,
+    batch: DataFrame,
+    nat_key: Sequence[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Jar-free MERGE twin of :func:`scd1_upsert`: reduces the batch
+    to one winner per key (the MERGE source must be key-unique — the
+    same pre-dedup a Delta route needs to avoid
+    ``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET``), then applies
+    ``WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *``
+    over t/s-aliased frames with the shared ON fragment.  ``dim`` must
+    be key-unique (it is a dimension).  Equivalence with the batch-
+    rewrite :func:`scd1_upsert` is property-tested in
+    tests/test_warehouse.py."""
+    nat_key = list(nat_key)
+    key_cond = _scd1_merge_clauses(nat_key)
+    order = [F.desc(order_col)] if order_col is not None else []
+    order += [F.col(c) for c in batch.columns if c not in nat_key]
+    w = W.partitionBy(*nat_key).orderBy(*order)
+    s_unique = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    t = dim.alias("t")
+    s = s_unique.withColumn("_m", F.lit(True)).alias("s")
+    attrs = [c for c in dim.columns if c not in nat_key]
+    joined = t.join(s, F.expr(key_cond), "left")
+    matched = F.col("_m").isNotNull()
+    updated = joined.select(
+        *[F.col(f"t.{k}").alias(k) for k in nat_key],
+        *[
+            F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in attrs
+        ],
+    )
+    inserts = s_unique.alias("s").join(
+        dim.alias("t"), F.expr(key_cond), "left_anti"
+    )
+    cols = [*nat_key, *attrs]
+    return updated.select(*cols).unionByName(inserts.select(*cols))
+
+
+def tombstone_delete_via_merge_semantics(
+    table: DataFrame,
+    tombstones: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Jar-free MERGE twin of the tombstone sweep: ``MERGE ... WHEN
+    MATCHED THEN DELETE`` over the shared ON fragment — returns the
+    post-merge table content (the survivor set).  Equivalence with
+    the marker-join path (operators/retention.propagate_deletes) is
+    property-tested in tests/test_warehouse.py; only the Delta writer
+    itself stays unexercised while the jar is absent."""
+    key_cond = _scd1_merge_clauses([key_col])
+    t = table.alias("t")
+    s = tombstones.select(F.col(key_col)).distinct().alias("s")
+    return t.join(s, F.expr(key_cond), "left_anti").select(*table.columns)
+
+
 # ---------------------------------------------------------------------------
 # SCD Type 2
 # ---------------------------------------------------------------------------

@@ -235,3 +235,68 @@ def test_compact_parquet_failure_leaves_source_intact(spark, sf_dir, tmp_path):
     with pytest.raises(Exception):
         compact_parquet(spark, src, sort_cols=["no_such_column"])
     assert sorted(map(tuple, spark.read.parquet(src).collect())) == n_before
+
+
+def test_scd1_merge_semantics_equivalence_jar_free(spark, tmp_path):
+    """The SCD1 upsert's MERGE form (WHEN MATCHED UPDATE SET * / WHEN
+    NOT MATCHED INSERT *, shared ON fragment) must reproduce the
+    batch-rewrite scd1_upsert exactly: in-batch last-wins dedup,
+    incoming-beats-existing, untouched keys passed through."""
+    import random
+
+    from business_intelligence_and_data_warehouse_spark.operators.scd import (
+        scd1_upsert,
+        scd1_upsert_via_merge_semantics,
+    )
+
+    rng = random.Random(41)
+    dim_rows = [(k, f"v{k}", k * 10) for k in range(30)]
+    path = str(tmp_path / "scd1_dim")
+    spark.createDataFrame(dim_rows, "k int, attr string, ord int").write.parquet(
+        path
+    )
+    dim = spark.read.parquet(path)
+    # batch: updates for some keys (with in-batch duplicates at
+    # different ord), brand-new keys, and keys it never touches
+    batch_rows = []
+    for k in list(range(0, 20, 3)) + list(range(100, 108)):
+        for _ in range(rng.randrange(1, 4)):
+            batch_rows.append((k, f"n{k}_{rng.randrange(9)}", rng.randrange(999)))
+    batch = spark.createDataFrame(batch_rows, "k int, attr string, ord int")
+
+    want = scd1_upsert(dim, batch, ["k"], order_col="ord")
+    got = scd1_upsert_via_merge_semantics(dim, batch, ["k"], order_col="ord")
+    cols = sorted(want.columns)
+    assert sorted(tuple(r) for r in got.select(*cols).collect()) == sorted(
+        tuple(r) for r in want.select(*cols).collect()
+    )
+
+
+def test_tombstone_merge_semantics_equivalence_and_del_guard(spark):
+    """MERGE ... WHEN MATCHED THEN DELETE == the marker-join survivor
+    set of propagate_deletes, on the root table; and the marker path
+    rejects inputs that already carry the reserved '_del' column."""
+    import pytest as _pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.retention import (
+        propagate_deletes,
+    )
+    from business_intelligence_and_data_warehouse_spark.operators.scd import (
+        tombstone_delete_via_merge_semantics,
+    )
+
+    root = spark.createDataFrame(
+        [(k, f"c{k}") for k in range(40)], "custkey int, name string"
+    )
+    ts = spark.createDataFrame([(k,) for k in range(0, 40, 7)], "custkey int")
+    cleaned, _audit = propagate_deletes(root, "customer", "custkey", ts, [])
+    want = sorted(tuple(r) for r in cleaned["customer"].collect())
+    got = sorted(
+        tuple(r)
+        for r in tombstone_delete_via_merge_semantics(root, ts, "custkey").collect()
+    )
+    assert got == want
+    with _pytest.raises(ValueError, match="_del"):
+        propagate_deletes(
+            root.withColumn("_del", F.lit(0)), "customer", "custkey", ts, []
+        )
