@@ -1212,7 +1212,21 @@ def random_projection(
             .alias("sign"),
         )
     )
-    el = element_table(vectors, id_col, vec_col).select(
+    # dimension guard: the position join would silently TRUNCATE a
+    # vector longer than d_in (and partially project a shorter one) —
+    # fail the job instead of corrupting the projection
+    # (assert_true returns NULL when the condition holds, so the
+    # filter keeps every valid row and cannot be pruned away)
+    checked = vectors.filter(
+        F.assert_true(
+            F.size(F.col(vec_col)) == d_in,
+            F.concat(
+                F.lit(f"random_projection: expected {d_in}-dim vectors, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            ),
+        ).isNull()
+    )
+    el = element_table(checked, id_col, vec_col).select(
         "vid",
         (F.col("pos") - 1).alias("i"),
         F.floor(F.col("val") * DOT_SCALE).cast("long").alias("e"),

@@ -83,6 +83,28 @@ def _bit_mask(pos_mod_32: Column) -> Column:
     return F.pow(F.lit(2.0), pos_mod_32.cast("double")).cast("long")
 
 
+def _assert_sketch_params(
+    sketch: DataFrame, value_col: str, expected: dict, who: str
+) -> None:
+    """Compare probe parameters against the build metadata carried on
+    the sketch's value column (attached by the build functions).  A
+    sketch that lost its metadata (round-tripped through storage)
+    passes — the guard catches the in-session mismatch case."""
+    try:
+        meta = sketch.schema[value_col].metadata
+    except (KeyError, TypeError):
+        return
+    if not meta:
+        return
+    got = {k: meta[k] for k in expected if k in meta}
+    mismatched = {k: (v, expected[k]) for k, v in got.items() if v != expected[k]}
+    if mismatched:
+        raise ValueError(
+            f"{who}: probe parameters do not match the sketch's build "
+            f"parameters: {{name: (built, probed)}} = {mismatched}"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter
 # ---------------------------------------------------------------------------
@@ -112,7 +134,15 @@ def bloom_build(
             _bit_mask(F.col("pos") % 32).alias("mask"),
         )
         .groupBy("word")
-        .agg(F.bit_or("mask").alias("bits"))
+        .agg(
+            F.bit_or("mask").alias(
+                # carry the build parameters WITH the sketch: probes
+                # assert against this metadata, so an m_bits/k mismatch
+                # (which silently breaks the no-false-negative
+                # guarantee) fails loudly instead
+                "bits", metadata={"m_bits": m_bits, "k": k}
+            )
+        )
     )
 
 
@@ -130,7 +160,15 @@ def bloom_probe(
     Plan shape: k broadcast hash joins on the word index — map-side
     only, no explode, no new shuffle of ``df``; a missing word row
     means all-zero bits (left join + coalesce).
+
+    If ``bloom`` carries build metadata (every :func:`bloom_build`
+    output does), the probe parameters must match it — a mismatched
+    probe silently voids the no-false-negative guarantee downstream
+    verification relies on.
     """
+    _assert_sketch_params(
+        bloom, "bits", {"m_bits": m_bits, "k": k}, "bloom_probe"
+    )
     out = _with_hash_slices(df, F.col(key_col))
     hit_all: Column | None = None
     for i in range(k):
@@ -188,7 +226,11 @@ def cms_build(
     return (
         cells.select("c.row", "c.col")
         .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias(
+                "cnt", metadata={"depth": depth, "width": width}
+            )
+        )
     )
 
 
@@ -203,7 +245,12 @@ def cms_estimate(
     """Adds ``est_col``: the count-min point estimate (min over the
     depth cells; ≥ the true count, never under). ``depth`` broadcast
     joins on the per-row column index — the sketch is ≤ depth×width
-    rows, split by row into depth single-row-indexed lookup sides."""
+    rows, split by row into depth single-row-indexed lookup sides.
+    Probe parameters are asserted against the sketch's build metadata
+    (mismatches would silently break the never-undercount bound)."""
+    _assert_sketch_params(
+        cms, "cnt", {"depth": depth, "width": width}, "cms_estimate"
+    )
     out = _with_hash_slices(keys, F.col(key_col))
     ests = []
     for i in range(depth):

@@ -48,6 +48,14 @@ def topk_per_group(
     forms are interchangeable even on null-bearing measures; a bare
     negated-struct sort would have put NULLs FIRST and let them evict
     real top-k rows.
+
+    CONTRACT on ties and payloads: the k-buffer struct sort compares
+    payload columns AFTER the tie field, so (a) every payload type
+    must be orderable (no maps), and (b) ``tie_col`` must be UNIQUE
+    within each group — otherwise which tied row ranks first depends
+    on payload values, which the window form (that stops comparing at
+    ``tie_col``) does not reproduce.  Callers here key ties on a
+    primary key; pass a unique tie column or accept the divergence.
     """
     payload_cols = payload_cols or []
     item = F.struct(

@@ -1468,11 +1468,15 @@ hits AS (
 SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
        CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
        CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_true_hit,
-       CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-         / (SELECT COUNT(*) FROM truth) AS recall,
+       CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+            THEN CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth)
+            ELSE NULL END AS recall,
        CAST((SELECT COUNT(*) FROM dup_pairs) AS BIGINT) AS n_verified,
-       CAST((SELECT COUNT(*) FROM dup_pairs) AS DOUBLE)
-         / (SELECT COUNT(*) FROM cand) AS verify_precision
+       CASE WHEN (SELECT COUNT(*) FROM cand) > 0
+            THEN CAST((SELECT COUNT(*) FROM dup_pairs) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM cand)
+            ELSE NULL END AS verify_precision
 """,
 )
 def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1540,12 +1544,16 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true",
             "n_candidates",
             "n_true_hit",
-            (
-                F.col("n_true_hit").cast("double") / F.col("n_true")
+            # zero-denominator guard mirrored in the oracle: a slice
+            # with no truth pairs reports NULL recall in BOTH engines
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_true_hit").cast("double") / F.col("n_true"),
             ).alias("recall"),
             "n_verified",
-            (
-                F.col("n_verified").cast("double") / F.col("n_candidates")
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_verified").cast("double") / F.col("n_candidates"),
             ).alias("verify_precision"),
         )
     )
