@@ -115,6 +115,7 @@ HEADLINE = [
     "text_char_entropy",
     "embedding_random_projection",
     "stream_heavy_hitters",
+    "stream_quantile_sketch",
     "events_hll_cardinality",
     "quantile_sketch_prices",
     "incremental_join_delta",

@@ -969,3 +969,73 @@ def incremental_join_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "o_orderkey", "o_orderpriority", "c_mktsegment",
         F.col("_m").alias("m"),
     ).orderBy("o_orderkey")
+
+# ---------------------------------------------------------------------------
+# quantile sketch maintained BY A REAL STREAM (the live twin)
+# ---------------------------------------------------------------------------
+
+
+@query_fn(
+    "stream_quantile_sketch",
+    oracle=f"""
+WITH sample AS (
+  SELECT md5(CAST(event_id AS VARCHAR)) AS priority,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+  ORDER BY priority
+  LIMIT {_QSK_K}
+),
+ranked AS (
+  SELECT value,
+         CAST(row_number() OVER (ORDER BY value, priority) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_sample
+  FROM sample
+),
+qs(q) AS (VALUES {", ".join(f"({q!r}e0)" for q in _QSK_QS)}),
+est AS (
+  SELECT q, n_sample, value AS est
+  FROM qs JOIN ranked
+    ON ranked.r = GREATEST(CAST(CEIL(q * n_sample) AS BIGINT), CAST(1 AS BIGINT))
+)
+SELECT q, n_sample, est FROM est ORDER BY q
+""",
+)
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME bottom-k quantile sketch maintained BY A REAL STREAM:
+    events flow in 4 micro-batches through a foreachBatch sink that
+    merges each batch's sample into a snapshot-store sketch by
+    union + keep-k-smallest (streaming/sinks.run_quantile_sketch_
+    stream).  Because the merge is the exact set identity the batch
+    operator's shard-merge test pins, the streamed sketch — and every
+    quantile estimate — hash-matches the one-shot batch closed form
+    the oracle computes: sketch mergeability verified END TO END over
+    a live checkpointed stream, completing the live-sketch pair begun
+    by ``stream_heavy_hitters`` (frequency) with quantiles.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import quantile_sketch_quantiles
+    from ..streaming.sinks import run_quantile_sketch_stream
+    from .streaming_queries import _fresh_result_dir
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="bidw_qsk_src_")
+    root = tempfile.mkdtemp(prefix="bidw_qsk_store_")
+    try:
+        events.repartition(4).write.mode("overwrite").parquet(src_dir)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        sk = run_quantile_sketch_stream(
+            stream, spark, "value", "event_id", _QSK_K, root
+        )
+        out = quantile_sketch_quantiles(sk, _QSK_QS)
+        out_dir = _fresh_result_dir("qsk_out")
+        out.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir).orderBy("q")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)

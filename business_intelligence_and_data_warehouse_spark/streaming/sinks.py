@@ -239,6 +239,73 @@ def run_cms_stream(
     return out
 
 
+def run_quantile_sketch_stream(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    value_col: str,
+    key_col: str,
+    k: int,
+    root: str,
+) -> DataFrame:
+    """Maintain a bottom-k quantile sketch over a stream: each
+    micro-batch's (priority, value) sample (operators/sketches.
+    quantile_sketch_build) merges into the stored sketch by
+    union + keep-k-smallest — the same set identity that makes
+    shard-merge == single-pass in batch, so the final sketch is
+    bit-identical to the one-shot batch sketch over everything that
+    flowed through.
+
+    Lineage classification (the foreachBatch taxonomy in
+    run_cms_stream's docstring): a union merge over raw rows is NOT
+    idempotent — a replayed batch would inject duplicate (priority,
+    value) rows that displace distinct sample elements — so this sink
+    sits in the COUNTING class: redelivered batches are skipped by
+    the batch-id ledger within a lineage, and a checkpoint-lineage
+    change discards the sketch and rebuilds from the replay.
+
+    Bounded state at 100 TB: the stored artifact is k rows per epoch
+    regardless of stream volume, and the merge cost per batch is
+    O(k + batch sample) — the quantile counterpart of the CMS grid.
+    """
+    from ..operators.sketches import quantile_sketch_build
+
+    store = _SnapshotStore(spark, root)
+    checkpoint_dir = os.path.join(root, "_checkpoint")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        lineage = _checkpoint_lineage(checkpoint_dir)
+        if store.already_applied(lineage, batch_id):
+            return
+        batch_sk = quantile_sketch_build(
+            batch_df, value_col, F.col(key_col), k=k
+        )
+        state = store._state()
+        cur = (
+            store.read()
+            if state is not None and state.get("lineage") == lineage
+            else None
+        )
+        merged = (
+            batch_sk
+            if cur is None
+            else cur.unionByName(batch_sk).orderBy("priority").limit(k)
+        )
+        store.commit(merged, lineage, batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    out = store.read()
+    assert out is not None, "stream produced no batches"
+    return out
+
+
 def run_scd2_stream(
     stream_df: DataFrame,
     spark: SparkSession,

@@ -354,6 +354,7 @@ _EXECUTES_AT_BUILD = {
     "stream_scd2_sink",
     "stream_dedup_neardup",
     "stream_heavy_hitters",
+    "stream_quantile_sketch",
     "sim_ann_ivf_indexed",
     "ml_churn_rf",
     "ml_kmeans_embeddings",

@@ -539,3 +539,49 @@ def test_neardup_gate_survives_checkpoint_reset(spark, tmp_path):
     assert second == first, (
         "checkpoint-reset replay duplicated or re-classified verdicts"
     )
+
+
+def test_quantile_sketch_stream_equals_batch_and_survives_reset(spark, tmp_path):
+    """The streamed bottom-k sketch must equal the one-shot batch
+    sketch after all batches, and a checkpoint-lineage reset (batch
+    ids restart, source replays) must rebuild to the SAME sketch —
+    the counting-class reset discards state instead of double-merging."""
+    import shutil as sh
+
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        quantile_sketch_build,
+    )
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        run_quantile_sketch_stream,
+    )
+
+    rows = [(i, float((i * 37) % 500)) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "store")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return run_quantile_sketch_stream(
+            stream, spark, "value", "event_id", 64, root
+        )
+
+    want = sorted(
+        (r.priority, r.value)
+        for r in quantile_sketch_build(df, "value", F.col("event_id"), k=64).collect()
+    )
+    got1 = sorted((r.priority, r.value) for r in run().collect())
+    assert got1 == want
+    # no new files: re-running the stream must not change the sketch
+    got2 = sorted((r.priority, r.value) for r in run().collect())
+    assert got2 == want
+    # lineage reset: replayed batches rebuild the identical sketch
+    sh.rmtree(str(tmp_path / "store" / "_checkpoint"), ignore_errors=True)
+    got3 = sorted((r.priority, r.value) for r in run().collect())
+    assert got3 == want
