@@ -113,6 +113,7 @@ HEADLINE = [
     "corpus_vocab_coverage",
     "corpus_domain_quota",
     "text_char_entropy",
+    "bpe_top_pairs",
     "embedding_random_projection",
     "stream_heavy_hitters",
     "stream_quantile_sketch",

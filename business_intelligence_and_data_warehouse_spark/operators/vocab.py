@@ -82,3 +82,73 @@ def oov_report(
 ) -> DataFrame:
     """:func:`oov_report_from_occ` over a raw document table."""
     return oov_report_from_occ(occurrences(docs, id_col, text_col), vocab)
+
+
+def word_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(w, freq) corpus occurrence counts per distinct word — the BPE
+    working set: one partial-aggregated shuffle keyed on the
+    vocabulary, after which every merge iteration runs over WORD TYPES
+    weighted by frequency, never over the corpus again (the classic
+    Sennrich/GPT-2 trainer shape; at 100 TB the corpus is scanned once
+    and the iterative phase touches only the vocabulary table)."""
+    return (
+        docs.select(
+            tokens_ws(normalize_text(F.col(text_col))).alias("toks")
+        )
+        .select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, pair_count) adjacent-symbol pair statistics over a
+    (w, freq) word-frequency table — iteration-1 BPE merge counts,
+    symbols = single characters.
+
+    Character pairs are read positionally (``substring`` over an
+    exploded index sequence — portable to any SQL engine, no
+    empty-separator split semantics to disagree on); each word type
+    contributes its pairs weighted by corpus frequency. The aggregate
+    is keyed on the pair alphabet — tiny — with map-side partials.
+    """
+    pairs = words.filter(F.length("w") >= 2).select(
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        F.col("w"),
+    )
+    return (
+        pairs.select(
+            F.substring(F.col("w"), F.col("i").cast("int"), 1).alias("a"),
+            F.substring(F.col("w"), F.col("i").cast("int") + 1, 1).alias("b"),
+            "freq",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_apply_merge(symbols, a: str, b: str):
+    """Greedy left-to-right BPE merge of pair (a, b) over a symbol
+    array column — the re-segmentation step between merge iterations,
+    expressed as ONE ``aggregate`` fold (no Python, no loop jobs):
+    append each symbol, but when the accumulator ends in ``a`` and the
+    incoming symbol is ``b``, replace the tail with ``a||b``.  Matches
+    the reference trainer's non-overlapping greedy semantics
+    ("aaa" + (a,a) -> [aa, a]); property-tested against a pure-Python
+    fold in tests/test_tokenizer_prep.py."""
+    merged = a + b
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )

@@ -181,3 +181,70 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vid").alias("vec_id"), "j", "proj")
         .orderBy("vec_id", "j")
     )
+
+# ---------------------------------------------------------------------------
+# BPE iteration-1 merge statistics (tokenizer training prep)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@query_fn(
+    "bpe_top_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT string_split({_O_NORM}, ' ') AS t FROM documents
+),
+words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+),
+pos AS (
+  SELECT w, freq, unnest(range(1, len(w))) AS i
+  FROM words WHERE len(w) >= 2
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+         substr(w, CAST(i AS INTEGER) + 1, 1) AS b,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM pos GROUP BY 1, 2
+),
+ranked AS (
+  SELECT a, b, pair_count,
+         CAST(row_number() OVER (ORDER BY pair_count DESC, a, b)
+              AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT a, b, pair_count, rank, rank = 1 AS is_selected_merge
+FROM ranked WHERE rank <= {_BPE_TOP}
+ORDER BY rank
+""",
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iteration-1 BPE merge statistics: the top adjacent character
+    pairs over the corpus word-frequency table, rank 1 being the pair
+    a BPE trainer would merge first (Sennrich-style; the iterative
+    re-segmentation fold is operators/vocab.bpe_apply_merge,
+    property-tested against a pure-Python greedy reference).
+
+    Scale shape: the corpus is scanned ONCE into the (word, freq)
+    vocabulary table; pair counting and every later merge iteration
+    run over word TYPES weighted by frequency — vocabulary-sized work,
+    never corpus-sized.
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators.vocab import bpe_pair_counts, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = bpe_pair_counts(word_frequencies(docs))
+    w = W.orderBy(F.desc("pair_count"), "a", "b")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BPE_TOP)
+        .select(
+            "a", "b", "pair_count", "rank",
+            (F.col("rank") == 1).alias("is_selected_merge"),
+        )
+        .orderBy("rank")
+    )

@@ -106,3 +106,115 @@ def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
     assert all(0.2 <= r <= 4.0 for r in ratios), sorted(ratios)[:3]
     mean = sum(ratios) / len(ratios)
     assert 0.7 <= mean <= 1.4, mean
+
+
+def test_bpe_apply_merge_matches_python_greedy(spark):
+    """The one-fold merge re-segmentation must match the classic
+    greedy left-to-right reference on overlap/cascade edge cases."""
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        bpe_apply_merge,
+    )
+
+    def py_merge(syms, a, b):
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    cases = [
+        ["a", "a", "a"],
+        ["a", "a", "a", "a"],
+        ["a", "b", "a", "b"],
+        ["b", "a", "b"],
+        ["a", "a", "b"],
+        ["x", "y"],
+        [],
+        ["a"],
+        ["a", "b", "b", "a", "a", "b"],
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "syms array<string>")
+    for a, b in [("a", "a"), ("a", "b"), ("b", "a")]:
+        got = [
+            r.m
+            for r in df.select(
+                bpe_apply_merge(F.col("syms"), a, b).alias("m")
+            ).collect()
+        ]
+        want = [py_merge(c, a, b) for c in cases]
+        assert got == want, (a, b, got, want)
+
+
+def test_bpe_two_iterations_converge_with_python_trainer(spark):
+    """Two full BPE iterations (count -> pick -> re-segment -> count)
+    driven through the Spark operators must match a pure-Python BPE
+    trainer on the same tiny corpus."""
+    from collections import Counter
+
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        bpe_apply_merge,
+        bpe_pair_counts,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    words = word_frequencies(docs)
+
+    # python reference
+    freqs = Counter()
+    for _, text in [(1, "low lower lowest low low"), (2, "new newer newest new")]:
+        freqs.update(text.split())
+    segs = {w: list(w) for w in freqs}
+
+    def py_counts():
+        c = Counter()
+        for w, f in freqs.items():
+            for x, y in zip(segs[w], segs[w][1:]):
+                c[(x, y)] += f
+        return c
+
+    def py_best(c):
+        return min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
+    # iteration 1: compare counts, merge best
+    got1 = {
+        (r.a, r.b): r.pair_count for r in bpe_pair_counts(words).collect()
+    }
+    want1 = py_counts()
+    assert got1 == dict(want1)
+    a1, b1 = py_best(want1)
+    seg_df = words.select(
+        "w", "freq",
+        F.split(F.col("w"), "(?!$)").alias("syms"),
+    ).select("w", "freq", bpe_apply_merge(F.col("syms"), a1, b1).alias("syms"))
+    for w in segs:
+        out = []
+        for s in segs[w]:
+            if out and out[-1] == a1 and s == b1:
+                out[-1] = a1 + b1
+            else:
+                out.append(s)
+        segs[w] = out
+
+    # iteration 2: counts over the re-segmented symbols must agree
+    pairs2 = (
+        seg_df.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    got2 = {(r.a, r.b): r.pair_count for r in pairs2.collect()}
+    assert got2 == dict(py_counts())
