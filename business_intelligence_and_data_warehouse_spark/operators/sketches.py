@@ -436,3 +436,63 @@ def quantile_sketch_quantiles(
         ranked.join(F.broadcast(qrows), ranked.r == qrows.rank)
         .select("q", "n_sample", F.col("value").alias("est"))
     )
+
+
+def hll_registers_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """(group..., bucket, max_rho) — one HLL register table PER GROUP,
+    in one partial-aggregated shuffle keyed on (group, bucket): the
+    grouped generalization of :func:`hll_registers` (state per group
+    is ≤ 2**p rows no matter how many keys flow through it — the
+    bounded-state answer to COUNT(DISTINCT) BY group at 100 TB, where
+    exact per-group distinct sets are another full-size table).
+    Registers merge across shards/epochs by cellwise MAX within the
+    group, exactly as the global form."""
+    if p % 4 != 0:
+        raise ValueError(f"p must be a multiple of 4 (hex digits), got {p}")
+    key = F.col(key_col).cast("string")
+    h = F.md5(key)
+    staged = df.select(
+        *group_cols,
+        _hexn(h, 1, p // 4).alias("bucket"),
+        _rho16(_hexn(h, p // 4 + 1, 4)).alias("rho"),
+    )
+    return staged.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("max_rho")
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Per-group cardinality estimates from a grouped register table —
+    the same dyadic harmonic sum + linear-counting correction as
+    :func:`hll_estimate`, aggregated per group (one group-keyed
+    shuffle over register rows, never key rows)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.coalesce(
+            F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("max_rho"))),
+            F.lit(0.0),
+        ).alias("z_filled"),
+    )
+    z = F.col("z_filled") + (F.lit(m) - F.col("n_filled"))
+    v_empty = (F.lit(m) - F.col("n_filled")).cast("long")
+    est_raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / z
+    corrected = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.floor(F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty) * 1e6)
+        / 1e6,
+    ).otherwise(F.floor(est_raw * 1e6) / 1e6)
+    return agg.select(
+        *group_cols,
+        F.col("n_filled").cast("long").alias("n_filled"),
+        v_empty.alias("v_empty"),
+        corrected.alias("estimate"),
+    )

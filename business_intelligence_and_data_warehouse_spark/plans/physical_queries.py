@@ -1039,3 +1039,93 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(src_dir, ignore_errors=True)
+
+# ---------------------------------------------------------------------------
+# grouped HyperLogLog: distinct users per event type
+# ---------------------------------------------------------------------------
+
+
+@query_fn(
+    "events_hll_by_type",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+),
+slots AS (
+  SELECT event_type,
+         ({_O_HEXV.format(i=1)} * 256
+          + {_O_HEXV.format(i=2)} * 16
+          + {_O_HEXV.format(i=3)}) AS bucket,
+         ({_O_HEXV.format(i=4)} * 4096
+          + {_O_HEXV.format(i=5)} * 256
+          + {_O_HEXV.format(i=6)} * 16
+          + {_O_HEXV.format(i=7)}) AS w
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, MAX({_O_RHO}) AS max_rho
+  FROM slots GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_filled,
+         COALESCE(SUM(1e0 / CAST(1 << max_rho AS DOUBLE)), 0e0) AS z_filled
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type, n_filled,
+         CAST(4096 - n_filled AS BIGINT) AS v_empty,
+         {_HLL_ALPHA!r}e0 * 4096e0 * 4096e0
+           / (z_filled + (4096 - n_filled)) AS est_raw
+  FROM agg
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT est.event_type, n_filled, v_empty,
+       CASE WHEN est_raw <= 10240e0 AND v_empty > 0
+            THEN FLOOR(4096e0 * ln(4096e0 / v_empty) * 1e6) / 1e6
+            ELSE FLOOR(est_raw * 1e6) / 1e6 END AS estimate,
+       n_exact,
+       (CASE WHEN est_raw <= 10240e0 AND v_empty > 0
+             THEN FLOOR(4096e0 * ln(4096e0 / v_empty) * 1e6) / 1e6
+             ELSE FLOOR(est_raw * 1e6) / 1e6 END
+        - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+FROM est JOIN ex ON est.event_type = ex.event_type
+ORDER BY est.event_type
+""",
+)
+def events_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimates PER EVENT TYPE from grouped HyperLogLog
+    register tables (operators/sketches.hll_registers_grouped) — the
+    grouped generalization of ``events_hll_cardinality``: bounded
+    ≤ 2^p rows of state per group in ONE partial-aggregated shuffle,
+    replacing a COUNT(DISTINCT) whose per-group key sets grow with the
+    data.  Same exactness chain as the global form (comparison-ladder
+    rho, dyadic harmonic sums, FLOOR-snapped ln), so every per-group
+    estimate replays bit-identically in DuckDB; n_exact / rel_err are
+    the in-row accuracy report."""
+    from ..operators.sketches import hll_estimate_grouped, hll_registers_grouped
+
+    events = load_table(spark, sf_dir, "events")
+    regs = hll_registers_grouped(events, ["event_type"], "user_id")
+    est = hll_estimate_grouped(regs, ["event_type"])
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_filled",
+            "v_empty",
+            "estimate",
+            "n_exact",
+            (
+                (F.col("estimate") - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

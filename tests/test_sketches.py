@@ -105,3 +105,38 @@ def test_quantile_sketch_small_input_and_accuracy(spark, sf_dir):
         # uniform sample of k: rank error concentrates within
         # ~3/sqrt(k) of quantile fraction -> generous value-side bound
         assert abs(r.rel_err) < 0.25, r
+
+
+def test_grouped_hll_shard_merge_equals_single_pass(spark, sf_dir):
+    """Grouped registers merge by cellwise MAX within (group, bucket):
+    merging per-shard register tables must reproduce the single-pass
+    registers — and therefore identical per-group estimates."""
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    single = hll_registers_grouped(events, ["event_type"], "user_id")
+    shards = [
+        hll_registers_grouped(
+            events.filter(F.col("event_id") % 3 == i), ["event_type"], "user_id"
+        )
+        for i in range(3)
+    ]
+    merged = shards[0]
+    for s in shards[1:]:
+        merged = merged.unionByName(s)
+    merged = merged.groupBy("event_type", "bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(merged) == rows(single)
+    assert rows(hll_estimate_grouped(merged, ["event_type"])) == rows(
+        hll_estimate_grouped(single, ["event_type"])
+    )
