@@ -448,11 +448,6 @@ def simhash_near_dups(
     (needed because a pair can match several block/sub combos)
     deduplicates only true near-dups, not the full candidate stream.
     """
-    if max_hamming > num_blocks - 1:
-        raise ValueError(
-            f"pigeonhole blocking with {num_blocks} blocks is only exact "
-            f"for max_hamming <= {num_blocks - 1}, got {max_hamming}"
-        )
     # The signature table is tiny (one row per doc: id + long) but its
     # lineage is the whole tokenize/tf/vote pipeline, and unlike the
     # MinHash band join the two sides here explode DIFFERENT column

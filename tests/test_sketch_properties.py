@@ -201,3 +201,99 @@ def test_random_projection_signs_match_python_md5(spark, n, d_out):
         for j in range(d_out):
             want = sum(e[i] * sign(i, j) for i in range(64))
             assert got[(vid, j)] == want, (vid, j)
+
+
+# ---------------------------------------------------------------------------
+# round-6 operators: quantile sketch, domain quota, BPE fold, counting IVM
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=20),
+)
+def test_quantile_sketch_matches_python_bottom_k(spark, vals, k):
+    """Sketch content == the k md5-smallest rows computed in Python,
+    and the estimate at q=0.5 == the type-1 median of that sample."""
+    import hashlib
+    import math
+
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_quantiles,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    sk = quantile_sketch_build(df, "value", F.col("id"), k=k)
+    got = sorted((r.priority, r.value) for r in sk.collect())
+    ref = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), v) for i, v in rows
+    )[:k]
+    assert got == sorted(ref)
+
+    est = quantile_sketch_quantiles(sk, (0.5,)).collect()
+    n = min(k, len(rows))
+    want_rank = max(math.ceil(0.5 * n), 1)
+    by_value = sorted(ref, key=lambda t: (t[1], t[0]))
+    assert est[0].est == by_value[want_rank - 1][1]
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=30), min_size=0, max_size=50),
+    cap=st.integers(min_value=1, max_value=300),
+)
+def test_domain_quota_greedy_prefix_property(spark, toks, cap):
+    """Kept set == the greedy hash-ordered prefix whose running total
+    stays within the cap, computed independently in Python."""
+    import hashlib
+
+    from business_intelligence_and_data_warehouse_spark.operators.split import (
+        domain_token_quota,
+    )
+
+    rows = [(i, "d", t) for i, t in enumerate(toks)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    kept = sorted(r.doc_id for r in domain_token_quota(df, cap).collect())
+
+    def bucket(i):
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        return int(hx[:3], 16)
+
+    total, want = 0, []
+    for i, _, t in sorted(rows, key=lambda r: (bucket(r[0]), r[0])):
+        total += t
+        if total > cap:
+            break
+        want.append(i)
+    assert kept == sorted(want)
+
+
+@settings(**_SETTINGS)
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=20),
+    pair=st.tuples(st.sampled_from(["a", "b", "c"]), st.sampled_from(["a", "b", "c"])),
+)
+def test_bpe_fold_matches_python_greedy_property(spark, syms, pair):
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        bpe_apply_merge,
+    )
+
+    a, b = pair
+    out = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(bpe_apply_merge(F.col("syms"), a, b).alias("m")).first().m
+    assert got == out
