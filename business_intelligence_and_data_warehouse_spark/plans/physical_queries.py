@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.parity import dpctl, dsum, o_dpctl, o_dsum
+from ..functions.parity import dsum, o_dpctl, o_dsum
 from ..operators.layout import scale_to_bits, zorder_key
 from ..operators.retention import propagate_deletes
 from ..operators.sketches import (
@@ -846,8 +846,20 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = quantile_sketch_build(li, "l_extendedprice", key, k=_QSK_K)
     est = quantile_sketch_quantiles(sketch, _QSK_QS)
+    # ONE array-percentile aggregate, not five scalar ones: the exact
+    # percentile buffers the full column per aggregate, so five
+    # separate calls were 4.4x the cost (6.4s vs 1.4s at sf0.1); each
+    # element then gets the shared dpctl decimal snap
+    from ..functions.parity import DEC
+
+    _pcts = ",".join(f"{q!r}D" for q in _QSK_QS)
     px = li.agg(
-        *[dpctl("l_extendedprice", q).alias(f"p{i}") for i, q in enumerate(_QSK_QS)]
+        F.expr(f"percentile(l_extendedprice, array({_pcts}))").alias("_ps")
+    ).select(
+        *[
+            F.element_at("_ps", i + 1).cast(DEC).cast("double").alias(f"p{i}")
+            for i in range(len(_QSK_QS))
+        ]
     )
     exact_case: Column | None = None
     for i, q in enumerate(_QSK_QS):
