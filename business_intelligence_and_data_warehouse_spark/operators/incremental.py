@@ -141,19 +141,31 @@ def join_delta_counting(
         if m_col not in df.columns:
             raise ValueError(f"{who}: missing multiplicity column {m_col!r}")
 
-    def mul(left: DataFrame, right: DataFrame) -> DataFrame:
-        l2 = left.withColumnRenamed(m_col, "_ml")
-        r2 = right.withColumnRenamed(m_col, "_mr")
-        return (
-            l2.join(r2, keys)
-            .withColumn(m_col, F.col("_ml") * F.col("_mr"))
-            .drop("_ml", "_mr")
-        )
-
     return (
-        mul(delta_left, base_right)
-        .unionByName(mul(base_left, delta_right))
-        .unionByName(mul(delta_left, delta_right))
+        join_multiplied(delta_left, base_right, keys, m_col)
+        .unionByName(join_multiplied(base_left, delta_right, keys, m_col))
+        .unionByName(join_multiplied(delta_left, delta_right, keys, m_col))
+    )
+
+
+def join_multiplied(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    m_col: str = "_m",
+) -> DataFrame:
+    """Inner equi-join of two signed multisets: result multiplicity is
+    the PRODUCT of the sides' — the single algebra rule every term of
+    :func:`join_delta_counting` and the base-view materialization
+    share (one definition, so the delta terms and the view they fold
+    into cannot drift)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    l2 = left.withColumnRenamed(m_col, "_ml")
+    r2 = right.withColumnRenamed(m_col, "_mr")
+    return (
+        l2.join(r2, keys)
+        .withColumn(m_col, F.col("_ml") * F.col("_mr"))
+        .drop("_ml", "_mr")
     )
 
 

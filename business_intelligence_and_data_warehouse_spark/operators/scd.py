@@ -99,13 +99,34 @@ def scd1_upsert_via_merge_semantics(
     ``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET``), then applies
     ``WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *``
     over t/s-aliased frames with the shared ON fragment.  ``dim`` must
-    be key-unique (it is a dimension).  Equivalence with the batch-
-    rewrite :func:`scd1_upsert` is property-tested in
-    tests/test_warehouse.py."""
+    be key-unique (it is a dimension) and the natural key NON-NULL on
+    both sides: the MERGE ON predicate is ``t.k = s.k`` — the real
+    Delta semantics, where a NULL key never matches — while the
+    batch rewrite's window groups NULL keys together, so NULL keys
+    are the one place twin and rewrite legitimately diverge.
+    Equivalence with the batch-rewrite :func:`scd1_upsert` is
+    property-tested in tests/test_warehouse.py.
+
+    The tie-break basis for the in-batch dedup is DIM column order
+    (``scd1_upsert`` ties on its union frame, whose column order is
+    the existing side's), so the two forms pick identical winners
+    whatever order the batch's columns arrive in."""
     nat_key = list(nat_key)
+    for df, who in (
+        (dim, "scd1_upsert_via_merge_semantics dim"),
+        (batch, "scd1_upsert_via_merge_semantics batch"),
+    ):
+        clash = [c for c in ("_m", "__rn") if c in df.columns]
+        if clash:
+            raise ValueError(
+                f"{who}: input already has reserved column(s) {clash}; "
+                "rename them before calling"
+            )
     key_cond = _scd1_merge_clauses(nat_key)
     order = [F.desc(order_col)] if order_col is not None else []
-    order += [F.col(c) for c in batch.columns if c not in nat_key]
+    order += [F.col(c) for c in dim.columns if c not in nat_key]
+    if not order:  # key-only schema: rows per key are identical
+        order = [F.col(k) for k in nat_key]
     w = W.partitionBy(*nat_key).orderBy(*order)
     s_unique = (
         batch.withColumn("__rn", F.row_number().over(w))

@@ -309,15 +309,40 @@ def hll_registers(
     a multiple of 4 here — hex-digit arithmetic), rho = leading-zero
     rank of the NEXT 16 bits.
     """
-    if p % 4 != 0:
-        raise ValueError(f"p must be a multiple of 4 (hex digits), got {p}")
-    key = F.col(key_col).cast("string")
-    h = F.md5(key)
-    staged = df.select(
-        _hexn(h, 1, p // 4).alias("bucket"),
-        _rho16(_hexn(h, p // 4 + 1, 4)).alias("rho"),
-    )
-    return staged.groupBy("bucket").agg(F.max("rho").alias("max_rho"))
+    return hll_registers_grouped(df, [], key_col, p)
+
+
+def _hll_agg_exprs():
+    """The per-register-table aggregate state (n_filled, z_filled) —
+    shared by the global and grouped estimators so the dyadic
+    harmonic-sum convention cannot drift between them.  COALESCE: SUM
+    over zero rows is NULL, which would make an empty key stream
+    estimate NULL instead of the correct 0 (empty -> z = m -> linear
+    counting -> m*ln(m/m) = 0)."""
+    return [
+        F.count(F.lit(1)).alias("n_filled"),
+        F.coalesce(
+            F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("max_rho"))),
+            F.lit(0.0),
+        ).alias("z_filled"),
+    ]
+
+
+def _hll_correction_exprs(m: int):
+    """(v_empty, est_raw, corrected) over an (n_filled, z_filled)
+    aggregate — the alpha·m²/Z raw estimate and the FLOOR-snapped
+    linear-counting small-range correction, shared by the global and
+    grouped estimators."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    z = F.col("z_filled") + (F.lit(m) - F.col("n_filled"))  # empty -> 2^0
+    v_empty = (F.lit(m) - F.col("n_filled")).cast("long")
+    est_raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / z
+    corrected = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.floor(F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty) * 1e6)
+        / 1e6,
+    ).otherwise(F.floor(est_raw * 1e6) / 1e6)
+    return v_empty, est_raw, corrected
 
 
 def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
@@ -332,25 +357,8 @@ def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
     is NOT bit-identical across engines (the log-snap recipe).
     """
     m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m)
-    agg = registers.agg(
-        F.count(F.lit(1)).alias("n_filled"),
-        # COALESCE: SUM over zero rows is NULL, which would make an
-        # empty key stream estimate NULL instead of the correct 0
-        # (empty -> z = m -> linear counting -> m*ln(m/m) = 0)
-        F.coalesce(
-            F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("max_rho"))),
-            F.lit(0.0),
-        ).alias("z_filled"),
-    )
-    z = F.col("z_filled") + (F.lit(m) - F.col("n_filled"))  # empty -> 2^0
-    v_empty = (F.lit(m) - F.col("n_filled")).cast("long")
-    est_raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / z
-    corrected = F.when(
-        (est_raw <= F.lit(2.5 * m)) & (v_empty > 0),
-        F.floor(F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty) * 1e6)
-        / 1e6,
-    ).otherwise(F.floor(est_raw * 1e6) / 1e6)
+    agg = registers.agg(*_hll_agg_exprs())
+    v_empty, est_raw, corrected = _hll_correction_exprs(m)
     return agg.select(
         F.lit(m).alias("m"),
         F.col("n_filled").cast("long").alias("n_filled"),
@@ -395,7 +403,9 @@ def quantile_sketch_build(
     """
     return (
         df.select(
-            F.md5(key.cast("string")).alias("priority"),
+            # carry k with the sketch (same convention as the bloom /
+            # cms build metadata): merge and estimate assert against it
+            F.md5(key.cast("string")).alias("priority", metadata={"k": k}),
             F.col(value_col).cast("double").alias("value"),
         )
         .orderBy("priority")
@@ -405,9 +415,17 @@ def quantile_sketch_build(
 
 def quantile_sketch_merge(sketches: list[DataFrame], k: int = 1024) -> DataFrame:
     """Merge shard sketches: union, keep the k smallest priorities —
-    exactly the single-pass sketch over the concatenated inputs."""
+    exactly the single-pass sketch over the concatenated inputs.
+
+    ``k`` must equal the shards' build k (asserted against the build
+    metadata): merging bottom-256 shards through limit(1024) would
+    pass the union through untouched — neither the bottom-1024 nor
+    the bottom-256 of the full data, silently over-weighting small
+    shards."""
     if not sketches:
         raise ValueError("quantile_sketch_merge needs at least one sketch")
+    for s in sketches:
+        _assert_sketch_params(s, "priority", {"k": k}, "quantile_sketch_merge")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -421,19 +439,29 @@ def quantile_sketch_quantiles(
     the value at rank max(ceil(q * n_sample), 1) of the sample ordered
     by (value, priority).  All arithmetic is IEEE multiply + ceil over
     identical inputs, so estimates replay exactly cross-engine."""
+    # ONE pass over the sketch subtree: rank and n_sample come from
+    # the same window projection (COUNT(*) OVER (), exactly what the
+    # DuckDB oracle does) — a separate count aggregate would embed the
+    # sketch's TakeOrdered scan a second time with no exchange reuse
+    w = W.orderBy("value", "priority")
+    w_all = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     ranked = sketch.select(
         "value",
-        F.row_number().over(W.orderBy("value", "priority")).cast("long").alias("r"),
-    )
-    n = sketch.agg(F.count(F.lit(1)).alias("n_sample"))
-    qrows = n.select(
-        "n_sample", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
-    ).withColumn(
-        "rank",
-        F.greatest(F.ceil(F.col("q") * F.col("n_sample")).cast("long"), F.lit(1).cast("long")),
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("n_sample"),
     )
     return (
-        ranked.join(F.broadcast(qrows), ranked.r == qrows.rank)
+        ranked.select(
+            "value", "r", "n_sample",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .filter(
+            F.col("r")
+            == F.greatest(
+                F.ceil(F.col("q") * F.col("n_sample")).cast("long"),
+                F.lit(1).cast("long"),
+            )
+        )
         .select("q", "n_sample", F.col("value").alias("est"))
     )
 
@@ -474,22 +502,8 @@ def hll_estimate_grouped(
     :func:`hll_estimate`, aggregated per group (one group-keyed
     shuffle over register rows, never key rows)."""
     m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m)
-    agg = registers.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_filled"),
-        F.coalesce(
-            F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("max_rho"))),
-            F.lit(0.0),
-        ).alias("z_filled"),
-    )
-    z = F.col("z_filled") + (F.lit(m) - F.col("n_filled"))
-    v_empty = (F.lit(m) - F.col("n_filled")).cast("long")
-    est_raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / z
-    corrected = F.when(
-        (est_raw <= F.lit(2.5 * m)) & (v_empty > 0),
-        F.floor(F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty) * 1e6)
-        / 1e6,
-    ).otherwise(F.floor(est_raw * 1e6) / 1e6)
+    agg = registers.groupBy(*group_cols).agg(*_hll_agg_exprs())
+    v_empty, est_raw, corrected = _hll_correction_exprs(m)
     return agg.select(
         *group_cols,
         F.col("n_filled").cast("long").alias("n_filled"),

@@ -169,6 +169,12 @@ def domain_token_quota(
     """
     from pyspark.sql import Window as W
 
+    clash = [c for c in ("bucket", "cum_tokens") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"domain_token_quota: input already has reserved column(s) "
+            f"{clash}; rename them before calling"
+        )
     w = (
         W.partitionBy(stratum_col)
         .orderBy("bucket", id_col)

@@ -928,6 +928,7 @@ def incremental_join_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.incremental import (
         apply_multiset_delta,
         join_delta_counting,
+        join_multiplied,
     )
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -969,12 +970,7 @@ def incremental_join_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    view0 = (
-        base_l.withColumnRenamed("_m", "_ml")
-        .join(base_r.withColumnRenamed("_m", "_mr"), "custkey")
-        .withColumn("_m", F.col("_ml") * F.col("_mr"))
-        .drop("_ml", "_mr")
-    )
+    view0 = join_multiplied(base_l, base_r, "custkey")
     delta = join_delta_counting(base_l, delta_l, base_r, delta_r, on="custkey")
     final = apply_multiset_delta(view0, delta)
     return final.select(

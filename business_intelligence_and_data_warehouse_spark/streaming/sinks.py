@@ -267,7 +267,7 @@ def run_quantile_sketch_stream(
     regardless of stream volume, and the merge cost per batch is
     O(k + batch sample) — the quantile counterpart of the CMS grid.
     """
-    from ..operators.sketches import quantile_sketch_build
+    from ..operators.sketches import quantile_sketch_build, quantile_sketch_merge
 
     store = _SnapshotStore(spark, root)
     checkpoint_dir = os.path.join(root, "_checkpoint")
@@ -288,7 +288,10 @@ def run_quantile_sketch_stream(
         merged = (
             batch_sk
             if cur is None
-            else cur.unionByName(batch_sk).orderBy("priority").limit(k)
+            # the operator's own merge (the identity the batch tests
+            # pin) — cur comes back from parquet without metadata, so
+            # the k-guard checks only the fresh batch side
+            else quantile_sketch_merge([batch_sk, cur], k=k)
         )
         store.commit(merged, lineage, batch_id)
 
