@@ -300,3 +300,28 @@ def test_tombstone_merge_semantics_equivalence_and_del_guard(spark):
         propagate_deletes(
             root.withColumn("_del", F.lit(0)), "customer", "custkey", ts, []
         )
+
+
+def test_scd1_merge_twin_null_keys_follow_merge_semantics(spark):
+    """Documented divergence pin: the MERGE ON predicate t.k = s.k
+    never matches NULL (real Delta semantics), so a NULL-key dim row
+    and a NULL-key batch row BOTH survive the twin — while the batch
+    rewrite's window groups NULLs and keeps one.  The docstring
+    declares non-null keys as the equivalence contract; this test
+    keeps the divergence intentional rather than accidental."""
+    from business_intelligence_and_data_warehouse_spark.operators.scd import (
+        scd1_upsert,
+        scd1_upsert_via_merge_semantics,
+    )
+
+    dim = spark.createDataFrame([(None, "old"), (1, "d1")], "k int, attr string")
+    batch = spark.createDataFrame([(None, "new"), (1, "b1")], "k int, attr string")
+    def rows(df):
+        return sorted(
+            map(tuple, df.collect()), key=lambda t: (t[0] is not None, t)
+        )
+
+    twin = rows(scd1_upsert_via_merge_semantics(dim, batch, ["k"]))
+    rewrite = rows(scd1_upsert(dim, batch, ["k"]))
+    assert twin == [(None, "new"), (None, "old"), (1, "b1")]
+    assert rewrite == [(None, "new"), (1, "b1")]
