@@ -784,7 +784,7 @@ _O_QSK_CASE = (
     oracle=f"""
 WITH sample AS (
   SELECT md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
-             || '-' || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR))
+             || '-' || CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR))
            AS priority,
          CAST(l_extendedprice AS DOUBLE) AS value
   FROM lineitem
@@ -834,15 +834,16 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
-    # (11,785 dup pairs at sf0.01); folding the 2-decimal price into the
+    # (11,785 dup pairs at sf0.01); folding the 4-decimal price into the
     # key makes tied priorities carry EQUAL values, so the bottom-k
     # boundary choice cannot change the output (decimal -> string is
-    # engine-stable; raw double -> string is not).
+    # engine-stable; raw double -> string is not; scale 4 covers the
+    # testdata parity contract's <= 4 true decimal digits for money).
     key = F.concat_ws(
         "-",
         F.col("l_orderkey").cast("string"),
         F.col("l_linenumber").cast("string"),
-        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+        F.col("l_extendedprice").cast("decimal(18,4)").cast("string"),
     )
     sketch = quantile_sketch_build(li, "l_extendedprice", key, k=_QSK_K)
     est = quantile_sketch_quantiles(sketch, _QSK_QS)

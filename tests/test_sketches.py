@@ -52,7 +52,7 @@ def test_quantile_sketch_shard_merge_equals_single_pass(spark, sf_dir):
         "-",
         F.col("l_orderkey").cast("string"),
         F.col("l_linenumber").cast("string"),
-        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+        F.col("l_extendedprice").cast("decimal(18,4)").cast("string"),
     )
     k = 256
     single = quantile_sketch_build(li, "l_extendedprice", key, k=k)
@@ -93,7 +93,7 @@ def test_quantile_sketch_small_input_and_accuracy(spark, sf_dir):
         "-",
         F.col("l_orderkey").cast("string"),
         F.col("l_linenumber").cast("string"),
-        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+        F.col("l_extendedprice").cast("decimal(18,4)").cast("string"),
     )
     sk = quantile_sketch_build(li, "l_extendedprice", key, k=1024)
     est = quantile_sketch_quantiles(sk, (0.5,)).collect()
