@@ -119,6 +119,7 @@ HEADLINE = [
     "stream_quantile_sketch",
     "events_hll_cardinality",
     "events_hll_by_type",
+    "events_quantile_by_type",
     "quantile_sketch_prices",
     "incremental_join_delta",
     "incremental_join_counting",

@@ -510,3 +510,62 @@ def hll_estimate_grouped(
         v_empty.alias("v_empty"),
         corrected.alias("estimate"),
     )
+
+
+def quantile_sketch_build_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key: Column,
+    k: int = 256,
+) -> DataFrame:
+    """(group..., priority, value) — one bottom-k priority sample PER
+    GROUP, the grouped generalization of :func:`quantile_sketch_build`
+    (pairs with :func:`hll_registers_grouped`: bounded O(k) state per
+    group for quantiles the way registers bound cardinality).  One
+    shuffle on the group key; the per-group rank is a window over
+    group-sized partitions.  Same key contract as the global form
+    (rows sharing a key must carry equal values); the same set-
+    identity merge law holds per group."""
+    staged = df.select(
+        *group_cols,
+        F.md5(key.cast("string")).alias("priority", metadata={"k": k}),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    w = W.partitionBy(*group_cols).orderBy("priority")
+    return (
+        staged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def quantile_sketch_quantiles_grouped(
+    sketch: DataFrame, group_cols: list[str], qs: tuple[float, ...]
+) -> DataFrame:
+    """(group..., q, n_sample, est) per-group type-1 quantile
+    estimates — the grouped twin of :func:`quantile_sketch_quantiles`,
+    one pass over the sketch (rank and n_sample from the same
+    group-partitioned window projection)."""
+    w = W.partitionBy(*group_cols).orderBy("value", "priority")
+    w_all = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = sketch.select(
+        *group_cols,
+        "value",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("n_sample"),
+    )
+    return (
+        ranked.select(
+            *group_cols, "value", "r", "n_sample",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .filter(
+            F.col("r")
+            == F.greatest(
+                F.ceil(F.col("q") * F.col("n_sample")).cast("long"),
+                F.lit(1).cast("long"),
+            )
+        )
+        .select(*group_cols, "q", "n_sample", F.col("value").alias("est"))
+    )

@@ -1138,3 +1138,100 @@ def events_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+# ---------------------------------------------------------------------------
+# grouped quantile sketch: per-event-type value quantiles
+# ---------------------------------------------------------------------------
+
+_GQS_K = 512
+_GQS_QS = (0.5, 0.9)
+
+
+@query_fn(
+    "events_quantile_by_type",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         md5(CAST(event_id AS VARCHAR)) AS priority,
+         CAST(value AS DOUBLE) AS value,
+         row_number() OVER (
+             PARTITION BY event_type
+             ORDER BY md5(CAST(event_id AS VARCHAR))
+         ) AS rn
+  FROM events
+),
+sk AS (SELECT event_type, priority, value FROM s WHERE rn <= {_GQS_K}),
+ranked AS (
+  SELECT event_type, value,
+         CAST(row_number() OVER (
+             PARTITION BY event_type ORDER BY value, priority
+         ) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_sample
+  FROM sk
+),
+qs(q) AS (VALUES {", ".join(f"({q!r}e0)" for q in _GQS_QS)}),
+est AS (
+  SELECT event_type, q, n_sample, value AS est
+  FROM ranked JOIN qs
+    ON ranked.r = GREATEST(CAST(CEIL(q * n_sample) AS BIGINT), CAST(1 AS BIGINT))
+),
+px AS (
+  SELECT event_type,
+         {", ".join(f"{o_dpctl('value', q)} AS p{i}" for i, q in enumerate(_GQS_QS))}
+  FROM events GROUP BY 1
+)
+SELECT est.event_type, est.q, est.n_sample, est.est,
+       CASE {" ".join(f"WHEN est.q = {q!r}e0 THEN p{i}" for i, q in enumerate(_GQS_QS))}
+       END AS exact,
+       (est.est - CASE {" ".join(f"WHEN est.q = {q!r}e0 THEN p{i}" for i, q in enumerate(_GQS_QS))} END)
+         / CASE {" ".join(f"WHEN est.q = {q!r}e0 THEN p{i}" for i, q in enumerate(_GQS_QS))} END
+         AS rel_err
+FROM est JOIN px ON est.event_type = px.event_type
+ORDER BY est.event_type, est.q
+""",
+)
+def events_quantile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles from GROUPED bottom-k sketches
+    (operators/sketches.quantile_sketch_build_grouped) — the grouped
+    quantile twin of ``events_hll_by_type``: bounded O(k) state per
+    group where exact per-group percentiles buffer every value, with
+    the exact grouped percentile and relative error reported in-row.
+    Sketch content, rank selection, and estimates replay
+    bit-identically in the DuckDB oracle."""
+    from ..functions.parity import DEC
+    from ..operators.sketches import (
+        quantile_sketch_build_grouped,
+        quantile_sketch_quantiles_grouped,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sk = quantile_sketch_build_grouped(
+        events, ["event_type"], "value", F.col("event_id"), k=_GQS_K
+    )
+    est = quantile_sketch_quantiles_grouped(sk, ["event_type"], _GQS_QS)
+    _pcts = ",".join(f"{q!r}D" for q in _GQS_QS)
+    px = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({_pcts}))").alias("_ps")
+    ).select(
+        "event_type",
+        *[
+            F.element_at("_ps", i + 1).cast(DEC).cast("double").alias(f"p{i}")
+            for i in range(len(_GQS_QS))
+        ],
+    )
+    exact_case: Column | None = None
+    for i, q in enumerate(_GQS_QS):
+        branch = (F.col("q") == F.lit(float(q)), F.col(f"p{i}"))
+        exact_case = (
+            F.when(*branch) if exact_case is None else exact_case.when(*branch)
+        )
+    assert exact_case is not None
+    return (
+        est.join(px, "event_type")
+        .withColumn("exact", exact_case)
+        .select(
+            "event_type", "q", "n_sample", "est", "exact",
+            ((F.col("est") - F.col("exact")) / F.col("exact")).alias("rel_err"),
+        )
+        .orderBy("event_type", "q")
+    )

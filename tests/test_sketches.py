@@ -140,3 +140,59 @@ def test_grouped_hll_shard_merge_equals_single_pass(spark, sf_dir):
     assert rows(hll_estimate_grouped(merged, ["event_type"])) == rows(
         hll_estimate_grouped(single, ["event_type"])
     )
+
+
+def test_grouped_quantile_sketch_merge_and_rank_bound(spark, sf_dir):
+    """Per-group bottom-k: shard-merge (union + per-group re-rank)
+    equals the single pass, and each group's sample is its k
+    hash-smallest rows (recomputed independently in Python)."""
+    import hashlib
+
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        quantile_sketch_build_grouped,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    ).limit(2000)
+    k = 32
+    single = quantile_sketch_build_grouped(
+        events, ["event_type"], "value", F.col("event_id"), k=k
+    )
+    from pyspark.sql import Window as W
+
+    shards = [
+        quantile_sketch_build_grouped(
+            events.filter(F.col("event_id") % 3 == i),
+            ["event_type"], "value", F.col("event_id"), k=k,
+        )
+        for i in range(3)
+    ]
+    merged = shards[0]
+    for s in shards[1:]:
+        merged = merged.unionByName(s)
+    w = W.partitionBy("event_type").orderBy("priority")
+    merged = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+    def rows(df):
+        return sorted((r.event_type, r.priority, r.value) for r in df.collect())
+
+    got = rows(single)
+    assert rows(merged) == got
+
+    # python reference of the per-group bottom-k
+    raw = events.collect()
+    by_type: dict[str, list] = {}
+    for r in raw:
+        pri = hashlib.md5(str(r.event_id).encode()).hexdigest()
+        by_type.setdefault(r.event_type, []).append((pri, float(r.value)))
+    want = sorted(
+        (t, pri, v)
+        for t, lst in by_type.items()
+        for pri, v in sorted(lst)[:k]
+    )
+    assert got == want
