@@ -343,6 +343,67 @@ def minhash_lsh_dedup(
     )
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.8,
+    max_df: int | None = 50,
+    capped_storage: str | None = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """Document pairs where the SMALLER document's shingle set is
+    mostly contained in the other: max-containment
+    C(A,B) = |A ∩ B| / min(|A|, |B|) >= threshold — the asymmetric
+    near-dup signal symmetric Jaccard misses (a page quoting a whole
+    short document scores J = |A|/|B| ≈ small, but C = 1.0), the
+    quote/subset detector of substring-aware curation (staged for a
+    round-7 registry entry; semantics pinned in
+    tests/test_pipeline.py meanwhile).
+
+    Output: (doc_a, doc_b, n_common, containment, jaccard) with
+    doc_a < doc_b — both measures off ONE common-count join so callers
+    can threshold either.  Same df-capped blocking and pin rationale
+    as :func:`jaccard_pairs` (the cap bounds the quadratic; the
+    measure is exact on the capped vocabulary; integer counts ->
+    exact doubles both engines)."""
+    if max_df is not None:
+        freq = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        stop = freq.filter(F.col("df") > max_df).select("s")
+        shingles = shingles.join(F.broadcast(stop), "s", "left_anti")
+    shingles = _maybe_pin(shingles, capped_storage)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common") / F.least(F.col("sa.n"), F.col("sb.n"))
+            ).alias("containment"),
+            (
+                F.col("n_common")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

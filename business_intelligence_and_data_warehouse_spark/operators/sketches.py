@@ -569,3 +569,51 @@ def quantile_sketch_quantiles_grouped(
         )
         .select(*group_cols, "q", "n_sample", F.col("value").alias("est"))
     )
+
+
+def cms_join_size_estimate(
+    cms_a: DataFrame,
+    cms_b: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """One-row estimate of the equi-join size |A ⋈ B| from the two
+    sides' count-min sketches: for each row i, Σ_j a[i,j]·b[i,j] is an
+    UPPER-BIASED estimate of Σ_key cntA(key)·cntB(key) (the true join
+    size — the inner product of the count vectors); the estimate takes
+    the MIN over the depth rows, never below the true size.
+
+    The AQE-adjacent use at 100 TB: both sketches are d×w regardless
+    of table size and mergeable across shards, so join-size estimates
+    for planning (broadcast-vs-shuffle, skew pre-checks) come from
+    bounded state without scanning either table again.  All arithmetic
+    is integer, so the estimate replays exactly in any engine.
+
+    Output: one row (est_join_size, rows_used).  Cells absent from a
+    sketch are zero, so the inner join on (row, col) keeps only
+    co-occupied cells; a depth row with NO co-occupied cells has inner
+    product 0, which forces the estimate to 0 (each row's product
+    upper-bounds the true size, so any zero row proves an empty join)
+    — handled via the rows_used < depth branch.
+    """
+    _assert_sketch_params(cms_a, "cnt", {"depth": depth, "width": width},
+                          "cms_join_size_estimate (left)")
+    _assert_sketch_params(cms_b, "cnt", {"depth": depth, "width": width},
+                          "cms_join_size_estimate (right)")
+    a = cms_a.select("row", "col", F.col("cnt").alias("_ca"))
+    b = cms_b.select("row", "col", F.col("cnt").alias("_cb"))
+    per_row = (
+        a.join(b, ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("ip"))
+    )
+    return per_row.agg(
+        F.min("ip").alias("_min_ip"),
+        F.count(F.lit(1)).cast("int").alias("rows_used"),
+    ).select(
+        F.when(F.col("rows_used") < depth, F.lit(0))
+        .otherwise(F.coalesce(F.col("_min_ip"), F.lit(0)))
+        .cast("long")
+        .alias("est_join_size"),
+        "rows_used",
+    )

@@ -396,3 +396,41 @@ def test_incremental_dedup_consistent_with_standalone_operators(spark, sf_dir):
             assert abs(row["jaccard"] - (-neg_j)) < 1e-12
         elif row["verdict"] == "novel":
             assert nid not in best, f"{nid} novel but standalone found a pair"
+
+
+def test_containment_catches_quotes_jaccard_misses(spark):
+    """A short document fully quoted inside a long one: containment
+    1.0 while symmetric Jaccard is small — and the pair is invisible
+    to the Jaccard threshold but caught by the containment one."""
+    from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingle_table,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "intro words here then the quote begins "
+        + short
+        + " and a very long tail of unrelated filler content goes on "
+        + " ".join(f"w{i}" for i in range(40))
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "completely different text entirely")],
+        "doc_id long, text string",
+    )
+    sh = shingle_table(docs, 3)
+    cp = {(r.doc_a, r.doc_b): r for r in containment_pairs(sh, 0.8).collect()}
+    assert (1, 2) in cp
+    assert cp[(1, 2)].containment == 1.0
+    assert cp[(1, 2)].jaccard < 0.5
+    assert not any(3 in pair for pair in cp)
+    jp = [(r.doc_a, r.doc_b) for r in jaccard_pairs(sh, 0.5).collect()]
+    assert (1, 2) not in jp
+
+    # symmetric exact duplicates: containment == jaccard == 1
+    dup = spark.createDataFrame(
+        [(1, short), (2, short)], "doc_id long, text string"
+    )
+    out = containment_pairs(shingle_table(dup, 3), 0.9).collect()
+    assert len(out) == 1 and out[0].containment == 1.0 and out[0].jaccard == 1.0

@@ -196,3 +196,39 @@ def test_grouped_quantile_sketch_merge_and_rank_bound(spark, sf_dir):
         for pri, v in sorted(lst)[:k]
     )
     assert got == want
+
+
+def test_cms_join_size_estimate_bounds_and_zero(spark):
+    """The sketch-based join-size estimate never undercounts the true
+    equi-join size, matches it exactly on collision-free data, and a
+    disjoint pair estimates zero (an empty depth row proves it)."""
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    d, w = 4, 1024
+    a_keys = [f"k{i}" for i in range(20) for _ in range(i % 3 + 1)]
+    b_keys = [f"k{i}" for i in range(10, 30) for _ in range(2)]
+    a = spark.createDataFrame([(k,) for k in a_keys], "key string")
+    b = spark.createDataFrame([(k,) for k in b_keys], "key string")
+    true_size = a.join(b, "key").count()
+    est = cms_join_size_estimate(
+        cms_build(a, "key", d, w), cms_build(b, "key", d, w), d, w
+    ).first()
+    assert est.est_join_size >= true_size
+    # 40-ish keys in 1024 cells: collisions essentially impossible
+    assert est.est_join_size == true_size
+
+    disjoint = spark.createDataFrame([("zz1",), ("zz2",)], "key string")
+    est2 = cms_join_size_estimate(
+        cms_build(a, "key", d, w), cms_build(disjoint, "key", d, w), d, w
+    ).first()
+    assert est2.est_join_size == 0
+
+    # param-mismatch guard
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="build"):
+        cms_join_size_estimate(
+            cms_build(a, "key", d, w), cms_build(b, "key", d, w), d, 512
+        )
