@@ -297,3 +297,48 @@ def test_bpe_fold_matches_python_greedy_property(spark, syms, pair):
     df = spark.createDataFrame([(syms,)], "syms array<string>")
     got = df.select(bpe_apply_merge(F.col("syms"), a, b).alias("m")).first().m
     assert got == out
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(
+            lambda cs: " ".join(cs)
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_matches_python_set_reference(spark, docs):
+    """containment == |A∩B| / min(|A|,|B|) over the per-doc DISTINCT
+    3-shingle sets, computed independently in Python (uncapped)."""
+    from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+        containment_pairs,
+        shingle_table,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.containment)
+        for r in containment_pairs(
+            shingle_table(df, 3), threshold=0.0, max_df=None
+        ).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    for (ia, ta) in rows:
+        for (ib, tb) in rows:
+            if ia >= ib or not sets[ia] or not sets[ib]:
+                continue
+            inter = len(sets[ia] & sets[ib])
+            if inter == 0:
+                assert (ia, ib) not in got
+                continue
+            n, c = got[(ia, ib)]
+            assert n == inter
+            assert c == inter / min(len(sets[ia]), len(sets[ib]))
