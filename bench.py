@@ -132,10 +132,25 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     from business_intelligence_and_data_warehouse_spark.plans.queries import QUERIES
-    from business_intelligence_and_data_warehouse_spark.session import get_spark
+    from business_intelligence_and_data_warehouse_spark.session import (
+        get_spark,
+        shuffle_partitions_for,
+    )
     from business_intelligence_and_data_warehouse_spark.sources.testdata import sf_of
 
-    spark = get_spark(app_name="bidw-bench", cpus=cpus)
+    # scale initial shuffle partitions with the ACTUAL input size so a
+    # larger SF dir (scale-ramp runs) gets proportionally more reducers
+    # instead of the fixed local floor
+    data_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    spark = get_spark(
+        app_name="bidw-bench",
+        cpus=cpus,
+        shuffle_partitions=shuffle_partitions_for(data_bytes, cpus),
+    )
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not first-touch JIT/IO setup.

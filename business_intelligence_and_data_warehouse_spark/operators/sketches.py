@@ -84,25 +84,64 @@ def _bit_mask(pos_mod_32: Column) -> Column:
 
 
 def _assert_sketch_params(
-    sketch: DataFrame, value_col: str, expected: dict, who: str
-) -> None:
-    """Compare probe parameters against the build metadata carried on
-    the sketch's value column (attached by the build functions).  A
-    sketch that lost its metadata (round-tripped through storage)
-    passes — the guard catches the in-session mismatch case."""
+    sketch: DataFrame,
+    value_col: str,
+    expected: dict,
+    who: str,
+    structural: Column | None = None,
+) -> DataFrame:
+    """Validate probe parameters against the build metadata carried on
+    the sketch's value column (attached by the build functions) and
+    return the sketch to probe.
+
+    When the metadata is ABSENT (any parquet/storage round-trip drops
+    column metadata — exactly the persisted-sketch case where a
+    mismatch is most likely), fall back to ``structural``: a boolean
+    condition over the sketch's own rows (e.g. ``row < depth``,
+    ``word < ceil(m_bits/32)``) wrapped as a lazy ``assert_true`` on
+    the value column.  It evaluates JVM-side during the probe itself —
+    no extra job, no eager action — and fails loudly on the first row
+    that contradicts the probed geometry instead of silently voiding
+    the sketch's bound."""
     try:
         meta = sketch.schema[value_col].metadata
     except (KeyError, TypeError):
-        return
-    if not meta:
-        return
-    got = {k: meta[k] for k in expected if k in meta}
-    mismatched = {k: (v, expected[k]) for k, v in got.items() if v != expected[k]}
-    if mismatched:
-        raise ValueError(
-            f"{who}: probe parameters do not match the sketch's build "
-            f"parameters: {{name: (built, probed)}} = {mismatched}"
-        )
+        meta = None
+    if meta:
+        got = {k: meta[k] for k in expected if k in meta}
+        mismatched = {
+            k: (v, expected[k]) for k, v in got.items() if v != expected[k]
+        }
+        if mismatched:
+            raise ValueError(
+                f"{who}: probe parameters do not match the sketch's build "
+                f"parameters: {{name: (built, probed)}} = {mismatched}"
+            )
+        return sketch
+    if structural is None:
+        return sketch
+    checked = F.when(
+        F.assert_true(
+            structural,
+            F.lit(
+                f"{who}: sketch rows violate the probed parameters "
+                f"{expected} (metadata lost in a storage round-trip; "
+                "structural check failed)"
+            ),
+        ).isNull(),
+        F.col(value_col),
+    )
+    return sketch.withColumn(value_col, checked)
+
+
+def _cms_structural(depth: int, width: int) -> Column:
+    """Row-wise geometry check for a metadata-less count-min grid."""
+    return (
+        (F.col("row") >= 0)
+        & (F.col("row") < depth)
+        & (F.col("col") >= 0)
+        & (F.col("col") < width)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -166,8 +205,13 @@ def bloom_probe(
     probe silently voids the no-false-negative guarantee downstream
     verification relies on.
     """
-    _assert_sketch_params(
-        bloom, "bits", {"m_bits": m_bits, "k": k}, "bloom_probe"
+    n_words = (m_bits + 31) // 32
+    bloom = _assert_sketch_params(
+        bloom,
+        "bits",
+        {"m_bits": m_bits, "k": k},
+        "bloom_probe",
+        structural=(F.col("word") >= 0) & (F.col("word") < n_words),
     )
     out = _with_hash_slices(df, F.col(key_col))
     hit_all: Column | None = None
@@ -248,8 +292,12 @@ def cms_estimate(
     rows, split by row into depth single-row-indexed lookup sides.
     Probe parameters are asserted against the sketch's build metadata
     (mismatches would silently break the never-undercount bound)."""
-    _assert_sketch_params(
-        cms, "cnt", {"depth": depth, "width": width}, "cms_estimate"
+    cms = _assert_sketch_params(
+        cms,
+        "cnt",
+        {"depth": depth, "width": width},
+        "cms_estimate",
+        structural=_cms_structural(depth, width),
     )
     out = _with_hash_slices(keys, F.col(key_col))
     ests = []
@@ -425,6 +473,9 @@ def quantile_sketch_merge(sketches: list[DataFrame], k: int = 1024) -> DataFrame
     if not sketches:
         raise ValueError("quantile_sketch_merge needs at least one sketch")
     for s in sketches:
+        # no structural fallback: k is a SET-size property (rows per
+        # sketch <= k), not checkable per row without an extra job —
+        # a metadata-less merge degrades gracefully to approximation
         _assert_sketch_params(s, "priority", {"k": k}, "quantile_sketch_merge")
     out = sketches[0]
     for s in sketches[1:]:
@@ -596,10 +647,16 @@ def cms_join_size_estimate(
     upper-bounds the true size, so any zero row proves an empty join)
     — handled via the rows_used < depth branch.
     """
-    _assert_sketch_params(cms_a, "cnt", {"depth": depth, "width": width},
-                          "cms_join_size_estimate (left)")
-    _assert_sketch_params(cms_b, "cnt", {"depth": depth, "width": width},
-                          "cms_join_size_estimate (right)")
+    cms_a = _assert_sketch_params(
+        cms_a, "cnt", {"depth": depth, "width": width},
+        "cms_join_size_estimate (left)",
+        structural=_cms_structural(depth, width),
+    )
+    cms_b = _assert_sketch_params(
+        cms_b, "cnt", {"depth": depth, "width": width},
+        "cms_join_size_estimate (right)",
+        structural=_cms_structural(depth, width),
+    )
     a = cms_a.select("row", "col", F.col("cnt").alias("_ca"))
     b = cms_b.select("row", "col", F.col("cnt").alias("_cb"))
     per_row = (

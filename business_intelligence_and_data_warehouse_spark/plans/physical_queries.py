@@ -1235,3 +1235,89 @@ def events_quantile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# join-size estimation from two count-min sketches (AQE-adjacent)
+# ---------------------------------------------------------------------------
+
+def _o_cms(table: str, key: str, width: int) -> str:
+    """DuckDB replay of operators/sketches.cms_build over table.key."""
+    return f"""
+  SELECT i.i AS row, (a + i.i * b) % {width} AS col,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT {_o_hex5(1)} AS a, ({_o_hex5(6)}) * 2 + 1 AS b
+    FROM (SELECT md5(CAST({key} AS VARCHAR)) AS hx FROM {table})
+  ), (VALUES (0), (1), (2), (3)) i(i)
+  GROUP BY 1, 2"""
+
+
+@query_fn(
+    "sketch_join_size",
+    oracle=f"""
+WITH cms_o AS ({_o_cms("orders", "o_custkey", _CMS_W)}),
+cms_c AS ({_o_cms("customer", "c_custkey", _CMS_W)}),
+per_row AS (
+  SELECT o.row, CAST(SUM(o.cnt * c.cnt) AS BIGINT) AS ip
+  FROM cms_o o JOIN cms_c c USING (row, col)
+  GROUP BY 1
+),
+est AS (
+  SELECT CASE WHEN COUNT(*) < {_CMS_D} THEN CAST(0 AS BIGINT)
+              ELSE CAST(MIN(ip) AS BIGINT) END AS est_join_size,
+         CAST(COUNT(*) AS INTEGER) AS rows_used
+  FROM per_row
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT est_join_size, rows_used, exact_join_size,
+       est_join_size >= exact_join_size AS never_undercount,
+       (est_join_size - exact_join_size) / exact_join_size AS rel_overcount
+FROM est, exact
+""",
+)
+def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|orders ⋈ customer| on custkey estimated from the two sides'
+    count-min sketches (min over depth rows of the cell-wise inner
+    product — upper-biased, never below the true size), with the exact
+    join count and the never-undercount flag as the in-row honesty
+    report.
+
+    The 100-TB use: both sketches are depth×width regardless of table
+    size and mergeable across shards, so broadcast-vs-shuffle-vs-salt
+    decisions (operators/planning.choose_join_strategy) read bounded
+    state instead of re-scanning either side.  All arithmetic is
+    integer (md5-slice double hashing, BIGINT sums), so the estimate
+    replays bit-identically in the DuckDB oracle; the exact side is
+    the test-scale honesty column, not part of the production path.
+    """
+    from ..operators.caching import pin
+    from ..operators.sketches import cms_build, cms_join_size_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    # pin both grids: cms_join_size_estimate reads each exactly once,
+    # but the exact-side join below shares the session, and unpinned
+    # grids would rebuild if a future composition reuses them
+    cms_o = pin(cms_build(orders, "o_custkey", _CMS_D, _CMS_W))
+    cms_c = pin(cms_build(customer, "c_custkey", _CMS_D, _CMS_W))
+    est = cms_join_size_estimate(cms_o, cms_c, _CMS_D, _CMS_W)
+    exact = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "rows_used",
+        "exact_join_size",
+        (F.col("est_join_size") >= F.col("exact_join_size")).alias(
+            "never_undercount"
+        ),
+        (
+            (F.col("est_join_size") - F.col("exact_join_size"))
+            / F.col("exact_join_size")
+        ).alias("rel_overcount"),
+    )

@@ -134,6 +134,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup: asymmetric max-containment pairs (quote/subset detector)
+# ---------------------------------------------------------------------------
+
+_CONT_T = 0.6
+
+
+@query_fn(
+    "dedup_containment",
+    oracle=f"""
+WITH {_O_SHINGLES},
+kept AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_MAX_DF}
+),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shc GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, c AS n_common,
+       c / LEAST(sa.n, sb.n) AS containment,
+       c / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c / LEAST(sa.n, sb.n) >= {_CONT_T}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by 3-gram max-containment
+    C(A,B) = |A∩B| / min(|A|,|B|) >= 0.6 — the quote/subset signal
+    symmetric Jaccard misses (a page embedding a whole short document
+    scores J ≈ |small|/|big| but C = 1.0).  Same df-capped blocking as
+    ``dedup_ngram_jaccard`` (the cap bounds the candidate join; the
+    measure is exact on the capped vocabulary); both measures come off
+    ONE common-count join so curation policies can threshold either.
+    Exact integer counts -> IEEE-identical doubles in both engines.
+    """
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = shingle_table(docs, 3)
+    return containment_pairs(
+        shingles, threshold=_CONT_T, max_df=_MAX_DF
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
 # dedup: MinHash + LSH (4 bands x 2 rows) with exact verification
 # ---------------------------------------------------------------------------
 

@@ -14,6 +14,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+def shuffle_partitions_for(
+    data_bytes: int,
+    cpus: int,
+    target_partition_bytes: int = 64 << 20,
+) -> int:
+    """Initial shuffle partitions scaled to a KNOWN input size — the
+    data-size hint the fixed ``max(16, cpus // 2)`` default lacks.
+
+    Enough partitions that the largest plausible shuffle (~= the input
+    size) lands ``target_partition_bytes`` per reducer, floored at the
+    machine's shuffle-file-creation sweet spot and capped at 8x the
+    core count (AQE coalesces the tail; beyond that the file fan-out
+    costs more than the parallelism returns locally).  Callers that
+    know their scale (bench harness, scale-ramp audit) pass the
+    result as ``get_spark(shuffle_partitions=...)``; on a real cluster
+    the same formula applies with the cluster-wide core count.
+    """
+    need = -(-max(data_bytes, 1) // target_partition_bytes)  # ceil div
+    return max(max(16, cpus // 2), min(need, 8 * cpus))
+
+
 def get_spark(
     app_name: str = "bidw-spark",
     cpus: int | None = None,

@@ -232,3 +232,65 @@ def test_cms_join_size_estimate_bounds_and_zero(spark):
         cms_join_size_estimate(
             cms_build(a, "key", d, w), cms_build(b, "key", d, w), d, 512
         )
+
+
+def test_metadata_less_sketch_probe_checks_structure(spark):
+    """A sketch that lost its build metadata (parquet round-trip) still
+    fails loudly on a geometry mismatch — the lazy structural check —
+    while a correctly-parameterized probe of the same round-tripped
+    sketch works unchanged (ADVICE r6: the persisted-sketch scenario)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d, w = 4, 1024
+    keys = spark.createDataFrame([(f"k{i % 7}",) for i in range(50)], "key string")
+    # Spark's own parquet writer happens to round-trip column metadata;
+    # external writers / catalog registration / CSV do not — strip it
+    # explicitly to model those
+    persisted = cms_build(keys, "key", d, w).withMetadata("cnt", {})
+    assert not persisted.schema["cnt"].metadata
+
+    probes = keys.distinct()
+    ok = cms_estimate(probes, "key", persisted, d, w).collect()
+    assert all(r.est_count >= 1 for r in ok)
+
+    # probing the 1024-wide grid as if it were 64-wide: cells with
+    # col >= 64 contradict the probed geometry -> assert_true fires
+    with _pytest.raises(Py4JJavaError, match="cms_estimate"):
+        cms_estimate(probes, "key", persisted, d, 64).collect()
+
+
+def test_shuffle_partitions_for_scales_with_data():
+    from business_intelligence_and_data_warehouse_spark.session import (
+        shuffle_partitions_for,
+    )
+
+    # tiny data: the local file-creation floor wins
+    assert shuffle_partitions_for(10 << 20, 32) == 16
+    # 10 GB at 64 MB targets: 160 reducers
+    assert shuffle_partitions_for(10 << 30, 32) == 160
+    # huge data: capped at 8x cores (AQE owns the tail)
+    assert shuffle_partitions_for(1 << 50, 32) == 256
+    # floor also respects cpus//2 on big machines
+    assert shuffle_partitions_for(1, 128) == 64
+
+
+def test_table_cache_evicts_other_sessions(spark, sf_dir):
+    """Entries keyed by a stopped session's applicationId are dropped
+    on the next insert (ADVICE r6: unbounded growth across sessions)."""
+    from business_intelligence_and_data_warehouse_spark.sources import testdata
+
+    testdata.load_table(spark, sf_dir, "region")
+    app = spark.sparkContext.applicationId
+    dead_key = ("dead-app-123", "/nowhere", "region")
+    testdata._TABLE_CACHE[dead_key] = testdata._TABLE_CACHE[
+        (app, __import__("os").path.abspath(sf_dir), "region")
+    ]
+    testdata.load_table(spark, sf_dir, "nation")
+    assert dead_key not in testdata._TABLE_CACHE
+    assert all(k[0] == app for k in testdata._TABLE_CACHE)
