@@ -114,6 +114,8 @@ HEADLINE = [
     "corpus_domain_quota",
     "text_char_entropy",
     "bpe_top_pairs",
+    # r7: full BPE encoder (train 8 merges + corpus encode)
+    "bpe_encode_corpus",
     "embedding_random_projection",
     "stream_heavy_hitters",
     "stream_quantile_sketch",

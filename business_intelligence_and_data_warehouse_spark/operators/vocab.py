@@ -152,3 +152,84 @@ def bpe_apply_merge(symbols, a: str, b: str):
             ),
         ).otherwise(F.concat(acc, F.array(s))),
     )
+
+
+# ---------------------------------------------------------------------------
+# full BPE: train a merge list, then encode the corpus with it
+# ---------------------------------------------------------------------------
+
+# New symbols live in the BMP private-use area: normalize_text output
+# is plain corpus text, so these codepoints are guaranteed absent —
+# every symbol (initial char or merged pair) stays EXACTLY ONE
+# character, which is what makes greedy left-to-right merging equal to
+# a plain literal ``replace`` in any engine (both Spark's ``replace``
+# and DuckDB's scan left-to-right over non-overlapping occurrences,
+# the Sennrich trainer's semantics).
+BPE_SYMBOL_BASE = 0xE000
+
+
+def bpe_new_symbol(rank: int) -> str:
+    """The single private-use character standing for merge ``rank``
+    (1-based) — deterministic, so any engine regenerates the same
+    symbol table from the same merge ranks."""
+    return chr(BPE_SYMBOL_BASE + rank - 1)
+
+
+def bpe_train(
+    words: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges over a (w, freq) word table and
+    return ``(merges, encoded_words)``: merges as
+    (rank, a, b, new_symbol, pair_count) in training order, and the
+    word table with ``w`` carrying the fully re-segmented symbol
+    string (one char per symbol) plus the original word in ``w0``.
+
+    Scale shape (100 TB): the corpus is scanned ONCE into the
+    vocabulary-sized (w, freq) table (``word_frequencies``), which is
+    pinned here; every training iteration is then one pair-count
+    aggregate over word TYPES weighted by frequency plus a ONE-ROW
+    collect — the trainer's inherent synchronization point (each merge
+    decision feeds the next iteration's re-segmentation; the classic
+    Sennrich/GPT-2 trainer loop).  Nothing corpus-sized moves after
+    the first scan, and the driver state is N five-tuples.
+
+    Tie-break: highest pair_count, then (a, b) ascending — fully
+    deterministic, mirrored by the DuckDB oracle's ORDER BY.
+    """
+    from .caching import pin
+
+    work = pin(words.select(F.col("w").alias("w0"), "w", "freq"))
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            bpe_pair_counts(work)
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(1).collect()
+        )
+        if not top:  # every word is a single symbol; nothing to merge
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].pair_count)
+        new = bpe_new_symbol(rank)
+        merges.append((rank, a, b, new, cnt))
+        work = work.withColumn(
+            "w", F.replace(F.col("w"), F.lit(a + b), F.lit(new))
+        )
+    return merges, work
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    word_col: str = "w",
+    out_col: str = "enc",
+) -> DataFrame:
+    """Apply a trained merge list to a word table: ``out_col`` is the
+    symbol string (one char per symbol) after every merge, applied in
+    rank order — the tokenizer-APPLICATION step.  A chain of literal
+    ``replace`` expressions, entirely codegen'd JVM-side: no Python,
+    no loop jobs, no shuffle (narrow projection over whatever
+    partitioning ``words`` already has)."""
+    enc = F.col(word_col)
+    for _rank, a, b, new, _cnt in merges:
+        enc = F.replace(enc, F.lit(a + b), F.lit(new))
+    return words.withColumn(out_col, enc)

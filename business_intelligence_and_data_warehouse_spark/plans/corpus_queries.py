@@ -248,3 +248,143 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# full BPE: train N merges, then encode the corpus with them
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def _o_bpe_ctes(n: int) -> str:
+    """DuckDB replay of the full BPE trainer (operators/vocab.bpe_train):
+    iteration i counts adjacent symbol pairs over the CURRENT
+    re-segmentation of the (word, freq) vocabulary, picks the top pair
+    (count desc, then a, b — the trainer's tie-break), and re-segments
+    by literal replace with the rank-i private-use symbol.  Because
+    every symbol is exactly one character, greedy left-to-right merge
+    IS non-overlapping string replace in both engines."""
+    from ..operators.vocab import bpe_new_symbol
+
+    parts = [
+        f"""w0 AS (
+  SELECT w, w AS enc, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split({_O_NORM}, ' ')) AS w FROM documents)
+  GROUP BY 1
+)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(f"""p{i} AS (
+  SELECT substr(enc, CAST(i AS INTEGER), 1) AS a,
+         substr(enc, CAST(i AS INTEGER) + 1, 1) AS b,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT enc, freq, unnest(range(1, len(enc))) AS i
+        FROM w{i - 1} WHERE len(enc) >= 2)
+  GROUP BY 1, 2
+)""")
+        parts.append(
+            f"m{i} AS (SELECT a, b, pair_count FROM p{i} "
+            f"ORDER BY pair_count DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"w{i} AS (SELECT w, replace(enc, (SELECT a || b FROM m{i}), "
+            f"'{bpe_new_symbol(i)}') AS enc, freq FROM w{i - 1})"
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_merge_rows():
+    from ..operators.vocab import bpe_new_symbol
+
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, a, b, "
+        f"'{bpe_new_symbol(i)}' AS new_symbol, pair_count FROM m{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+
+
+@query_fn(
+    "bpe_train_merges",
+    oracle=f"""
+WITH {_o_bpe_ctes(_BPE_MERGES)}
+SELECT * FROM (
+{_bpe_merge_rows()}
+)
+ORDER BY rank
+""",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge list itself: N=8 (a, b) -> new_symbol
+    merges in training order with their pair counts — the artifact a
+    tokenizer ships.  The Spark trainer (operators/vocab.bpe_train) is
+    the corpus-scanned-once / vocabulary-iterated Sennrich loop; the
+    oracle replays the SAME N iterations as chained CTEs, so the merge
+    decisions (including tie-breaks) hash-match across engines.
+    Integer counts and single-character symbols throughout — nothing
+    float-dependent.
+    """
+    from ..operators.vocab import bpe_train, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(word_frequencies(docs), _BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "rank int, a string, b string, new_symbol string, pair_count bigint"
+    ).orderBy("rank")
+
+
+@query_fn(
+    "bpe_encode_corpus",
+    oracle=f"""
+WITH {_o_bpe_ctes(_BPE_MERGES)},
+occ AS (
+  SELECT doc_id, unnest(string_split({_O_NORM}, ' ')) AS w FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(o.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(e.enc)) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(o.w)) AS BIGINT) / CAST(SUM(len(e.enc)) AS BIGINT)
+         AS compression_ratio
+FROM occ o JOIN w{_BPE_MERGES} e USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode every document with the trained
+    8-merge BPE and report per-doc token counts + compression ratio —
+    the step that turns tokenizer prep into an actual distributed
+    encoder.
+
+    Scale shape: training touches the corpus once (see ``bpe_train``);
+    encoding never re-segments documents at all — the (word -> encoded
+    symbol string) table is VOCABULARY-sized, so it broadcasts, and
+    per-doc stats are one aggregate over the (doc_id, w) occurrence
+    scan.  At 100 TB that is: one corpus scan for the word table, one
+    for the occurrence join — the merge loop costs corpus nothing.
+    Exactness: token/char counts are integers; the ratio is one
+    int/int IEEE division, identical in both engines.
+    """
+    from ..operators.vocab import bpe_train, occurrences, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, encoded = bpe_train(word_frequencies(docs), _BPE_MERGES)
+    # encoded: (w0 = original word, w = symbol string after all merges)
+    encmap = encoded.select(
+        F.col("w0").alias("w"), F.length("w").alias("n_sym")
+    )
+    occ = occurrences(docs)
+    return (
+        occ.join(F.broadcast(encmap), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_sym").alias("n_tokens"),
+            (
+                F.sum(F.length("w")) / F.sum("n_sym")
+            ).alias("compression_ratio"),
+        )
+        .orderBy("doc_id")
+    )

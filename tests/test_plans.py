@@ -452,6 +452,9 @@ def test_no_collect_in_query_code_paths():
         ("streaming/sinks.py", "batch_lastp.select(load_date_col).distinct()"),
         # bounded: the dedup index's ONE-ROW build-params record
         ("operators/dedup.py", 'parquet(index_dir + "/meta").collect()'),
+        # bounded: the BPE trainer's one-row-per-iteration merge pick
+        # (the trainer's inherent sync point; vocabulary-sized agg)
+        ("operators/vocab.py", ".limit(1).collect()"),
     }
     offenders = []
     for path in sorted(pkg.rglob("*.py")):

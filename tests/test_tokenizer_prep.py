@@ -218,3 +218,79 @@ def test_bpe_two_iterations_converge_with_python_trainer(spark):
     )
     got2 = {(r.a, r.b): r.pair_count for r in pairs2.collect()}
     assert got2 == dict(py_counts())
+
+
+def _py_bpe_train(freqs: dict[str, int], n: int):
+    """Pure-Python Sennrich BPE trainer: count adjacent symbol pairs
+    over (word, freq), merge the top pair (count desc, then a, b) via
+    greedy left-to-right str.replace, repeat.  Single-char symbols
+    throughout (merged symbols get private-use chars), so replace IS
+    the greedy merge."""
+    enc = {w: w for w in freqs}
+    merges = []
+    for rank in range(1, n + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in freqs.items():
+            e = enc[w]
+            for i in range(len(e) - 1):
+                p = (e[i], e[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        new = chr(0xE000 + rank - 1)
+        merges.append((rank, a, b, new, cnt))
+        enc = {w: e.replace(a + b, new) for w, e in enc.items()}
+    return merges, enc
+
+
+def test_bpe_full_train_and_encode_match_python_trainer(spark, sf_dir):
+    """End-to-end: 8 distributed merge iterations + the corpus encode
+    must match the pure-Python trainer on the REAL documents table —
+    merge list, per-word re-segmentation, and per-doc token counts."""
+    from collections import Counter
+
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        bpe_train,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    texts = [r.text for r in docs.select("text").collect()]
+    norm = [" ".join(t.lower().split()) for t in texts]
+    freqs = Counter(w for t in norm for w in t.split())
+
+    want_merges, want_enc = _py_bpe_train(dict(freqs), 8)
+    got_merges, got_words = bpe_train(word_frequencies(docs), 8)
+    assert got_merges == want_merges
+
+    got_enc = {r.w0: r.w for r in got_words.collect()}
+    assert got_enc == want_enc
+
+    # token counts compress: every merge shortens some word
+    assert sum(len(e) for e in got_enc.values()) < sum(
+        len(w) for w in got_enc
+    )
+
+
+def test_bpe_encode_words_applies_merges_in_rank_order(spark):
+    """Cascading merges: rank-2 merges a rank-1 symbol with a raw
+    char, so applying out of order would diverge."""
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        bpe_encode_words,
+    )
+
+    s1, s2 = chr(0xE000), chr(0xE001)
+    merges = [(1, "a", "b", s1, 9), (2, s1, "c", s2, 5)]
+    words = spark.createDataFrame(
+        [("abc",), ("abab",), ("cab",), ("abcabc",)], "w string"
+    )
+    got = {r.w: r.enc for r in bpe_encode_words(words, merges).collect()}
+    assert got == {
+        "abc": s2,
+        "abab": s1 + s1,
+        "cab": "c" + s1,
+        "abcabc": s2 + s2,
+    }
