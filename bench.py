@@ -102,7 +102,6 @@ HEADLINE = [
     "sim_ann_ivfpq",
     "stream_dedup_neardup",
     "multimodal_audio_features",
-    "sim_pq_recall_report",
     # r5 physical-design + sketch batch
     "warehouse_zorder_layout",
     "contamination_bloom",
@@ -122,10 +121,11 @@ HEADLINE = [
     "events_hll_cardinality",
     "events_hll_by_type",
     "events_quantile_by_type",
-    "quantile_sketch_prices",
+    # r7: bench times the PRODUCTION estimate-only sketch form; the
+    # exact-side accuracy companions stay registered for the driver
+    "quantile_prices_production",
     "incremental_join_delta",
     "incremental_join_counting",
-    "dedup_lsh_recall_report",
 ]
 
 

@@ -778,11 +778,9 @@ _O_QSK_CASE = (
     + " END"
 )
 
-
-@query_fn(
-    "quantile_sketch_prices",
-    oracle=f"""
-WITH sample AS (
+# the sketch-side estimate pipeline, shared by the PRODUCTION
+# estimate-only query and the test-scale accuracy companion
+_O_QSK_EST = f"""sample AS (
   SELECT md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
              || '-' || CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR))
            AS priority,
@@ -802,37 +800,19 @@ est AS (
   SELECT q, n_sample, value AS est
   FROM qs JOIN ranked
     ON ranked.r = GREATEST(CAST(CEIL(q * n_sample) AS BIGINT), CAST(1 AS BIGINT))
-),
-px AS (SELECT {_O_QSK_PX} FROM lineitem)
-SELECT est.q, est.n_sample, est.est,
-       {_O_QSK_CASE} AS exact,
-       (est.est - {_O_QSK_CASE}) / {_O_QSK_CASE} AS rel_err
-FROM est, px
-ORDER BY est.q
-""",
-)
-def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile estimates from a k=1024 hash-priority bottom-k sketch
-    over ``l_extendedprice``, with the exact interpolated percentile
-    and relative error as the in-row accuracy report — the fourth
-    sketch (membership / frequency / cardinality / QUANTILES), and
-    the replayable counterpart of the reference's percentile surface
-    (`Python Analytics/PythonAnalysis.py:517-518` df.describe
-    quantiles).
+)"""
 
-    Exactness chain: the sketch content is the k lexicographically
-    smallest md5 priorities (deterministic in any partitioning; the
-    oracle replays the same LIMIT), rank selection is IEEE multiply +
-    ceil over identical inputs, and the exact side goes through the
-    shared ``dpctl`` decimal snap.  Shard mergeability is an exact
-    set identity (pytest-pinned in tests/test_sketches.py).
-    """
+
+def _qsk_estimates(li: DataFrame) -> DataFrame:
+    """(q, n_sample, est) quantile estimates from the k=1024
+    hash-priority bottom-k sketch over ``l_extendedprice`` — the
+    production path shared by ``quantile_prices_production`` and the
+    accuracy companion ``quantile_sketch_prices``."""
     from ..operators.sketches import (
         quantile_sketch_build,
         quantile_sketch_quantiles,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
     # (11,785 dup pairs at sf0.01); folding the 4-decimal price into the
     # key makes tied priorities carry EQUAL values, so the bottom-k
@@ -846,7 +826,65 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,4)").cast("string"),
     )
     sketch = quantile_sketch_build(li, "l_extendedprice", key, k=_QSK_K)
-    est = quantile_sketch_quantiles(sketch, _QSK_QS)
+    return quantile_sketch_quantiles(sketch, _QSK_QS)
+
+
+@query_fn(
+    "quantile_prices_production",
+    oracle=f"""
+WITH {_O_QSK_EST}
+SELECT q, n_sample, est FROM est
+ORDER BY q
+""",
+)
+def quantile_prices_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION quantile estimates over ``l_extendedprice``: the
+    k=1024 bottom-k sketch alone — one TakeOrdered over the scan plus
+    a k-row rank selection, O(k) state at any corpus size.  This is
+    the query a 100-TB user runs; the exact-percentile column lives in
+    the test-scale accuracy companion ``quantile_sketch_prices``
+    (which buffers the full column and exists to MEASURE this sketch,
+    not to ship).  The bench battery times this form."""
+    return _qsk_estimates(load_table(spark, sf_dir, "lineitem")).orderBy("q")
+
+
+@query_fn(
+    "quantile_sketch_prices",
+    oracle=f"""
+WITH {_O_QSK_EST},
+px AS (SELECT {_O_QSK_PX} FROM lineitem)
+SELECT est.q, est.n_sample, est.est,
+       {_O_QSK_CASE} AS exact,
+       (est.est - {_O_QSK_CASE}) / {_O_QSK_CASE} AS rel_err
+FROM est, px
+ORDER BY est.q
+""",
+)
+def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEST-SCALE ACCURACY COMPANION to ``quantile_prices_production``:
+    the same k=1024 bottom-k quantile estimates, with the exact
+    interpolated percentile and relative error as in-row accuracy
+    columns — the fourth sketch's honesty report (membership /
+    frequency / cardinality / QUANTILES), and the replayable
+    counterpart of the reference's percentile surface
+    (`Python Analytics/PythonAnalysis.py:517-518` df.describe
+    quantiles).
+
+    The exact side buffers the full value column in one
+    array-percentile aggregate — affordable at validation SFs, exactly
+    the thing a 100-TB user drops: production runs the estimate-only
+    twin, this query exists to MEASURE it (the same split as the
+    LSH/PQ recall reports vs their production dedup/ANN paths).
+
+    Exactness chain: the sketch content is the k lexicographically
+    smallest md5 priorities (deterministic in any partitioning; the
+    oracle replays the same LIMIT), rank selection is IEEE multiply +
+    ceil over identical inputs, and the exact side goes through the
+    shared ``dpctl`` decimal snap.  Shard mergeability is an exact
+    set identity (pytest-pinned in tests/test_sketches.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    est = _qsk_estimates(li)
     # ONE array-percentile aggregate, not five scalar ones: the exact
     # percentile buffers the full column per aggregate, so five
     # separate calls were 4.4x the cost (6.4s vs 1.4s at sf0.1); each

@@ -1530,10 +1530,14 @@ SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
 """,
 )
 def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall AND candidate precision of the 4-band × 2-row
-    MinHash blocking — the honesty report for the near-dup family's
-    recall knobs, as `sim_ann_recall_report` is for IVF and
-    `sim_pq_recall_report` for PQ.
+    """TEST-SCALE ACCURACY COMPANION to ``dedup_minhash_lsh`` (the
+    production path the bench times): measured recall AND candidate
+    precision of the 4-band × 2-row MinHash blocking — the honesty
+    report for the near-dup family's recall knobs, as
+    `sim_ann_recall_report` is for IVF and `sim_pq_recall_report` for
+    PQ.  The exact-Jaccard truth side is the price of the measurement
+    and runs at validation SFs only — a 100-TB user ships the
+    production query and runs this on a sample.
 
     recall = banded candidates ∩ truth / truth, where truth is the
     df-capped exact-Jaccard ≥ 0.5 pair set (`dedup_ngram_jaccard`'s

@@ -714,10 +714,13 @@ FROM bt LEFT JOIN pt ON pt.qid = bt.qid AND pt.cid = bt.cid
 """,
 )
 def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MEASURED recall@10 of PQ/ADC against the exact squared-L2
-    brute-force baseline (same metric, so the report isolates
-    quantization error — the accuracy side of the m/stride knobs).
-    One row: (n_probes, k, n_hits, n_expected, recall_at_k)."""
+    """TEST-SCALE ACCURACY COMPANION to ``sim_ann_pq`` (the production
+    path the bench times): MEASURED recall@10 of PQ/ADC against the
+    exact squared-L2 brute-force baseline (same metric, so the report
+    isolates quantization error — the accuracy side of the m/stride
+    knobs).  The brute-force truth side runs at validation SFs / on a
+    sample only.  One row: (n_probes, k, n_hits, n_expected,
+    recall_at_k)."""
     from ..operators.similarity import brute_force_l2_topk, pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
