@@ -20,6 +20,19 @@ does not:
   salt, the broadcast side is exploded once per salt value, and the
   join key becomes (key, salt). Equivalent to a plain inner join.
 
+WHEN TO SALT — measured, not asserted (r7, `tools/skew_stress.py` at
+20M–60M rows with a 10–50% hot key; full table in SCALE.md): do NOT
+salt algebraic aggregates (map-side partials already collapse the hot
+key; salting measured 6x WORSE) or count_distinct (Catalyst's rewrite
+shuffles on (key, value), which de-skews by itself; ~1.4x worse).
+Salting pays for (a) holistic per-group state that cannot
+partial-aggregate — collect-like aggregates measured 1.14x faster
+salted even on local[32] — and (b) straggler amplification on real
+clusters, where one hot task idles every other executor (local mode
+caps that loss at the core count and so understates the win).  For
+joins, broadcast is the first answer whenever a side fits
+(`operators/planning.choose_join_strategy` encodes the decision).
+
 The salt is DETERMINISTIC per row content (`xxhash64` over all
 columns, mod buckets) — never `rand()`. A non-deterministic expression
 feeding a shuffle is the SPARK-23207 failure class: under a fetch
