@@ -44,6 +44,7 @@ HEADLINE = [
     "share_of_total",
     "pivot_event_matrix",
     "skew_salted_agg",
+    "skew_split_join",
     "approx_sketches",
     "corpus_curation",
     "churn_rolling_window",

@@ -119,3 +119,39 @@ def salted_broadcast_left(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return b.join(F.broadcast(s), on + ["_salt"], "inner").drop("_salt")
+
+
+def hot_key_split_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    hot_keys: DataFrame,
+) -> DataFrame:
+    """Inner join big ⋈ dim on ``on`` with the classic hot-key SPLIT:
+    rows whose key is in the (small) ``hot_keys`` set join against a
+    BROADCAST of the dim's hot slice; everything else takes the normal
+    shuffle join; the two streams union.  Result is exactly
+    ``big.join(dim, on, "inner")`` (oracle-checked) — only the routing
+    changes.
+
+    Why this still exists next to AQE's skew split: AQE splits an
+    oversized shuffle PARTITION by replicating the matching dim
+    partition — both sides still shuffle in full.  The explicit split
+    never shuffles the hot rows at all (map-side broadcast probe) and
+    ships only the dim's HOT SLICE, which is the interesting case when
+    the dim is too big to broadcast whole but its hot keys are a
+    handful — exactly what `operators/planning.choose_join_strategy`'s
+    inputs (CMS max-key bound + HLL cardinality) detect.  At 100 TB
+    the hot set comes from those sketches (heavy hitters), not a
+    count of the data.
+
+    ``hot_keys``: a SMALL DataFrame holding the hot key values (any
+    extra columns ignored); it is broadcast three times for the
+    semi/anti routing, all map-side.
+    """
+    hk = F.broadcast(hot_keys.select(*on).distinct())
+    hot = big.join(hk, on, "left_semi").join(
+        F.broadcast(dim.join(hk, on, "left_semi")), on, "inner"
+    )
+    cold = big.join(hk, on, "left_anti").join(dim, on, "inner")
+    return hot.unionByName(cold)

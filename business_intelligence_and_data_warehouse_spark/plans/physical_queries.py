@@ -1359,3 +1359,65 @@ def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_join_size")
         ).alias("rel_overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hot-key split join: broadcast the dim's hot slice, shuffle the rest
+# ---------------------------------------------------------------------------
+
+_HOT_MIN_LINES = 6
+
+
+@query_fn(
+    "skew_split_join",
+    oracle=f"""
+WITH j AS (
+  SELECT o_orderpriority, l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {o_dsum("rev")} AS revenue
+FROM j
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders computed through the explicit hot-key SPLIT
+    (operators/skew.hot_key_split_join): order keys with >=
+    {_HOT_MIN_LINES} line items route through a broadcast of the
+    orders' hot slice, the cold tail through the normal shuffle join —
+    then aggregated per order priority.  The oracle is the PLAIN join:
+    the split is pure routing, so the hash must match exactly (the
+    same equality contract as the salted operators).
+
+    At 100 TB the hot set comes from the heavy-hitter sketches
+    (`cms_max_key_upper`, `events_heavy_hitters`), not a count of the
+    data as staged here for determinism; the split is the answer when
+    `choose_join_strategy` detects skew AND the dim's hot slice is
+    tiny while the dim itself is not broadcastable.
+    """
+    from ..operators.skew import hot_key_split_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    hot = (
+        li.groupBy("okey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= _HOT_MIN_LINES)
+    )
+    joined = hot_key_split_join(li, orders, ["okey"], hot)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(rev).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

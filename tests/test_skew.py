@@ -186,3 +186,27 @@ def test_side_stats_from_real_sketches(spark):
         choose_join_strategy(other, ustats, broadcast_threshold=1).strategy
         == "shuffle"
     )
+
+
+def test_hot_key_split_join_equals_plain_join(spark):
+    """Routing must not change results: split-join == plain inner join
+    on a skewed table, including hot keys absent from the dim and dim
+    keys absent from the data."""
+    from business_intelligence_and_data_warehouse_spark.operators.skew import (
+        hot_key_split_join,
+    )
+
+    big = spark.range(0, 3000).select(
+        F.when(F.col("id") % 3 == 0, F.lit(7))
+        .otherwise(F.col("id") % 500)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("tag")
+    )
+    hot = spark.createDataFrame([(7,), (11,), (999_999,)], "k long")
+    plain = big.join(dim, ["k"], "inner")
+    split = hot_key_split_join(big, dim, ["k"], hot)
+    cols = ["k", "payload", "tag"]
+    assert _rows(split, *cols) == _rows(plain, *cols)
