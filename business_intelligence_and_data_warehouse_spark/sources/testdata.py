@@ -81,19 +81,19 @@ def load_table(
         raise KeyError(f"unknown testdata table {name!r}; have {TABLES}")
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     if use_cache:
+        # evict entries from OTHER sessions first (hit or miss): their
+        # DataFrames reference stopped SparkContexts and can never hit
+        # again, so a process that cycles many sessions would otherwise
+        # accumulate dead plans (single-session processes lose nothing
+        # — their app id matches every cached key; the dict is tiny)
+        app_id = key[0]
+        for stale in [k for k in _TABLE_CACHE if k[0] != app_id]:
+            del _TABLE_CACHE[stale]
         cached = _TABLE_CACHE.get(key)
         if cached is not None:
             return cached
     df = _read_table(spark, sf_dir, name)
     if use_cache:
-        # evict entries from OTHER sessions: their DataFrames reference
-        # stopped SparkContexts and can never hit again, so a process
-        # that cycles many sessions would otherwise accumulate dead
-        # plans (single-session processes lose nothing — their app id
-        # matches every cached key)
-        app_id = key[0]
-        for stale in [k for k in _TABLE_CACHE if k[0] != app_id]:
-            del _TABLE_CACHE[stale]
         _TABLE_CACHE[key] = df
     return df
 

@@ -240,7 +240,6 @@ def test_metadata_less_sketch_probe_checks_structure(spark):
     while a correctly-parameterized probe of the same round-tripped
     sketch works unchanged (ADVICE r6: the persisted-sketch scenario)."""
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
 
     from business_intelligence_and_data_warehouse_spark.operators.sketches import (
         cms_build,
@@ -261,7 +260,9 @@ def test_metadata_less_sketch_probe_checks_structure(spark):
 
     # probing the 1024-wide grid as if it were 64-wide: cells with
     # col >= 64 contradict the probed geometry -> assert_true fires
-    with _pytest.raises(Py4JJavaError, match="cms_estimate"):
+    # (surfaces as Py4JJavaError or the converted SparkRuntimeException
+    # depending on where codegen evaluates it — match the message)
+    with _pytest.raises(Exception, match="cms_estimate"):
         cms_estimate(probes, "key", persisted, d, 64).collect()
 
 

@@ -294,3 +294,41 @@ def test_bpe_encode_words_applies_merges_in_rank_order(spark):
         "cab": "c" + s1,
         "abcabc": s2 + s2,
     }
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_bpe_trainer_matches_python_on_random_corpora(spark, seed):
+    """Seeded random corpora (adversarial shapes: repeated chars,
+    shared prefixes, single-char words) — the distributed trainer must
+    track the Python reference exactly, merges AND encodings."""
+    import random
+
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        bpe_train,
+        word_frequencies,
+    )
+
+    rng = random.Random(seed)
+    alphabet = "abcde"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+        for _ in range(60)
+    ] + ["aaaa", "ababab", "a", "aa"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(3, 20)))
+        for _ in range(30)
+    ]
+    from collections import Counter
+
+    freqs = Counter(w for t in texts for w in t.split())
+    want_merges, want_enc = _py_bpe_train(dict(freqs), 6)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got_merges, got_words = bpe_train(word_frequencies(docs), 6)
+    assert got_merges == want_merges
+    assert {r.w0: r.w for r in got_words.collect()} == want_enc

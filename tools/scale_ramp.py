@@ -58,8 +58,10 @@ REPRESENTATIVES = [
     "dedup_clusters",
     "dedup_multi_signal",
     # similarity family
+    "sim_ann_lsh",
     "sim_ann_ivf",
     "sim_ann_pq",
+    "sim_ann_ivfpq",
     "sim_embedding_topk",
     # corpus / tokenizer / sketches
     "corpus_curation_funnel",
