@@ -75,6 +75,8 @@ HEADLINE = [
     "events_lookback_join",
     "dedup_keep_best",
     "corpus_pack_sequences",
+    # r7: end-to-end composite (curation funnel -> sequence packing)
+    "pipeline_curate_pack",
     "events_hourly_ohlc",
     "basket_pair_lift",
     "stream_ohlc_live",

@@ -1611,3 +1611,81 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("verify_precision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end composite: curation -> greedy sequence packing
+# ---------------------------------------------------------------------------
+
+_PIPE_BUDGET = 200
+
+
+@query_fn(
+    "pipeline_curate_pack",
+    oracle=f"""
+WITH RECURSIVE {_CURATION_CTES},
+surv AS (
+  SELECT d.source, s3.doc_id, CAST(s3.n_tokens AS INTEGER) AS n_tokens
+  FROM s3 JOIN documents d USING (doc_id)
+  WHERE s3.doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+t2 AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM surv
+),
+pack AS (
+  SELECT source, doc_id, n_tokens, rn, 0 AS seq_id, n_tokens AS fill
+  FROM t2 WHERE rn = 1
+  UNION ALL
+  SELECT t2.source, t2.doc_id, t2.n_tokens, t2.rn,
+         CASE WHEN p.fill + t2.n_tokens > {_PIPE_BUDGET}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill + t2.n_tokens > {_PIPE_BUDGET}
+              THEN t2.n_tokens ELSE p.fill + t2.n_tokens END
+  FROM t2 JOIN pack p ON t2.source = p.source AND t2.rn = p.rn + 1
+)
+SELECT source, CAST(seq_id AS INTEGER) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+FROM pack
+GROUP BY 1, 2
+ORDER BY source, seq_id
+""",
+)
+def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-data composite: the raw corpus flows
+    through the full curation funnel (language -> quality -> exact
+    dedup -> MinHash near-dedup, `operators/curation.curate_corpus`)
+    and the SURVIVORS are greedily packed per source into <=200-token
+    training sequences (`operators/packing.pack_sequences`), reported
+    per sequence — one registry entry proving the stages compose into
+    the pipeline a user would actually run, with the whole chain
+    hash-checked against one DuckDB replay (curation CTEs + the
+    recursive packing CTE, both reused from the per-stage oracles).
+
+    Plan shape is the sum of its audited parts: the curation stages
+    share one tokenize pass, near-dedup is banded + df-capped, and
+    only (source, doc_id, n_tokens) — never text — crosses the Arrow
+    boundary into the per-source packing recurrence.
+    """
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated, _funnel = curate_corpus(docs)
+    with_tokens = curated.join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("source", "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+    packed = pack_sequences(
+        with_tokens, budget=_PIPE_BUDGET, group_col="source",
+        id_col="doc_id", tokens_col="n_tokens", shards=1,
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        )
+        .select("source", F.col("seq_id").cast("int").alias("seq_id"),
+                "n_docs", "seq_tokens")
+        .orderBy("source", "seq_id")
+    )

@@ -210,3 +210,35 @@ def test_hot_key_split_join_equals_plain_join(spark):
     split = hot_key_split_join(big, dim, ["k"], hot)
     cols = ["k", "payload", "tag"]
     assert _rows(split, *cols) == _rows(plain, *cols)
+
+
+def test_split_join_routes_hot_through_broadcast(spark):
+    """The operator's point is the ROUTING: with the auto-broadcast
+    threshold disabled (as at real dim scale), the hot branch must
+    still be a broadcast hash join (explicit hint on the hot slice)
+    while the cold branch is left to the planner."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from business_intelligence_and_data_warehouse_spark.operators.skew import (
+            hot_key_split_join,
+        )
+
+        big = spark.range(0, 1000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("tag")
+        )
+        hot = spark.createDataFrame([(7,)], "k long")
+        df = hot_key_split_join(big, dim, ["k"], hot)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        # hot slice join + 3 routing semi/anti joins are all broadcast;
+        # the cold join falls back to sort-merge with broadcast off
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
