@@ -123,6 +123,7 @@ HEADLINE = [
     "stream_quantile_sketch",
     "events_hll_cardinality",
     "events_hll_by_type",
+    "events_hll_overlap",
     "events_quantile_by_type",
     # r7: bench times the PRODUCTION estimate-only sketch form; the
     # exact-side accuracy companions stay registered for the driver

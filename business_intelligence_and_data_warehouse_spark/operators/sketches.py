@@ -674,3 +674,59 @@ def cms_join_size_estimate(
         .alias("est_join_size"),
         "rows_used",
     )
+
+
+def hll_merge(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
+    """Cellwise-MAX merge of two HLL register tables — exactly the
+    register table of the UNION of the two key streams (max is the
+    merge for rank registers, as addition is for count-min cells), so
+    shard/stream/set-union cardinalities all come from the same
+    bounded O(2^p) state."""
+    return (
+        regs_a.unionByName(regs_b)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_set_ops(
+    regs_a: DataFrame, regs_b: DataFrame, p: int = HLL_P
+) -> DataFrame:
+    """One row of SET analytics from two HLL register tables:
+    (est_a, est_b, est_union, est_intersection, jaccard_est).
+
+    Union is exact at the sketch level (:func:`hll_merge` — the merged
+    registers ARE the union's registers); intersection falls out by
+    inclusion-exclusion over the three estimates (clamped at 0 — the
+    difference of estimates can go slightly negative on disjoint
+    sets), and set-Jaccard is their ratio.  The 100-TB use: audience
+    overlap / key-set similarity between two corpora from O(2^p)
+    mergeable state per side, no join and no rescan.  Error grows for
+    small intersections of large sets (the classic inclusion-exclusion
+    caveat) — callers needing tight small-overlap bounds should use
+    the MinHash signatures instead.
+
+    Determinism: each estimate is the snapped HLL closed form
+    (:func:`hll_estimate`); the combination is fixed-order IEEE
+    arithmetic over those snapped doubles, so the whole row replays
+    bit-identically in a SQL oracle.
+    """
+    ea = hll_estimate(regs_a, p).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(regs_b, p).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(hll_merge(regs_a, regs_b), p).select(
+        F.col("estimate").alias("est_union")
+    )
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("est_intersection"),
+            (inter / F.col("est_union")).alias("jaccard_est"),
+        )
+    )

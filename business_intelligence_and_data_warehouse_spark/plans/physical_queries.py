@@ -1421,3 +1421,116 @@ def skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set operations: audience overlap from mergeable registers
+# ---------------------------------------------------------------------------
+
+_OVL_A, _OVL_B = "click", "purchase"
+
+
+def _o_hll_est_cte(where: str, a: str) -> str:
+    """CTE chain `est_{a}` holding the snapped HLL estimate of
+    DISTINCT user_id over `events WHERE {where}` — the same closed
+    form as the events_hll_cardinality oracle, parameterized so the
+    set-operation query can replay three sketches."""
+    return f"""h_{a} AS (
+  SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events WHERE {where}
+),
+slots_{a} AS (
+  SELECT ({_O_HEXV.format(i=1)} * 256
+          + {_O_HEXV.format(i=2)} * 16
+          + {_O_HEXV.format(i=3)}) AS bucket,
+         ({_O_HEXV.format(i=4)} * 4096
+          + {_O_HEXV.format(i=5)} * 256
+          + {_O_HEXV.format(i=6)} * 16
+          + {_O_HEXV.format(i=7)}) AS w
+  FROM h_{a}
+),
+regs_{a} AS (
+  SELECT bucket, MAX({_O_RHO}) AS max_rho FROM slots_{a} GROUP BY 1
+),
+agg_{a} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_filled,
+         COALESCE(SUM(1e0 / CAST(1 << max_rho AS DOUBLE)), 0e0) AS z
+  FROM regs_{a}
+),
+est_{a} AS (
+  SELECT CASE WHEN raw <= 10240e0 AND v > 0
+              THEN FLOOR(4096e0 * ln(4096e0 / v) * 1e6) / 1e6
+              ELSE FLOOR(raw * 1e6) / 1e6 END AS estimate
+  FROM (
+    SELECT CAST(4096 - n_filled AS BIGINT) AS v,
+           {_HLL_ALPHA!r}e0 * 4096e0 * 4096e0
+             / (z + (4096 - n_filled)) AS raw
+    FROM agg_{a}
+  )
+)"""
+
+
+@query_fn(
+    "events_hll_overlap",
+    oracle=f"""
+WITH {_o_hll_est_cte(f"event_type = '{_OVL_A}'", "a")},
+{_o_hll_est_cte(f"event_type = '{_OVL_B}'", "b")},
+{_o_hll_est_cte(f"event_type IN ('{_OVL_A}', '{_OVL_B}')", "u")},
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT user_id FROM events WHERE event_type = '{_OVL_A}'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = '{_OVL_B}'
+  )
+)
+SELECT est_a.estimate AS est_a,
+       est_b.estimate AS est_b,
+       est_u.estimate AS est_union,
+       GREATEST(est_a.estimate + est_b.estimate - est_u.estimate, 0e0)
+         AS est_intersection,
+       GREATEST(est_a.estimate + est_b.estimate - est_u.estimate, 0e0)
+         / est_u.estimate AS jaccard_est,
+       exact_intersection
+FROM est_a, est_b, est_u, ex
+""",
+)
+def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience OVERLAP between two event types from HyperLogLog
+    registers alone: union cardinality from the cellwise-MAX register
+    merge (exact at the sketch level — the merged registers ARE the
+    union's), intersection by inclusion-exclusion, set-Jaccard as
+    their ratio, with the exact intersection as the in-row accuracy
+    column (operators/sketches.hll_merge / hll_set_ops).
+
+    The 100-TB shape: each side's registers are O(4096) mergeable
+    state built with one partial-aggregated pass over its shard —
+    overlap analytics between corpora/audiences then cost three
+    closed-form evaluations, no join of the key sets and no rescan.
+    Every estimate replays bit-identically (dyadic harmonic sums,
+    ladder rho, ln snap), and the combination is fixed-order IEEE
+    arithmetic over the snapped doubles, so even the derived
+    intersection/Jaccard hash-match the DuckDB replay.
+    """
+    from ..operators.caching import pin
+    from ..operators.sketches import hll_set_ops
+
+    events = load_table(spark, sf_dir, "events")
+    # pin both register tables: each feeds its own estimate AND the
+    # max-merge union — two consumers through DIFFERENT aggregates,
+    # so without a pin the event scan + register build runs twice per
+    # side (the different-exchange pin rule, SCALE.md)
+    regs_a = pin(
+        hll_registers(events.filter(F.col("event_type") == _OVL_A), "user_id")
+    )
+    regs_b = pin(
+        hll_registers(events.filter(F.col("event_type") == _OVL_B), "user_id")
+    )
+    ops = hll_set_ops(regs_a, regs_b)
+    exact = (
+        events.filter(F.col("event_type") == _OVL_A)
+        .select("user_id")
+        .intersect(
+            events.filter(F.col("event_type") == _OVL_B).select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return ops.crossJoin(F.broadcast(exact))

@@ -295,3 +295,36 @@ def test_table_cache_evicts_other_sessions(spark, sf_dir):
     testdata.load_table(spark, sf_dir, "nation")
     assert dead_key not in testdata._TABLE_CACHE
     assert all(k[0] == app for k in testdata._TABLE_CACHE)
+
+
+def test_hll_merge_is_union_and_set_ops_behave(spark):
+    """Merged registers must equal the union stream's registers
+    exactly (max is the merge); inclusion-exclusion intersection is ~0
+    on disjoint sets (clamped at 0) and ~|A| on identical sets with
+    jaccard ~1."""
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+        hll_set_ops,
+    )
+
+    a = spark.range(0, 3000).select(F.concat(F.lit("a"), F.col("id")).alias("k"))
+    b = spark.range(0, 2000).select(F.concat(F.lit("b"), F.col("id")).alias("k"))
+    ra, rb = hll_registers(a, "k"), hll_registers(b, "k")
+    merged = {r.bucket: r.max_rho for r in hll_merge(ra, rb).collect()}
+    direct = {
+        r.bucket: r.max_rho
+        for r in hll_registers(a.unionByName(b), "k").collect()
+    }
+    assert merged == direct
+
+    disj = hll_set_ops(ra, rb).first()
+    # HLL error at p=12 is ~1.6%; disjoint intersection estimate must
+    # be small relative to the union, and never negative
+    assert disj.est_intersection >= 0.0
+    assert disj.est_intersection < 0.05 * disj.est_union
+    assert abs(disj.est_union - (disj.est_a + disj.est_b)) < 0.05 * disj.est_union
+
+    same = hll_set_ops(ra, hll_registers(a, "k")).first()
+    assert same.est_union == same.est_a  # identical registers
+    assert abs(same.jaccard_est - 1.0) < 1e-9
