@@ -65,6 +65,7 @@ REPRESENTATIVES = [
     "sim_embedding_topk",
     # corpus / tokenizer / sketches
     "corpus_curation_funnel",
+    "pipeline_curate_pack",
     "corpus_pack_sequences",
     "bpe_encode_corpus",
     "events_heavy_hitters",
