@@ -146,11 +146,15 @@ def main() -> None:
 
     # scale initial shuffle partitions with the ACTUAL input size so a
     # larger SF dir (scale-ramp runs) gets proportionally more reducers
-    # instead of the fixed local floor
+    # instead of the fixed local floor.  *.parquet entries are FILES in
+    # the driver-generated dirs but DIRECTORIES in Spark-written ones
+    # (scale-ramp output) — walk recursively so the sizing is not
+    # silently inert in exactly the scaled case it exists for
     data_bytes = sum(
-        os.path.getsize(os.path.join(sf_dir, f))
-        for f in os.listdir(sf_dir)
-        if f.endswith(".parquet")
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(sf_dir)
+        for f in files
+        if not f.startswith((".", "_"))
     )
     spark = get_spark(
         app_name="bidw-bench",

@@ -109,6 +109,11 @@ class JoinAdvice:
     strategy: str  # broadcast_left | broadcast_right | salted | shuffle
     salt_buckets: int  # 0 unless strategy == "salted"
     reason: str
+    # which side the decisive statistic points at: the broadcast-able
+    # side for broadcast_*, the SKEWED side for salted (the one to
+    # salt / split — without this a caller would have to re-derive the
+    # comparison the planner just made), "" for plain shuffle
+    side: str = ""
 
 
 def choose_join_strategy(
@@ -124,10 +129,10 @@ def choose_join_strategy(
     sketches (see module docstring for the rules and why each bound is
     safe).  Pure driver-side arithmetic: property-tested across the
     broadcast-threshold and skew boundaries in tests/test_skew.py."""
-    smaller, larger, side = (
-        (left, right, "left")
+    smaller, side = (
+        (left, "left")
         if left.bytes_estimate <= right.bytes_estimate
-        else (right, left, "right")
+        else (right, "right")
     )
     if smaller.bytes_estimate <= broadcast_threshold:
         return JoinAdvice(
@@ -138,8 +143,11 @@ def choose_join_strategy(
                 f"{broadcast_threshold}B broadcast threshold; broadcast "
                 "hash join shuffles nothing and probe skew is irrelevant"
             ),
+            side=side,
         )
-    hot = max(left, right, key=lambda s: s.skew_ratio)
+    hot, hot_side = max(
+        ((left, "left"), (right, "right")), key=lambda p: p[0].skew_ratio
+    )
     if hot.skew_ratio > skew_factor:
         buckets = max(
             2,
@@ -152,11 +160,13 @@ def choose_join_strategy(
             strategy="salted",
             salt_buckets=buckets,
             reason=(
-                f"hottest key <= {hot.max_key_freq} rows vs mean "
-                f"{hot.rows / max(hot.distinct_keys, 1):.1f} "
-                f"(ratio {hot.skew_ratio:.1f} > {skew_factor}); salt "
-                f"into {buckets} buckets to bound the largest task"
+                f"{hot_side} side's hottest key <= {hot.max_key_freq} rows "
+                f"vs mean {hot.rows / max(hot.distinct_keys, 1):.1f} "
+                f"(ratio {hot.skew_ratio:.1f} > {skew_factor}); salt the "
+                f"{hot_side} side into {buckets} buckets (or split its "
+                "hot keys, operators/skew.hot_key_split_join)"
             ),
+            side=hot_side,
         )
     return JoinAdvice(
         strategy="shuffle",
@@ -173,15 +183,27 @@ def side_stats_from_sketches(
     cms: DataFrame, distinct_keys: int, avg_row_bytes: int
 ) -> JoinSideStats:
     """Assemble :class:`JoinSideStats` from a side's count-min sketch
-    plus externally-known cardinality/row-width.  The two ``first()``
-    reads are ONE-ROW aggregates of a <= depth x width grid — bounded
-    metadata lookups (the grid never grows with the table), the same
-    class as reading a file footer, not a data collect."""
-    total = cms_stream_total(cms).first()[0]
-    mx = cms_max_key_upper(cms).first()[0]
+    plus externally-known cardinality/row-width.  ONE action: both
+    statistics come out of a single aggregate over the <= depth x width
+    grid (an unpinned sketch's build lineage therefore executes once,
+    not once per statistic), and the final read is a one-row lookup —
+    the same class as reading a file footer, not a data collect."""
+    per_row = cms.groupBy("row").agg(
+        F.sum("cnt").alias("_s"), F.max("cnt").alias("_m")
+    )
+    row = per_row.agg(
+        # every occurrence increments exactly one cell per depth row,
+        # so any row's cell sum is the exact stream length (row 0 read)
+        F.coalesce(
+            F.max(F.when(F.col("row") == 0, F.col("_s"))), F.lit(0)
+        ).cast("long").alias("total"),
+        # min over rows of the hottest cell: the CMS point-estimate
+        # bound applied to the (unknown) hottest key — never under
+        F.coalesce(F.min("_m"), F.lit(0)).cast("long").alias("mx"),
+    ).first()
     return JoinSideStats(
-        rows=int(total),
+        rows=int(row["total"]),
         avg_row_bytes=avg_row_bytes,
         distinct_keys=distinct_keys,
-        max_key_freq=int(mx),
+        max_key_freq=int(row["mx"]),
     )

@@ -94,15 +94,28 @@ def _assert_sketch_params(
     the sketch's value column (attached by the build functions) and
     return the sketch to probe.
 
-    When the metadata is ABSENT (any parquet/storage round-trip drops
-    column metadata — exactly the persisted-sketch case where a
-    mismatch is most likely), fall back to ``structural``: a boolean
-    condition over the sketch's own rows (e.g. ``row < depth``,
+    When the metadata is ABSENT (storage through a non-Spark writer or
+    catalog registration drops column metadata; Spark's own parquet
+    round-trips it), fall back to ``structural``: a boolean condition
+    over the sketch's own rows (e.g. ``col < width``,
     ``word < ceil(m_bits/32)``) wrapped as a lazy ``assert_true`` on
     the value column.  It evaluates JVM-side during the probe itself —
-    no extra job, no eager action — and fails loudly on the first row
-    that contradicts the probed geometry instead of silently voiding
-    the sketch's bound."""
+    no extra job, no eager action.
+
+    Scope of the fallback, stated honestly: it catches SHRINK-direction
+    geometry mismatches on rows the probe actually evaluates (probing a
+    1024-wide grid as 64-wide fires on the cells with col >= 64 that
+    the broadcast build side materializes).  It structurally CANNOT
+    catch (a) growth-direction mismatches — every row of a 1024-wide
+    build is also consistent with a 2048-wide probe, yet such a probe
+    hashes half its keys into empty territory and silently undercounts
+    — or (b) mismatches on a dimension the probe filters on before
+    evaluation (cms depth: the ``row == i`` probe filters discard
+    violating rows unseen).  Metadata is the real guard; the fallback
+    is best-effort evidence, and callers persisting sketches through
+    metadata-stripping storage should revalidate geometry out-of-band
+    (row/col/word maxima vs the probed parameters — one tiny
+    aggregate over the grid)."""
     try:
         meta = sketch.schema[value_col].metadata
     except (KeyError, TypeError):
@@ -132,6 +145,34 @@ def _assert_sketch_params(
         F.col(value_col),
     )
     return sketch.withColumn(value_col, checked)
+
+
+def sketch_geometry_report(sketch: DataFrame, bounds: dict[str, int]) -> DataFrame:
+    """One-row out-of-band geometry report for a metadata-less sketch:
+    per (index column -> exclusive upper bound), the observed min/max
+    plus an ``ok`` flag that every index lies in [0, bound) — the
+    revalidation the lazy structural fallback cannot perform for
+    growth-direction or probe-filtered dimensions (see
+    :func:`_assert_sketch_params`).  One tiny aggregate over the
+    bounded grid (<= depth x width / m/32 rows), run once after
+    loading a sketch from metadata-stripping storage::
+
+        ok = sketch_geometry_report(cms, {"row": depth, "col": width})
+        ok = sketch_geometry_report(bloom, {"word": (m_bits + 31) // 32})
+
+    Note the growth caveat still applies at the data level: a grid
+    whose maxima FIT a larger probe geometry is indistinguishable from
+    one built at it; this report proves consistency, while metadata
+    proves provenance."""
+    aggs = []
+    for col in bounds:
+        aggs.append(F.min(col).alias(f"min_{col}"))
+        aggs.append(F.max(col).alias(f"max_{col}"))
+    row = sketch.agg(*aggs)
+    ok: Column = F.lit(True)
+    for col, ub in bounds.items():
+        ok = ok & (F.col(f"min_{col}") >= 0) & (F.col(f"max_{col}") < ub)
+    return row.withColumn("ok", ok)
 
 
 def _cms_structural(depth: int, width: int) -> Column:

@@ -287,8 +287,19 @@ def _o_bpe_ctes(n: int) -> str:
             f"m{i} AS (SELECT a, b, pair_count FROM p{i} "
             f"ORDER BY pair_count DESC, a, b LIMIT 1)"
         )
+        # Vocabulary-collapse guard: if fewer than i merges exist,
+        # m{i} is empty and the bare scalar subquery would be NULL —
+        # replace(enc, NULL, sym) nulls every word.  COALESCE to a
+        # sentinel character that can never appear (U+F8FF, above the
+        # merge-symbol range), so the replace matches nothing and the
+        # iteration passes words through unchanged, mirroring the
+        # Spark trainer's loop break.  Kept as ONE scalar subquery:
+        # DuckDB inlines chained CTEs, so each extra reference to
+        # w{i-1} per level multiplies the plan (a CASE form with a
+        # second subquery made the 8-level chain 3^8 copies and hung).
         parts.append(
-            f"w{i} AS (SELECT w, replace(enc, (SELECT a || b FROM m{i}), "
+            f"w{i} AS (SELECT w, replace(enc, "
+            f"COALESCE((SELECT a || b FROM m{i}), ''), "
             f"'{bpe_new_symbol(i)}') AS enc, freq FROM w{i - 1})"
         )
     return ",\n".join(parts)

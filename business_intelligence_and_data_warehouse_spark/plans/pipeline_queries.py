@@ -1671,7 +1671,17 @@ def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
-    curated, _funnel = curate_corpus(docs)
+    # thresholds passed explicitly: the oracle bakes in these module
+    # constants, so relying on curate_corpus's defaults would couple
+    # parity to a default drifting silently (same rule as
+    # corpus_curation above)
+    curated, _funnel = curate_corpus(
+        docs,
+        target_lang=_CUR_LANG,
+        min_quality=_CUR_MIN_Q,
+        min_tokens=_CUR_MIN_TOK,
+        jaccard_threshold=_JACCARD_T,
+    )
     with_tokens = curated.join(
         docs.select("doc_id", "source"), "doc_id"
     ).select("source", "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))

@@ -328,3 +328,22 @@ def test_hll_merge_is_union_and_set_ops_behave(spark):
     same = hll_set_ops(ra, hll_registers(a, "k")).first()
     assert same.est_union == same.est_a  # identical registers
     assert abs(same.jaccard_est - 1.0) < 1e-9
+
+
+def test_sketch_geometry_report_flags_out_of_range(spark):
+    """Out-of-band geometry revalidation: in-range grids report ok,
+    a grid probed under a smaller geometry does not (the check the
+    lazy structural fallback cannot do for filtered dimensions)."""
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        cms_build,
+        sketch_geometry_report,
+    )
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(200)], "key string")
+    cms = cms_build(keys, "key", 4, 1024)
+    ok = sketch_geometry_report(cms, {"row": 4, "col": 1024}).first()
+    assert ok.ok and ok.max_col < 1024 and ok.min_row >= 0
+    bad = sketch_geometry_report(cms, {"row": 2, "col": 1024}).first()
+    assert not bad.ok  # rows 2,3 violate a depth-2 probe
+    bad2 = sketch_geometry_report(cms, {"row": 4, "col": 64}).first()
+    assert not bad2.ok

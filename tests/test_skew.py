@@ -242,3 +242,19 @@ def test_split_join_routes_hot_through_broadcast(spark):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_advice_names_the_decisive_side():
+    """The advice must be actionable without re-deriving the planner's
+    comparison: broadcast names the broadcast-able side, salted names
+    the SKEWED side (the one to salt/split)."""
+    small = _stats(rows=100, avg_bytes=10)
+    big = _stats(rows=10**9, distinct=10**6)
+    hot = _stats(rows=10**9, distinct=10**6, max_freq=10**6)
+    assert choose_join_strategy(big, small).side == "right"
+    assert choose_join_strategy(small, big).side == "left"
+    adv = choose_join_strategy(big, hot, broadcast_threshold=1)
+    assert adv.strategy == "salted" and adv.side == "right"
+    adv2 = choose_join_strategy(hot, big, broadcast_threshold=1)
+    assert adv2.strategy == "salted" and adv2.side == "left"
+    assert choose_join_strategy(big, big, broadcast_threshold=1).side == ""

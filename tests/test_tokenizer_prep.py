@@ -332,3 +332,52 @@ def test_bpe_trainer_matches_python_on_random_corpora(spark, seed):
     got_merges, got_words = bpe_train(word_frequencies(docs), 6)
     assert got_merges == want_merges
     assert {r.w0: r.w for r in got_words.collect()} == want_enc
+
+
+def test_bpe_oracle_survives_vocabulary_collapse():
+    """If the vocabulary runs out of pairs before all 8 merges, later
+    oracle iterations must pass words through unchanged (an empty
+    merge pick must NOT null every encoding via replace(enc, NULL, x))
+    — mirroring the Spark trainer's loop break."""
+    import duckdb
+    import pandas as pd
+
+    from business_intelligence_and_data_warehouse_spark.plans.queries import (
+        ORACLES,
+    )
+
+    con = duckdb.connect()
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a aa a aa", "aa a"],
+         "lang": ["en", "en"], "source": ["s1", "s1"],
+         "n_chars": [9, 4]}
+    )
+    con.register("documents", df)
+    got = con.execute(ORACLES["bpe_encode_corpus"]).df()
+    # one merge exists ((a,a) -> private symbol); afterwards every
+    # word is a single symbol and iterations 2..8 are no-ops
+    assert got["n_tokens"].notna().all()
+    rows = {int(r.doc_id): r for r in got.itertuples()}
+    # doc 1: words a aa a aa -> tokens 1+1+1+1 = 4; chars 1+2+1+2 = 6
+    assert rows[1].n_tokens == 4 and rows[1].n_chars == 6
+    assert rows[2].n_tokens == 2 and rows[2].n_chars == 3
+
+    merges = con.execute(ORACLES["bpe_train_merges"]).df()
+    assert len(merges) == 1  # ranks 2..8 contribute no rows
+    con.close()
+
+
+def test_bpe_train_breaks_on_vocabulary_collapse(spark):
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        bpe_train,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a aa a aa"), (2, "aa a")], "doc_id long, text string"
+    )
+    merges, words = bpe_train(word_frequencies(docs), 8)
+    assert len(merges) == 1
+    assert merges[0][1:3] == ("a", "a")
+    got = {r.w0: r.w for r in words.collect()}
+    assert got == {"a": "a", "aa": merges[0][3]}

@@ -208,10 +208,14 @@ def _run(mults: list[int]) -> None:
         "overwrite"
     ).save()
 
+    unknown = [n for n in REPRESENTATIVES if n not in QUERIES]
+    if unknown:
+        # fail loudly: a renamed query silently dropping out of the
+        # audit would make the summary look complete when it isn't
+        # (the repo's no-silent-caps rule)
+        raise SystemExit(f"unknown representatives (renamed?): {unknown}")
     results: dict[str, dict[int, float]] = {}
     for name in REPRESENTATIVES:
-        if name not in QUERIES:
-            continue
         results[name] = {}
         for m in mults:
             best = None

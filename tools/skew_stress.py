@@ -73,19 +73,8 @@ def main() -> None:
 
     no_bcast = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
 
-    def with_conf(conf: dict, build):
-        def go():
-            old = {k: spark.conf.get(k) for k in conf}
-            for k, v in conf.items():
-                spark.conf.set(k, v)
-            try:
-                return build()
-            finally:
-                for k, v in old.items():
-                    spark.conf.set(k, v)
-        return go
-
-    # NOTE: conf must be active at EXECUTION, not build; wrap run instead
+    # NOTE: conf must be active at EXECUTION (not just plan build), so
+    # the conf is set around the timed runs, not closed over the builder
     def timed_conf(name: str, conf: dict, build, n: int = 3) -> float:
         old = {k: spark.conf.get(k, None) for k in conf}
         for k, v in conf.items():
