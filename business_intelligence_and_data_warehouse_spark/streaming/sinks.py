@@ -51,12 +51,24 @@ def merge_last_state(
     callers pass an order column that is unique per key, e.g. a
     fixed-width ts||id string)."""
     merged = batch if current is None else current.unionByName(batch)
+    _guard_reserved(merged, "merge_last_state")
     w = W.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
     return (
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def _guard_reserved(df: DataFrame, who: str, col: str = "_rn") -> None:
+    """The dedup-rank column would silently OVERWRITE (then drop) a
+    caller column of the same name — refuse instead (the r6
+    reserved-column rule, operators/incremental.py)."""
+    if col in df.columns:
+        raise ValueError(
+            f"{who}: input carries reserved column {col!r}; rename it "
+            "(the sink uses it internally and would drop it)"
+        )
 
 
 class _SnapshotStore:
@@ -86,6 +98,39 @@ class _SnapshotStore:
 
     def commit(self, df: DataFrame, lineage: str, batch_id: int) -> None:
         self._tw.commit({"df": df}, lineage, batch_id)
+
+
+def _drive(stream_df: DataFrame, handle, checkpoint_dir: str) -> None:
+    """Run ``handle`` over every available micro-batch and wait for a
+    clean shutdown — the ONE copy of the foreachBatch drive sequence
+    every run_* sink shares (a fix to the drive path applies here,
+    not in five places)."""
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+
+def _lineage_read(store: _SnapshotStore, lineage: str) -> DataFrame | None:
+    """The stored snapshot IF it belongs to this checkpoint lineage —
+    the counting-class sinks' reset rule (a rebuilt checkpoint replays
+    the source from scratch, so state from another lineage must be
+    discarded, not merged into)."""
+    state = store._state()
+    if state is not None and state.get("lineage") == lineage:
+        return store.read()
+    return None
+
+
+# last-resort lineage tokens for checkpoints whose filesystem rejects
+# even the token write — one per (process, checkpoint path), see
+# _checkpoint_lineage's fallback branch
+_LINEAGE_FALLBACK: dict[str, str] = {}
 
 
 def _checkpoint_lineage(checkpoint_dir: str) -> str:
@@ -123,7 +168,12 @@ def _checkpoint_lineage(checkpoint_dir: str) -> str:
         with open(token_path) as fh:
             return fh.read().strip()
     except OSError:
-        return token
+        # token persistence ALSO failed (read-only / failing fs): fall
+        # back to one token per (process, checkpoint path) — a fresh
+        # token per CALL would make already_applied never fire and the
+        # counting sinks would silently commit only the final batch's
+        # state as if it covered the whole stream
+        return _LINEAGE_FALLBACK.setdefault(checkpoint_dir, token)
 
 
 def run_upsert_stream(
@@ -154,15 +204,7 @@ def run_upsert_stream(
         merged = merge_last_state(store.read(), batch_df, key_cols, order_col)
         store.commit(merged, lineage, batch_id)
 
-    q = (
-        stream_df.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(30)
+    _drive(stream_df, handle, checkpoint_dir)
     out = store.read()
     assert out is not None, "stream produced no batches"
     return out
@@ -210,30 +252,27 @@ def run_cms_stream(
         if store.already_applied(lineage, batch_id):
             return  # redelivered batch within this lineage: skip
         batch_cms = cms_build(batch_df, key_col, depth, width)
-        state = store._state()
-        cur = (
-            store.read()
-            if state is not None and state.get("lineage") == lineage
-            else None  # new lineage: full replay, fresh sketch
-        )
+        cur = _lineage_read(store, lineage)  # new lineage: fresh sketch
         merged = (
             batch_cms
             if cur is None
             else cur.unionByName(batch_cms)
             .groupBy("row", "col")
-            .agg(F.sum("cnt").alias("cnt"))
+            .agg(
+                # re-attach the build params a bare re-alias would
+                # strip: Spark parquet round-trips column metadata, so
+                # the persisted merged sketch keeps the hard probe-side
+                # parameter assert instead of silently downgrading to
+                # the structural fallback (which cannot catch
+                # growth-direction mismatches)
+                F.sum("cnt").alias(
+                    "cnt", metadata={"depth": depth, "width": width}
+                )
+            )
         )
         store.commit(merged, lineage, batch_id)
 
-    q = (
-        stream_df.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(30)
+    _drive(stream_df, handle, checkpoint_dir)
     out = store.read()
     assert out is not None, "stream produced no batches"
     return out
@@ -279,31 +318,19 @@ def run_quantile_sketch_stream(
         batch_sk = quantile_sketch_build(
             batch_df, value_col, F.col(key_col), k=k
         )
-        state = store._state()
-        cur = (
-            store.read()
-            if state is not None and state.get("lineage") == lineage
-            else None
-        )
+        cur = _lineage_read(store, lineage)  # new lineage: fresh sketch
         merged = (
             batch_sk
             if cur is None
             # the operator's own merge (the identity the batch tests
-            # pin) — cur comes back from parquet without metadata, so
-            # the k-guard checks only the fresh batch side
+            # pin); cur round-trips Spark parquet WITH its k metadata,
+            # so the merge's k-guard checks BOTH sides — a k-mismatched
+            # rerun against an existing root fails loudly on cur
             else quantile_sketch_merge([batch_sk, cur], k=k)
         )
         store.commit(merged, lineage, batch_id)
 
-    q = (
-        stream_df.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(30)
+    _drive(stream_df, handle, checkpoint_dir)
     out = store.read()
     assert out is not None, "stream produced no batches"
     return out
@@ -361,6 +388,7 @@ def run_scd2_stream(
         lineage = _checkpoint_lineage(checkpoint_dir)
         if store.already_applied(lineage, batch_id):
             return
+        _guard_reserved(batch_df, "run_scd2_stream")
         w = W.partitionBy(*nat_key, load_date_col).orderBy(
             F.col(order_col).desc()
         )
@@ -439,15 +467,7 @@ def run_scd2_stream(
         lastp_store.commit(pruned, lineage, batch_id)
         store.commit(dim.select(*dim_cols), lineage, batch_id)
 
-    q = (
-        stream_df.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(30)
+    _drive(stream_df, handle, checkpoint_dir)
     out = store.read()
     assert out is not None, "stream produced no batches"
     return out
@@ -498,7 +518,16 @@ class _TwinStore:
         self, frames: dict[str, DataFrame], lineage: str, batch_id: int
     ) -> None:
         state = self._state()
-        paths = {}
+        # CARRY FORWARD committed snapshots this commit does not
+        # overwrite: a commit naming only {"verdicts"} must not destroy
+        # a previously accepted {"corpus"} (e.g. a later
+        # run_neardup_filter_stream invocation with accept_novel=False
+        # against a root built with accept_novel=True) — only the
+        # snapshots actually REPLACED here are pruned
+        paths: dict[str, str] = (
+            dict(state["paths"]) if state is not None else {}
+        )
+        replaced = [paths[name] for name in frames if name in paths]
         for name, df in frames.items():
             path = os.path.join(
                 self.root, f"{name}_v{batch_id}_{uuid.uuid4().hex[:8]}"
@@ -511,10 +540,10 @@ class _TwinStore:
                 {"paths": paths, "lineage": lineage, "batch_id": batch_id}, fh
             )
         os.replace(tmp, self._pointer())  # both snapshots flip at once
-        if state is not None:
-            for old in state["paths"].values():
-                if old not in paths.values():
-                    shutil.rmtree(old, ignore_errors=True)
+        live = set(paths.values())
+        for old in replaced:
+            if old not in live:
+                shutil.rmtree(old, ignore_errors=True)
 
 
 def run_neardup_filter_stream(
@@ -555,6 +584,7 @@ def run_neardup_filter_stream(
     rewritten as one narrow stage — swap for Delta/Iceberg appends at
     production scale). Returns the accumulated verdict log.
     """
+    from ..operators.caching import release_pinned
     from ..operators.dedup import incremental_dedup
 
     store = _TwinStore(spark, root)
@@ -567,8 +597,6 @@ def run_neardup_filter_stream(
         # pinned copy per processed batch (the r4 session-residue
         # class — release_pinned only runs at registry-query
         # boundaries, never between micro-batches)
-        from ..operators.caching import release_pinned
-
         release_pinned()
         lineage = _checkpoint_lineage(checkpoint_dir)
         if store.already_applied(lineage, batch_id):
@@ -620,15 +648,11 @@ def run_neardup_filter_stream(
             )
         store.commit(frames, lineage, batch_id)
 
-    q = (
-        doc_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(30)
+    _drive(doc_stream, handle, checkpoint_dir)
+    # drop the FINAL batch's pinned token tables too — without this the
+    # last working set stays cached until some later registry query
+    # happens to call release_pinned (the r4 session-residue class)
+    release_pinned()
     out = store.read("verdicts")
     assert out is not None, "stream produced no batches"
     return out

@@ -585,3 +585,79 @@ def test_quantile_sketch_stream_equals_batch_and_survives_reset(spark, tmp_path)
     sh.rmtree(str(tmp_path / "store" / "_checkpoint"), ignore_errors=True)
     got3 = sorted((r.priority, r.value) for r in run().collect())
     assert got3 == want
+
+
+def test_neardup_gate_accept_novel_off_preserves_accepted_corpus(
+    spark, tmp_path
+):
+    """A later run with accept_novel=False (the default) against a root
+    whose corpus snapshot holds accepted novel docs must NOT destroy
+    that corpus: the TwinStore commit carries forward snapshots it does
+    not overwrite."""
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        _TwinStore,
+        run_neardup_filter_stream,
+    )
+
+    root = str(tmp_path / "gate")
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dogs")],
+        "doc_id long, text string",
+    )
+    novel_text = "completely new content alpha beta gamma delta"
+    src1 = str(tmp_path / "docs1")
+    _write_docs(spark, src1, [(1, novel_text)])
+    schema = spark.read.parquet(src1).schema
+    run_neardup_filter_stream(
+        spark.readStream.schema(schema).parquet(src1), spark, corpus, root,
+        accept_novel=True,
+    )
+    accepted = {r.doc_id for r in _TwinStore(spark, root).read("corpus").collect()}
+    assert accepted == {100, 1}
+
+    # a NEW batch appended to the same source (the root's checkpoint
+    # pins the source path), processed with accept_novel omitted:
+    # the commit names only the verdicts frame
+    _write_docs(spark, src1, [(2, "unrelated brand new words zeta eta")])
+    run_neardup_filter_stream(
+        spark.readStream.schema(schema).parquet(src1), spark, corpus, root,
+    )
+    # the accepted corpus snapshot must still exist and be readable
+    after = _TwinStore(spark, root).read("corpus")
+    assert after is not None
+    assert {r.doc_id for r in after.collect()} == {100, 1}
+
+
+def test_cms_stream_merged_sketch_keeps_build_metadata(spark, tmp_path):
+    """The multi-batch cellwise-add merge must re-attach depth/width
+    metadata so persisted stream sketches keep the hard probe-side
+    parameter assert (a bare re-alias strips it)."""
+    import pytest as _pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        cms_estimate,
+    )
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        run_cms_stream,
+    )
+
+    src = str(tmp_path / "events")
+    root = str(tmp_path / "cms")
+    for batch in range(2):  # two files -> two micro-batches
+        spark.createDataFrame(
+            [(f"k{i % 5}",) for i in range(batch * 20, batch * 20 + 20)],
+            "user_id string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cms = run_cms_stream(stream, spark, "user_id", 4, 1024, root)
+    meta = cms.schema["cnt"].metadata
+    assert meta == {"depth": 4, "width": 1024}
+    # and therefore a mismatched probe fails LOUDLY, not structurally
+    probes = spark.createDataFrame([("k0",)], "user_id string")
+    with _pytest.raises(ValueError, match="build"):
+        cms_estimate(probes, "user_id", cms, 4, 2048)
