@@ -751,6 +751,13 @@ def hll_set_ops(
     (:func:`hll_estimate`); the combination is fixed-order IEEE
     arithmetic over those snapped doubles, so the whole row replays
     bit-identically in a SQL oracle.
+
+    Empty-input edge: two empty register tables estimate 0/0/0, and
+    ``jaccard_est`` = 0/0 is NULL — deliberately NOT clamped, because
+    Jaccard of two empty sets is undefined and both Spark's Divide
+    and DuckDB's ``/`` return NULL on a zero denominator (verified
+    parity), so the oracle hash-matches.  Callers wanting 0.0 instead
+    should COALESCE at the use site.
     """
     ea = hll_estimate(regs_a, p).select(F.col("estimate").alias("est_a"))
     eb = hll_estimate(regs_b, p).select(F.col("estimate").alias("est_b"))

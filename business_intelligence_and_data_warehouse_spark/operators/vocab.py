@@ -158,20 +158,39 @@ def bpe_apply_merge(symbols, a: str, b: str):
 # full BPE: train a merge list, then encode the corpus with it
 # ---------------------------------------------------------------------------
 
-# New symbols live in the BMP private-use area: normalize_text output
-# is plain corpus text, so these codepoints are guaranteed absent —
-# every symbol (initial char or merged pair) stays EXACTLY ONE
-# character, which is what makes greedy left-to-right merging equal to
-# a plain literal ``replace`` in any engine (both Spark's ``replace``
-# and DuckDB's scan left-to-right over non-overlapping occurrences,
-# the Sennrich trainer's semantics).
+# New symbols live in the BMP private-use area (U+E000..U+F8FF, 6400
+# codepoints).  normalize_text only lowercases and collapses
+# whitespace — it does NOT strip private-use characters, so the
+# trainer VALIDATES the contract instead of assuming it: bpe_train
+# raises if any input word carries a PUA codepoint (a word containing
+# one would silently collide with merge symbols and corrupt every
+# pair count downstream).  Keeping every symbol (initial char or
+# merged pair) EXACTLY ONE character is what makes greedy
+# left-to-right merging equal to a plain literal ``replace`` in any
+# engine (both Spark's ``replace`` and DuckDB's scan left-to-right
+# over non-overlapping occurrences, the Sennrich trainer's
+# semantics).
 BPE_SYMBOL_BASE = 0xE000
+# Last PUA codepoint: merge ranks beyond this would walk into real
+# CJK-compatibility codepoints and could collide with corpus text.
+BPE_MAX_MERGES = 0xF8FF - BPE_SYMBOL_BASE + 1  # 6400
+
+# One-character class matching any BMP private-use codepoint — the
+# symbol alphabet; corpus words must not contain these.
+_PUA_RE = "[\\uE000-\\uF8FF]"
 
 
 def bpe_new_symbol(rank: int) -> str:
     """The single private-use character standing for merge ``rank``
     (1-based) — deterministic, so any engine regenerates the same
-    symbol table from the same merge ranks."""
+    symbol table from the same merge ranks.  Bounded to the PUA block:
+    rank > 6400 would leave private-use space and collide with real
+    corpus codepoints."""
+    if not 1 <= rank <= BPE_MAX_MERGES:
+        raise ValueError(
+            f"BPE merge rank {rank} outside the private-use symbol "
+            f"space (1..{BPE_MAX_MERGES})"
+        )
     return chr(BPE_SYMBOL_BASE + rank - 1)
 
 
@@ -195,10 +214,30 @@ def bpe_train(
 
     Tie-break: highest pair_count, then (a, b) ascending — fully
     deterministic, mirrored by the DuckDB oracle's ORDER BY.
+
+    Contract guards: ``n_merges`` must fit the private-use symbol
+    block (≤ 6400), and no input word may contain a private-use
+    codepoint (it would collide with merge symbols and corrupt pair
+    counts) — validated with ONE vocabulary-sized check over the
+    already-pinned word table, raising ``ValueError`` with an
+    offending sample.
     """
     from .caching import pin
 
+    if n_merges > BPE_MAX_MERGES:
+        raise ValueError(
+            f"n_merges={n_merges} exceeds the {BPE_MAX_MERGES}-symbol "
+            "private-use block (U+E000..U+F8FF); larger vocabularies "
+            "need a multi-char symbol encoding"
+        )
     work = pin(words.select(F.col("w").alias("w0"), "w", "freq"))
+    tainted = work.filter(F.col("w").rlike(_PUA_RE)).select("w").limit(3)
+    bad = [r.w for r in tainted.collect()]
+    if bad:
+        raise ValueError(
+            "BPE input words contain private-use codepoints (the merge "
+            f"symbol alphabet); pre-strip them: {bad!r}"
+        )
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -228,7 +267,17 @@ def bpe_encode_words(
     rank order — the tokenizer-APPLICATION step.  A chain of literal
     ``replace`` expressions, entirely codegen'd JVM-side: no Python,
     no loop jobs, no shuffle (narrow projection over whatever
-    partitioning ``words`` already has)."""
+    partitioning ``words`` already has).
+
+    Same symbol-space contract as :func:`bpe_train`: at most 6400
+    merges, and callers must not feed words containing private-use
+    codepoints (this narrow projection adds no validation job; train
+    is where the corpus-side check runs)."""
+    if len(merges) > BPE_MAX_MERGES:
+        raise ValueError(
+            f"{len(merges)} merges exceed the {BPE_MAX_MERGES}-symbol "
+            "private-use block (U+E000..U+F8FF)"
+        )
     enc = F.col(word_col)
     for _rank, a, b, new, _cnt in merges:
         enc = F.replace(enc, F.lit(a + b), F.lit(new))

@@ -289,11 +289,13 @@ def _o_bpe_ctes(n: int) -> str:
         )
         # Vocabulary-collapse guard: if fewer than i merges exist,
         # m{i} is empty and the bare scalar subquery would be NULL —
-        # replace(enc, NULL, sym) nulls every word.  COALESCE to a
-        # sentinel character that can never appear (U+F8FF, above the
-        # merge-symbol range), so the replace matches nothing and the
-        # iteration passes words through unchanged, mirroring the
-        # Spark trainer's loop break.  Kept as ONE scalar subquery:
+        # replace(enc, NULL, sym) nulls every word.  COALESCE to the
+        # EMPTY STRING: DuckDB's replace(s, '', x) treats an empty
+        # needle as a no-op and returns s unchanged (verified; note
+        # this differs from e.g. Python's str.replace, which would
+        # interleave x between every character), so the iteration
+        # passes words through untouched, mirroring the Spark
+        # trainer's loop break.  Kept as ONE scalar subquery:
         # DuckDB inlines chained CTEs, so each extra reference to
         # w{i-1} per level multiplies the plan (a CASE form with a
         # second subquery made the 8-level chain 3^8 copies and hung).

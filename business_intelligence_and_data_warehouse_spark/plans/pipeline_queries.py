@@ -1593,7 +1593,10 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        truth_stats.crossJoin(cand_stats)
+        # both sides are single-row global aggregates; hint the
+        # broadcast explicitly for consistency with every sibling
+        # scalar-crossJoin site (plan gate: no unbroadcast cartesian)
+        truth_stats.crossJoin(F.broadcast(cand_stats))
         .select(
             "n_true",
             "n_candidates",

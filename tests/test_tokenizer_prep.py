@@ -381,3 +381,47 @@ def test_bpe_train_breaks_on_vocabulary_collapse(spark):
     assert merges[0][1:3] == ("a", "a")
     got = {r.w0: r.w for r in words.collect()}
     assert got == {"a": "a", "aa": merges[0][3]}
+
+
+def test_bpe_symbol_space_guards(spark):
+    """ADVICE r7: the merge-symbol alphabet is the 6400-codepoint BMP
+    private-use block — the trainer must reject budgets past it and
+    corpora that already contain PUA characters (U+F8FF appears in
+    real Apple-originated text), instead of silently corrupting pair
+    counts."""
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        BPE_MAX_MERGES,
+        bpe_encode_words,
+        bpe_new_symbol,
+        bpe_train,
+        word_frequencies,
+    )
+
+    assert BPE_MAX_MERGES == 6400
+    assert bpe_new_symbol(1) == ""
+    assert bpe_new_symbol(6400) == ""
+    with pytest.raises(ValueError):
+        bpe_new_symbol(6401)
+    with pytest.raises(ValueError):
+        bpe_new_symbol(0)
+
+    clean = spark.createDataFrame(
+        [(1, "a aa a aa")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(word_frequencies(clean), BPE_MAX_MERGES + 1)
+
+    tainted = spark.createDataFrame(
+        [(1, "ok ok"), (2, "badword ok")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="private-use"):
+        bpe_train(word_frequencies(tainted), 4)
+
+    fake_merges = [(r, "a", "a", bpe_new_symbol(r), 1) for r in range(1, 3)]
+    words = spark.createDataFrame([("aa",)], "w string")
+    # within budget: fine
+    assert bpe_encode_words(words, fake_merges).count() == 1
+    with pytest.raises(ValueError, match="private-use"):
+        bpe_encode_words(words, [(0, "a", "a", "x", 1)] * (6400 + 1))

@@ -235,8 +235,11 @@ def _run(mults: list[int]) -> None:
         row = results[name]
         if len(row) == len(mults) and all(v > 0 for v in row.values()):
             m0, m1 = mults[0], mults[-1]
-            b = math.log(row[m1] / row[m0]) / math.log(m1 / m0)
-            row["exponent"] = round(b, 2)
+            # A single multiplier (or repeated endpoints) has no slope
+            # to fit — skip the exponent but keep the timing rows.
+            if m0 != m1:
+                b = math.log(row[m1] / row[m0]) / math.log(m1 / m0)
+                row["exponent"] = round(b, 2)
         print(json.dumps({"query": name, **{str(k): v for k, v in row.items()}}))
     print(json.dumps({"summary": {
         n: r.get("exponent") for n, r in results.items()}}))
