@@ -130,6 +130,14 @@ HEADLINE = [
     "quantile_prices_production",
     "incremental_join_delta",
     "incremental_join_counting",
+    # r8: production ANN — trained sqrt(N)-cell IVF quantizer, plus
+    # FIXED 50-probe serving panels so battery timings track a constant
+    # probe batch (the scaling-probe sim_ann_* forms above stay for the
+    # scale ramp / ratio comparability with earlier rounds)
+    "sim_ann_ivf_trained",
+    "sim_ann_ivf_serving",
+    "sim_ann_ivfpq_fixed",
+    "sim_ann_lsh_fixed",
 ]
 
 

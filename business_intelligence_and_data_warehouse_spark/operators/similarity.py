@@ -41,6 +41,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
 import sys
 
 import numpy as np
@@ -641,10 +642,12 @@ def ivf_topk(
     assignment is the only corpus-wide pass and it broadcasts just the
     centroid set; the probe-side join shuffles on cell id, which is
     uniformly loaded when ids are hash-distributed. Note the stride
-    quantizer's centroid count grows as corpus/stride — a production
-    run pins a FIXED-SIZE centroid set (trained KMeans or a bounded
-    sample) so the broadcast and the O(n·k) assign stay bounded (see
-    :func:`semantic_dedup_pairs` for the full caveat).
+    quantizer's centroid count grows as corpus/stride, making the
+    assign pass quadratic at scale — the PRODUCTION path is
+    :func:`ivf_topk_trained`, whose Lloyd-trained quantizer sizes
+    cells ≈ √N (the measured 2.6×-at-x10 fix, SCALE.md); this
+    fixed-stride form stays registered as the simpler scale-ramp
+    subject.
 
     The normed corpus is persisted ONCE and consumed by all three
     norm-hungry branches (cell assign, centroid set, pair verify) —
@@ -668,12 +671,181 @@ def ivf_topk(
     )
 
 
+def _centroid_arrays(cq: DataFrame) -> DataFrame:
+    """(vid, vec, norm) array form of a long-form QUANTIZED centroid
+    table (cvid, pos, cq BIGINT on the 1e6 grid) — the normed shape
+    :func:`_nearest_centroids` consumes.  Component values are
+    ``cq / 1e6`` doubles: both engines derive them with the same IEEE
+    long→double divide, so the arrays (and every downstream snapped
+    dot) replay bit-identically in the SQL oracle."""
+    arr = (
+        cq.select(
+            "cvid",
+            "pos",
+            (F.col("cq").cast("double") / F.lit(DOT_SCALE)).alias("cval"),
+        )
+        .groupBy("cvid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s.cval,
+            ).alias("vec")
+        )
+    )
+    return arr.select(
+        F.col("cvid").alias("vid"), "vec", norm_dec(F.col("vec")).alias("norm")
+    )
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_n: DataFrame | None = None,
+    n: int | None = None,
+) -> DataFrame:
+    """Deterministic Lloyd-trained coarse quantizer with ≈√N cells —
+    the PRODUCTION centroid builder (the stride quantizer's centroid
+    count grows as corpus/stride; √N cells keep both the broadcast
+    and the O(N·cells) assign pass bounded, measured 2.6× faster at
+    x10 in SCALE.md).  Returns the trained centroid set in normed
+    array form (vid, vec, norm) for :func:`_nearest_centroids`.
+
+    Every arithmetic step is snapped so a SQL oracle replays the
+    trained centroids bit for bit — unlike ``pyspark.ml`` KMeans
+    (RNG init, order-dependent float sums, hence rows-only checks):
+
+    * seeds: the ≈√N vectors with ``vid % stride == 0`` where
+      ``stride = floor(N / floor(sqrt(N)))`` — the strided analogue
+      of uniform sample init;
+    * assignment: snapped-cosine argmax (ties → smaller centroid id),
+      the same broadcast map-side pass as serving;
+    * update: per (cell, pos), ``cq = FLOOR(SUM(q)/COUNT)`` over the
+      members' floor-quantized components ``q = FLOOR(val·1e6)`` —
+      exact BIGINT sums, one correctly-rounded double divide, so
+      means are order-independent and engine-identical.
+
+    The corpus size ``N`` is one driver-side scalar count (the
+    trainer's only sync point, like the BPE trainer's per-merge row);
+    each of the ``iters`` Lloyd rounds is one broadcast assign + one
+    (cell, pos)-keyed aggregate — at 100 TB train on a bounded sample
+    (pass ``vectors.sample(...)``; assignment quality needs only
+    representative density, not every row).  Cells that empty out
+    during an update simply drop (k only ever shrinks by ties).
+    """
+    from .caching import pin
+
+    if n is None:
+        n = vectors.count()
+    k0 = max(1, math.floor(math.sqrt(n)))
+    stride = max(1, math.floor(n / k0))
+    if corpus_n is None:
+        corpus_n = pin(_normed(vectors, id_col, vec_col))
+    el = corpus_n.select(
+        "vid", F.posexplode("vec").alias("pos0", "val")
+    ).select("vid", (F.col("pos0") + 1).alias("pos"), F.col("val").cast("double").alias("val"))
+    elq = pin(
+        el.select(
+            "vid", "pos", F.floor(F.col("val") * DOT_SCALE).cast("long").alias("q")
+        )
+    )
+    cq = elq.filter(F.col("vid") % stride == 0).select(
+        F.col("vid").alias("cvid"), "pos", F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        cents_n = pin(_centroid_arrays(cq))
+        assign = _nearest_centroids(corpus_n, cents_n, 1)
+        cq = pin(
+            elq.join(assign, "vid")
+            .groupBy("cvid", "pos")
+            .agg(
+                F.floor(
+                    F.sum("q").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("cq")
+            )
+        )
+    return _centroid_arrays(cq)
+
+
+def ivf_topk_trained(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int,
+    nprobe: int | None = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe_frac: float | None = None,
+) -> DataFrame:
+    """IVF approximate top-k with the TRAINED √N-cell quantizer
+    (:func:`train_ivf_centroids`) — the production one-shot form.
+    Same output contract as :func:`ivf_topk` (query_id, neighbor_id,
+    rank, cosine; self-matches excluded); per-probe work is
+    ~nprobe·√N corpus rows, and the centroid broadcast stays √N-sized
+    at any corpus scale (the structural fix to the stride quantizer's
+    corpus/stride centroid growth).
+
+    ``nprobe_frac`` overrides ``nprobe`` with ``ceil(frac · √N)`` — a
+    RECALL-TARGETED probe budget that holds the searched fraction of
+    cells (hence the recall, on stationary data) constant as the
+    corpus grows, instead of letting a fixed nprobe dilute.  The
+    measured sf0.01 curve (SCALE.md round 8) on the synthetic
+    UNIFORM-SPHERE embeddings: recall@10 = 0.58 at 4/23 cells, 0.90
+    at 12/23, 0.98 at 16/23 — structureless data has no cheap cells
+    to skip (every direction is equally populated), so honest recall
+    costs a large cell fraction HERE, while clustered production
+    embeddings concentrate neighbors in few cells and need far
+    smaller fractions.  The knob is the contract; the curve is the
+    evidence."""
+    from .caching import pin
+
+    n = vectors.count()
+    if nprobe_frac is not None:
+        nprobe = math.ceil(nprobe_frac * max(1, math.floor(math.sqrt(n))))
+    assert nprobe is not None
+    corpus_n = pin(_normed(vectors, id_col, vec_col))
+    cents_n = pin(
+        train_ivf_centroids(
+            vectors, iters=iters, id_col=id_col, vec_col=vec_col,
+            corpus_n=corpus_n, n=n,
+        )
+    )
+    assign = _nearest_centroids(corpus_n, cents_n, 1)
+    probes_n = _normed(probes, id_col, vec_col)
+    probe_cells = _nearest_centroids(
+        probes_n, cents_n, nprobe
+    ).withColumnRenamed("vid", "qid")
+    candidates = (
+        probe_cells.join(assign, "cvid")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", F.col("vid").alias("cid"))
+        .distinct()
+    )
+    pairs = _cosine_for_pairs_normed(candidates, corpus_n)
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
 def build_ivf_index(
     vectors: DataFrame,
     index_dir: str,
     centroid_stride: int = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids_n: DataFrame | None = None,
 ) -> None:
     """BUILD-ONCE half of the production ANN lifecycle: write the
     normed corpus with its cell assignment to ``index_dir``/cells,
@@ -687,11 +859,20 @@ def build_ivf_index(
     directories (dynamic partition pruning against the tiny probe-cell
     set), so probe cost is O(corpus · nprobe / cells) **in IO**, not
     just in compute — at 100 TB that is the difference between reading
-    ~a few hundred GB and the whole corpus per probe batch."""
+    ~a few hundred GB and the whole corpus per probe batch.
+
+    ``centroids_n`` (a normed (vid, vec, norm) table, e.g. from
+    :func:`train_ivf_centroids`) overrides the stride quantizer —
+    the production build passes trained √N cells so the on-disk
+    partition count stays √N-sized at any corpus scale."""
     from .caching import pin
 
     corpus_n = pin(_normed(vectors, id_col, vec_col))
-    cents_n = corpus_n.filter(F.col("vid") % centroid_stride == 0)
+    cents_n = (
+        centroids_n
+        if centroids_n is not None
+        else corpus_n.filter(F.col("vid") % centroid_stride == 0)
+    )
     assign = _nearest_centroids(corpus_n, cents_n, 1)
     (
         corpus_n.join(assign, "vid")
@@ -816,6 +997,31 @@ def hyperplane_signatures(
     )
 
 
+def _band_rows(sigs: DataFrame, num_bits: int, bands: int) -> DataFrame:
+    """(vid, band, key) banded slices of a (vid, sig) signature table —
+    one map-side explode of bounded fan-out ``bands``; shared by the
+    symmetric pair join and the probe-panel form so the band layout
+    cannot drift between them."""
+    r = num_bits // bands
+    return sigs.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            (F.col("sig") / F.lit(2 ** (b * r))).cast("long")
+                            % (2**r)
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vid", "bk.band", "bk.key")
+
+
 def lsh_ann_pairs(
     vectors: DataFrame,
     num_bits: int = 32,
@@ -837,23 +1043,7 @@ def lsh_ann_pairs(
     from .caching import pin
 
     sigs = pin(hyperplane_signatures(vectors, num_bits, id_col, vec_col))
-    r = num_bits // bands
-    band_rows = sigs.select(
-        "vid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        ((F.col("sig") / F.lit(2 ** (b * r))).cast("long") % (2**r)).alias(
-                            "key"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vid", "bk.band", "bk.key")
+    band_rows = _band_rows(sigs, num_bits, bands)
     x = band_rows.alias("x")
     y = band_rows.alias("y")
     candidates = (
@@ -872,6 +1062,62 @@ def lsh_ann_pairs(
     pairs = _cosine_for_pairs_normed(candidates, corpus_n)
     return pairs.filter(F.col("cosine") >= min_cosine).select(
         F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), "cosine"
+    )
+
+
+def lsh_ann_probe(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int,
+    num_bits: int = 40,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe-panel hyperplane-LSH top-k — the SERVING form of
+    :func:`lsh_ann_pairs`: a fixed probe set queries the corpus
+    instead of the corpus self-joining, so per-batch cost is
+    O(|probes| · bucket occupancy), independent of corpus-pair count.
+
+    Candidates = corpus vectors sharing at least one band key with
+    the probe (self-matches excluded); scoring is the exact snapped
+    cosine over candidates only; output contract matches
+    :func:`ivf_topk` (query_id, neighbor_id, rank, cosine), with at
+    most min(k, candidates) rows per probe — an empty bucket panel
+    returns fewer, by design (LSH prunes, it does not backfill).
+
+    Plan shape at 100 TB: corpus signatures are one Arrow map pass;
+    the probe panel's band keys are tiny and BROADCAST against them,
+    so candidate generation never shuffles the corpus; only the
+    candidate pairs (bounded by bucket occupancy) reach the verify
+    join."""
+    from .caching import pin
+
+    sigs = pin(hyperplane_signatures(vectors, num_bits, id_col, vec_col))
+    corpus_bands = _band_rows(sigs, num_bits, bands)
+    probe_bands = _band_rows(
+        hyperplane_signatures(probes, num_bits, id_col, vec_col),
+        num_bits,
+        bands,
+    ).select(F.col("vid").alias("qid"), "band", "key")
+    candidates = (
+        corpus_bands.join(F.broadcast(probe_bands), ["band", "key"])
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", F.col("vid").alias("cid"))
+        .distinct()
+    )
+    corpus_n = pin(_normed(vectors, id_col, vec_col))
+    pairs = _cosine_for_pairs_normed(candidates, corpus_n)
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
     )
 
 
@@ -995,12 +1241,13 @@ def semantic_dedup_pairs(
     Honest scale caveat: the stride centroid set itself grows as
     n/stride, so the ASSIGN pass here is O(n²/stride) and the centroid
     broadcast is unbounded — fine at test scale and for the DuckDB
-    oracle, but a 100 TB run must swap in a FIXED-SIZE centroid set
-    (the trained twin, analytics/predictive.kmeans_embedding_clusters,
-    or a coarse sample), which makes assignment O(n·k) with a k-row
-    broadcast. The same caveat applies to :func:`ivf_topk`'s stride
-    quantizer. Everything downstream of `assign` is unchanged either
-    way.
+    oracle, but a 100 TB run must swap in a BOUNDED centroid set:
+    :func:`train_ivf_centroids` (the oracle-replayable Lloyd trainer
+    that fixed exactly this for :func:`ivf_topk` — √N cells make
+    assignment O(n·√n) with a √N-row broadcast), or
+    analytics/predictive.kmeans_embedding_clusters when oracle parity
+    isn't needed. Everything downstream of `assign` is unchanged
+    either way.
 
     Plan shape: one persisted normed corpus feeds centroid scoring,
     cell assignment, and the pair verify (same single-norm-pass rule

@@ -572,11 +572,27 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_STRIDE, _IVF_NPROBE, _IVF_K = 25, 4, 10
 
+# the scaling probe set every sim_ann_* query uses, and the FIXED
+# 50-id serving panel (ids 0,10,...,490 — present at every SF) the
+# *_fixed production variants probe, so their bench timings measure a
+# constant probe batch instead of conflating corpus and probe growth
+_O_PROBE_PRED = "vid % 100 = 0"
+_O_PANEL_PRED = "vid % 10 = 0 AND vid < 500"
+
+
+def _panel_filter(col: str = "vec_id"):
+    """Spark twin of _O_PANEL_PRED."""
+    return (F.col(col) % 10 == 0) & (F.col(col) < 500)
+
+
 # shared by sim_ann_ivf (one-shot) and sim_ann_ivf_indexed (prebuilt
 # index) — identical query semantics, different execution lifecycle
 # candidate-generation CTE chain (cell assign + probe cells + cand) —
-# shared with the IVF-PQ composition in plans/selection_queries.py
-_O_IVF_CAND = f"""
+# shared with the IVF-PQ composition in plans/selection_queries.py;
+# parameterized on the probe predicate so the fixed-panel serving
+# variants replay through the SAME fragment
+def _o_ivf_cand(probe_pred: str) -> str:
+    return f"""
 adots AS (
   SELECT v.vid AS vid, c.vid AS cvid,
          CAST(SUM(CAST(FLOOR(v.val * c.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
@@ -595,7 +611,7 @@ assign AS (
   QUALIFY row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cvid) = 1
 ),
 pcells AS (
-  SELECT vid AS qid, cvid FROM acos WHERE vid % 100 = 0
+  SELECT vid AS qid, cvid FROM acos WHERE {probe_pred}
   QUALIFY row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cvid)
     <= {_IVF_NPROBE}
 ),
@@ -605,6 +621,9 @@ cand AS (
   WHERE a.vid != p.qid
 )
 """
+
+
+_O_IVF_CAND = _o_ivf_cand(_O_PROBE_PRED)
 
 _O_IVF = f"""
 WITH {_O_ELEMENTS},
@@ -755,13 +774,18 @@ FROM bt LEFT JOIN it ON it.qid = bt.qid AND it.cid = bt.cid
 """,
 )
 def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MEASURED recall@10 of the IVF path against the exact brute-force
-    baseline over the probe set — the accuracy side of the
-    speed/accuracy trade the nprobe/stride knobs control, computed
-    in-engine instead of asserted in prose (SCALE.md's 'honesty about
-    recall knobs' as a query).  Both result sets are deterministic, so
-    the recall fraction itself is oracle-checkable.  One row:
-    (n_probes, k, n_hits, n_expected, recall_at_k)."""
+    """MEASURED recall@10 of the stride-quantizer IVF against the
+    exact brute-force baseline over the probe set.  One row:
+    (n_probes, k, n_hits, n_expected, recall_at_k).
+
+    CAVEAT (round-8 finding): this report's 0.96 is PROBE-CENTROID
+    ALIASING, not quantizer quality — every probe id (%100) is also a
+    stride-25 centroid id, so each probe's own Voronoi cell contains
+    its nearest neighbors by construction; with non-centroid probes
+    the stride quantizer measures 0.53.  The honest production number
+    is sim_ann_recall_trained (trained centroids are means, which no
+    probe can alias).  This row stays registered as the measured
+    record of the artifact."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
     exact = brute_force_topk(emb, probes, k=_IVF_K).select(
@@ -786,6 +810,340 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TRAINED √N-cell IVF — the production ANN path (deterministic Lloyd
+# quantizer, oracle-replayed bit for bit; operators/similarity.py
+# train_ivf_centroids / ivf_topk_trained)
+# ---------------------------------------------------------------------------
+
+_IVF_ITERS = 2       # Lloyd rounds — assignments stabilize by 2 here
+_NPROBE_FRAC = 0.7   # probe ceil(0.7·√N) cells: recall 0.98 measured
+
+
+def _o_lloyd_round(i: int, prev: str) -> str:
+    """One Lloyd iteration as CTEs: normed view of the previous
+    centroid table, snapped-cosine argmax assignment, floor-snapped
+    mean update — each arithmetic step written exactly as the Spark
+    operator computes it (exact BIGINT sums, one correctly-rounded
+    double divide), so the trained centroids replay bit for bit."""
+    return f"""
+c{i}v AS (SELECT cvid, pos, CAST(cq AS DOUBLE) / 1e6 AS cval FROM {prev}),
+c{i}n AS (
+  SELECT cvid,
+         sqrt(CAST(SUM(CAST(FLOOR(cval * cval * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+           AS cnorm
+  FROM c{i}v GROUP BY 1
+),
+a{i}d AS (
+  SELECT v.vid, c.cvid,
+         CAST(SUM(CAST(FLOOR(v.val * c.cval * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM el v JOIN c{i}v c ON v.pos = c.pos GROUP BY 1, 2
+),
+a{i} AS (
+  SELECT a{i}d.vid, a{i}d.cvid AS cvid FROM a{i}d
+  JOIN nrm nv ON nv.vid = a{i}d.vid
+  JOIN c{i}n cn ON cn.cvid = a{i}d.cvid
+  QUALIFY row_number() OVER (
+    PARTITION BY a{i}d.vid
+    ORDER BY dot / NULLIF(nv.norm * cn.cnorm, 0.0) DESC, a{i}d.cvid) = 1
+),
+c{i + 1} AS (
+  SELECT a{i}.cvid, elq.pos,
+         CAST(FLOOR(CAST(SUM(elq.q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+              AS BIGINT) AS cq
+  FROM a{i} JOIN elq ON elq.vid = a{i}.vid GROUP BY 1, 2
+)"""
+
+
+def _o_ivf_trained_cand(probe_pred: str) -> str:
+    """CTE chain replaying the trained quantizer end-to-end — ≈√N
+    strided seeds, _IVF_ITERS Lloyd rounds, final assignment, probe
+    cells sized ceil(_NPROBE_FRAC·√N), candidate pairs. ``el``/``nrm``
+    must be in scope (the shared _O_ELEMENTS prologue)."""
+    t = _IVF_ITERS
+    rounds = ",".join(_o_lloyd_round(i, f"c{i}") for i in range(t))
+    return f"""
+par AS (
+  SELECT CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+              / FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride,
+         CAST(CEIL({_NPROBE_FRAC} * FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))))
+              AS BIGINT) AS nprobe
+  FROM embeddings
+),
+elq AS (SELECT vid, pos, CAST(FLOOR(val * 1e6) AS BIGINT) AS q FROM el),
+c0 AS (
+  SELECT vid AS cvid, pos, q AS cq FROM elq
+  WHERE vid % (SELECT stride FROM par) = 0
+),
+{rounds},
+ctv AS (SELECT cvid, pos, CAST(cq AS DOUBLE) / 1e6 AS cval FROM c{t}),
+ctn AS (
+  SELECT cvid,
+         sqrt(CAST(SUM(CAST(FLOOR(cval * cval * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+           AS cnorm
+  FROM ctv GROUP BY 1
+),
+fdots AS (
+  SELECT v.vid, c.cvid,
+         CAST(SUM(CAST(FLOOR(v.val * c.cval * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM el v JOIN ctv c ON v.pos = c.pos GROUP BY 1, 2
+),
+fcos AS (
+  SELECT fdots.vid AS vid, fdots.cvid AS cvid,
+         dot / NULLIF(nv.norm * cn.cnorm, 0.0) AS cosine
+  FROM fdots
+  JOIN nrm nv ON nv.vid = fdots.vid
+  JOIN ctn cn ON cn.cvid = fdots.cvid
+),
+assign AS (
+  SELECT vid, cvid FROM fcos
+  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cvid) = 1
+),
+pcells AS (
+  SELECT vid AS qid, cvid FROM fcos WHERE {probe_pred}
+  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cvid)
+    <= (SELECT nprobe FROM par)
+),
+cand AS (
+  SELECT DISTINCT p.qid, a.vid AS cid
+  FROM pcells p JOIN assign a ON a.cvid = p.cvid
+  WHERE a.vid != p.qid
+)
+"""
+
+
+# exact-cosine verify + per-probe rank over a ``cand`` CTE — shared
+# tail of every IVF-family oracle
+_O_IVF_VERIFY_TAIL = f"""
+vdots AS (
+  SELECT cand.qid, cand.cid,
+         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM cand
+  JOIN el a ON a.vid = cand.qid
+  JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
+  GROUP BY 1, 2
+),
+vcos AS (
+  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+  FROM vdots
+  JOIN nrm nq ON nq.vid = qid
+  JOIN nrm nc ON nc.vid = cid
+)
+SELECT qid AS query_id, cid AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+            AS INTEGER) AS rank,
+       cosine
+FROM vcos
+QUALIFY rank <= {_IVF_K}
+ORDER BY query_id, rank
+"""
+
+_O_IVF_TRAINED = f"""
+WITH {_O_ELEMENTS},
+{_o_ivf_trained_cand(_O_PROBE_PRED).strip()},
+{_O_IVF_VERIFY_TAIL.strip()}
+"""
+
+_O_IVF_TRAINED_PANEL = f"""
+WITH {_O_ELEMENTS},
+{_o_ivf_trained_cand(_O_PANEL_PRED).strip()},
+{_O_IVF_VERIFY_TAIL.strip()}
+"""
+
+
+def _trained_nprobe(n: int) -> int:
+    """ceil(_NPROBE_FRAC · floor(sqrt(N))) — the Python twin of the
+    oracle's ``par.nprobe`` (same IEEE double multiply and ceil)."""
+    import math
+
+    return math.ceil(_NPROBE_FRAC * max(1, math.floor(math.sqrt(n))))
+
+
+@query_fn("sim_ann_ivf_trained", oracle=_O_IVF_TRAINED)
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PRODUCTION IVF: Lloyd-trained √N-cell coarse quantizer
+    (deterministic snapped arithmetic — the oracle replays the
+    *training* too, not just the probe), probe budget ceil(0.7·√N)
+    cells.  Replaces the stride quantizer, whose corpus/stride
+    centroid growth made the assign pass quadratic at scale
+    (SCALE.md: √N sizing measured 2.6× faster at x10).
+
+    Honesty note on recall (SCALE.md round 8): the stride recall
+    report's 0.96 was PROBE-CENTROID ALIASING — every probe id
+    (%100) is a stride-25 centroid, so each probe's own Voronoi cell
+    contains exactly its nearest neighbors; re-measured with
+    non-centroid probes the stride quantizer scores 0.53.  Trained
+    cells score 0.58 at the same 4-cell budget and 0.98 at the
+    registered 0.7·√N budget — on UNIFORM-SPHERE synthetic data,
+    where every direction is equally populated and no quantizer has
+    cheap cells to skip; clustered production embeddings need far
+    smaller fractions."""
+    from ..operators.similarity import ivf_topk_trained
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk_trained(
+        emb, probes, k=_IVF_K, iters=_IVF_ITERS, nprobe_frac=_NPROBE_FRAC
+    ).orderBy("query_id", "rank")
+
+
+@query_fn("sim_ann_ivf_serving", oracle=_O_IVF_TRAINED_PANEL)
+def sim_ann_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production SERVING shape: trained √N cells through
+    the build-once/probe-many index lifecycle (cells written
+    partitioned by cvid, probe scan partition-prunes), probing the
+    FIXED 50-id panel — so its bench timing tracks a constant probe
+    batch against a growing corpus instead of conflating the two
+    (the scaling-probe forms stay registered for the scale ramp)."""
+    from ..operators.similarity import (
+        _normed,
+        build_ivf_index,
+        ivf_probe_index,
+        train_ivf_centroids,
+    )
+    from ..operators.caching import pin
+    from .streaming_queries import _fresh_result_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    corpus_n = pin(_normed(emb, "vec_id", "embedding"))
+    cents = train_ivf_centroids(
+        emb, iters=_IVF_ITERS, corpus_n=corpus_n, n=n
+    )
+    index_dir = _fresh_result_dir("ivf_trained_index")
+    build_ivf_index(emb, index_dir, centroids_n=cents)
+    probes = emb.filter(_panel_filter())
+    return ivf_probe_index(
+        spark, index_dir, probes, k=_IVF_K, nprobe=_trained_nprobe(n)
+    ).orderBy("query_id", "rank")
+
+
+@query_fn(
+    "sim_ann_recall_trained",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+pel AS (SELECT * FROM el WHERE vid % 100 = 0),
+bdots AS (
+  SELECT p.vid AS qid, c.vid AS cid,
+         CAST(SUM(CAST(FLOOR(p.val * c.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM pel p JOIN el c ON p.pos = c.pos
+  GROUP BY 1, 2
+),
+bcos AS (
+  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+  FROM bdots
+  JOIN nrm nq ON nq.vid = qid
+  JOIN nrm nc ON nc.vid = cid
+  WHERE qid != cid
+),
+bt AS (
+  SELECT qid, cid FROM bcos
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+    <= {_IVF_K}
+),
+{_o_ivf_trained_cand(_O_PROBE_PRED).strip()},
+vdots AS (
+  SELECT cand.qid, cand.cid,
+         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM cand
+  JOIN el a ON a.vid = cand.qid
+  JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
+  GROUP BY 1, 2
+),
+vcos AS (
+  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+  FROM vdots
+  JOIN nrm nq ON nq.vid = qid
+  JOIN nrm nc ON nc.vid = cid
+),
+it AS (
+  SELECT qid, cid FROM vcos
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+    <= {_IVF_K}
+)
+SELECT CAST(COUNT(DISTINCT bt.qid) AS BIGINT) AS n_probes,
+       CAST({_IVF_K} AS INTEGER) AS k,
+       CAST(COUNT(it.cid) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS BIGINT) AS n_expected,
+       COUNT(it.cid) * 1.0e0 / COUNT(*) AS recall_at_k
+FROM bt LEFT JOIN it ON it.qid = bt.qid AND it.cid = bt.cid
+""",
+)
+def sim_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@10 of the trained-√N IVF against the exact
+    brute-force baseline — the honest replacement for
+    sim_ann_recall_report, whose 0.96 was probe-centroid aliasing
+    (see sim_ann_ivf_trained).  Trained centroids are means, never
+    corpus points, so no probe can alias its own cell; 0.98 at the
+    registered 0.7·√N probe budget at sf0.01."""
+    from ..operators.similarity import brute_force_topk, ivf_topk_trained
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, probes, k=_IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk_trained(
+        emb, probes, k=_IVF_K, iters=_IVF_ITERS, nprobe_frac=_NPROBE_FRAC
+    ).select("query_id", F.col("neighbor_id").alias("_hit_id"))
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx._hit_id),
+        "left",
+    ).select(exact.query_id, exact.neighbor_id, "_hit_id")
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_probes"),
+        F.lit(_IVF_K).cast("int").alias("k"),
+        F.count("_hit_id").alias("n_hits"),
+        F.count(F.lit(1)).alias("n_expected"),
+        (F.count("_hit_id") * F.lit(1.0) / F.count(F.lit(1))).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+@query_fn(
+    "sim_ann_lsh_fixed",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+hs AS (
+  SELECT vid,
+  {_HSUMS}
+  FROM el GROUP BY vid
+),
+sigs AS (SELECT vid, CAST({_SIG_ANN} AS BIGINT) AS sig FROM hs),
+bandrows AS (
+{_BAND_KEYS}
+),
+cand AS (
+  SELECT DISTINCT p.vid AS qid, c.vid AS cid
+  FROM (SELECT * FROM bandrows WHERE {_O_PANEL_PRED}) p
+  JOIN bandrows c ON c.band = p.band AND c.key = p.key AND c.vid != p.vid
+),
+{_O_IVF_VERIFY_TAIL.strip()}
+""",
+)
+def sim_ann_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-panel hyperplane-LSH top-10 over the FIXED 50-id panel —
+    the serving form of sim_ann_lsh (operators/similarity.
+    lsh_ann_probe): panel band keys broadcast against the corpus
+    signature table, exact verify of bucket-mates only, at most k
+    rows per probe (LSH prunes, it does not backfill)."""
+    from ..operators.similarity import lsh_ann_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(_panel_filter())
+    return lsh_ann_probe(
+        emb, probes, k=_IVF_K, num_bits=_ANN_BITS, bands=_ANN_BANDS
+    ).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------

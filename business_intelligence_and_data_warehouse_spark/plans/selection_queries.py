@@ -35,7 +35,15 @@ from ..operators.dedup import repeated_ngram_report
 from ..operators.selection import bigram_lm_scores, dsir_weights
 from ..operators.similarity import brute_force_topk, matryoshka_topk
 from ..sources.testdata import load_table
-from .pipeline_queries import _O_ELEMENTS, _O_HEXV, _O_IVF_CAND, _O_NORM
+from .pipeline_queries import (
+    _O_ELEMENTS,
+    _O_HEXV,
+    _O_IVF_CAND,
+    _O_NORM,
+    _O_PANEL_PRED,
+    _o_ivf_cand,
+    _panel_filter,
+)
 from .queries import query_fn
 
 # ---------------------------------------------------------------------------
@@ -506,8 +514,10 @@ _PQ_K = 10
 
 
 # PQ encode + probe-distance-table CTE chain, shared by sim_ann_pq and
-# the IVF-PQ composition
-_O_PQ_CODES = f"""
+# the IVF-PQ compositions — parameterized on the probe predicate so
+# the fixed-panel serving variant replays through the SAME fragment
+def _o_pq_codes(probe_pred: str) -> str:
+    return f"""
 sub AS (
   SELECT vid, CAST((pos - 1) // {_PQ_SD} AS INTEGER) AS j, pos, val FROM el
 ),
@@ -534,10 +544,14 @@ dt AS (
          SUM(CAST(FLOOR((s.val - c.val) * (s.val - c.val) * 1e6) AS BIGINT))
            AS dd
   FROM sub s JOIN cb c ON c.j = s.j AND c.pos = s.pos
-  WHERE s.vid % 100 = 0
+  WHERE {probe_pred}
   GROUP BY 1, 2, 3
 )
 """
+
+
+_O_PQ_CODES = _o_pq_codes("s.vid % 100 = 0")
+_O_PQ_PANEL_PRED = "s.vid % 10 = 0 AND s.vid < 500"
 
 
 @query_fn(
@@ -616,6 +630,53 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_pq_topk(
+        emb,
+        probes,
+        k=_PQ_K,
+        dim=64,
+        num_subspaces=_PQ_M,
+        centroid_stride=_PQ_STRIDE,
+        nprobe=4,
+    ).orderBy("query_id", "rank")
+
+
+@query_fn(
+    "sim_ann_ivfpq_fixed",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+{_o_ivf_cand(_O_PANEL_PRED).strip()},
+{_o_pq_codes(_O_PQ_PANEL_PRED).strip()},
+ax AS (
+  SELECT c.qid, c.cid AS vid,
+         CAST(SUM(dd) AS DOUBLE) / 1e6 AS approx_dist
+  FROM cand c
+  JOIN codes ON codes.vid = c.cid
+  JOIN dt ON dt.qid = c.qid AND dt.j = codes.j AND dt.code = codes.code
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, vid AS neighbor_id,
+       CAST(rnk AS INTEGER) AS rank, approx_dist
+FROM (
+  SELECT qid, vid, approx_dist,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY approx_dist, vid) AS rnk
+  FROM ax
+)
+WHERE rnk <= {_PQ_K}
+ORDER BY query_id, rank
+""",
+)
+def sim_ann_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over the FIXED 50-id probe panel — the serving-shape
+    bench variant (constant probe batch, so battery timings measure
+    per-probe cost instead of conflating corpus and probe growth;
+    the scaling-probe sim_ann_ivfpq stays registered for the ramp).
+    Same cells/codebooks as sim_ann_ivfpq; only the panel differs."""
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(_panel_filter())
     return ivf_pq_topk(
         emb,
         probes,

@@ -113,6 +113,68 @@ def test_ivf_topk_searches_probed_cells_only(spark):
     ]
 
 
+def test_train_ivf_centroids_sqrt_n_cells_and_convergence(spark):
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        ivf_topk_trained,
+        train_ivf_centroids,
+    )
+
+    # two tight clusters around e1 and e2, dense ids 0..9
+    rows = [(i, [1.0, 0.02 * i, 0.0]) for i in range(5)] + [
+        (i, [0.02 * (i - 5), 1.0, 0.0]) for i in range(5, 10)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_centroids(vecs, iters=2).collect()
+    # N=10 -> k0=3, stride=3 -> seeds {0,3,6,9}: ~sqrt(N) cells, each a
+    # normed (vid, vec, norm) row with norm matching its vector
+    assert 2 <= len(cents) <= 4
+    for c in cents:
+        assert abs(sum(x * x for x in c.vec) ** 0.5 - c.norm) < 1e-5
+    # trained cells separate the two clusters: nprobe=1 returns only
+    # same-cluster neighbors for a probe deep inside cluster A
+    probes = vecs.filter("vec_id = 0")
+    out = ivf_topk_trained(vecs, probes, k=9, nprobe=1, iters=2).collect()
+    assert {r.neighbor_id for r in out} <= {1, 2, 3, 4}
+    # a fractional budget covering every cell == exact brute force
+    full = ivf_topk_trained(
+        vecs, probes, k=9, iters=2, nprobe_frac=2.0
+    ).collect()
+    exact = brute_force_topk(vecs, probes, k=9).collect()
+    assert [(r.neighbor_id, r.rank) for r in full] == [
+        (r.neighbor_id, r.rank) for r in exact
+    ]
+
+
+def test_lsh_ann_probe_subset_of_pairs_and_ranked(spark):
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        lsh_ann_pairs,
+        lsh_ann_probe,
+    )
+
+    rows = [(i, [1.0 - 0.01 * i, 0.01 * i, 0.0]) for i in range(8)] + [
+        (i, [0.0, 0.01 * (i - 8), 1.0]) for i in range(8, 16)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = vecs.filter("vec_id in (0, 8)")
+    out = lsh_ann_probe(vecs, probes, k=5, num_bits=16, bands=4).collect()
+    # self-matches excluded; ranks contiguous from 1 per probe
+    assert all(r.query_id != r.neighbor_id for r in out)
+    for qid in {r.query_id for r in out}:
+        ranks = sorted(r.rank for r in out if r.query_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+    # every (probe, neighbor) the panel finds is a bucket-pair the
+    # symmetric form also finds (same signatures, same band layout)
+    sym = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_ann_pairs(
+            vecs, num_bits=16, bands=4, min_cosine=-1.0
+        ).collect()
+    }
+    for r in out:
+        a, b = sorted((r.query_id, r.neighbor_id))
+        assert (a, b) in sym
+
+
 def test_multimodal_plumbing_roundtrip(spark):
     docs = _docs(spark, [(1, "abc"), (2, "")])
     feats = {r.doc_id: r for r in extract_features(attach_blob(docs)).collect()}

@@ -356,6 +356,7 @@ _EXECUTES_AT_BUILD = {
     "stream_heavy_hitters",
     "stream_quantile_sketch",
     "sim_ann_ivf_indexed",
+    "sim_ann_ivf_serving",
     "ml_churn_rf",
     "ml_kmeans_embeddings",
     "ml_churn_roc_points",
