@@ -90,32 +90,33 @@ def _assert_sketch_params(
     who: str,
     structural: Column | None = None,
 ) -> DataFrame:
-    """Validate probe parameters against the build metadata carried on
-    the sketch's value column (attached by the build functions) and
-    return the sketch to probe.
+    """Validate probe parameters against the build parameters the
+    sketch carries and return the sketch to probe.  Three tiers, in
+    strength order:
 
-    When the metadata is ABSENT (storage through a non-Spark writer or
-    catalog registration drops column metadata; Spark's own parquet
-    round-trips it), fall back to ``structural``: a boolean condition
-    over the sketch's own rows (e.g. ``col < width``,
-    ``word < ceil(m_bits/32)``) wrapped as a lazy ``assert_true`` on
-    the value column.  It evaluates JVM-side during the probe itself —
-    no extra job, no eager action.
-
-    Scope of the fallback, stated honestly: it catches SHRINK-direction
-    geometry mismatches on rows the probe actually evaluates (probing a
-    1024-wide grid as 64-wide fires on the cells with col >= 64 that
-    the broadcast build side materializes).  It structurally CANNOT
-    catch (a) growth-direction mismatches — every row of a 1024-wide
-    build is also consistent with a 2048-wide probe, yet such a probe
-    hashes half its keys into empty territory and silently undercounts
-    — or (b) mismatches on a dimension the probe filters on before
-    evaluation (cms depth: the ``row == i`` probe filters discard
-    violating rows unseen).  Metadata is the real guard; the fallback
-    is best-effort evidence, and callers persisting sketches through
-    metadata-stripping storage should revalidate geometry out-of-band
-    (row/col/word maxima vs the probed parameters — one tiny
-    aggregate over the grid)."""
+    1. **Column metadata** (attached by every build function): compared
+       eagerly driver-side — a mismatch raises before any job runs.
+       Spark's own parquet writer round-trips metadata; non-Spark
+       writers and catalog registration drop it.
+    2. **Real parameter columns** (ALSO emitted by every build
+       function since r8 — constant per row, so they survive ANY
+       storage that keeps the rows): when every expected parameter
+       exists as a column, a lazy ``assert_true(param == probed)`` is
+       wrapped onto the value column.  It evaluates JVM-side during
+       the probe itself (no extra job) and — unlike the structural
+       tier — catches growth-direction mismatches and filtered
+       dimensions too, because the check is an equality on declared
+       provenance, not an inference from cell geometry.  Every
+       SHIPPED sketch therefore validates through tier 1 or 2; the
+       structural tier remains only for foreign sketches built
+       outside these builders.
+    3. **Structural fallback**: a boolean condition over the sketch's
+       own rows (e.g. ``col < width``).  Best-effort: catches
+       shrink-direction geometry mismatches on rows the probe
+       evaluates, structurally CANNOT catch growth-direction
+       mismatches or dimensions the probe filters on before
+       evaluation (see :func:`sketch_geometry_report` for the
+       out-of-band audit)."""
     try:
         meta = sketch.schema[value_col].metadata
     except (KeyError, TypeError):
@@ -131,6 +132,26 @@ def _assert_sketch_params(
                 f"parameters: {{name: (built, probed)}} = {mismatched}"
             )
         return sketch
+    cols = set(sketch.columns)
+    if all(k in cols for k in expected):
+        cond: Column | None = None
+        for k, v in expected.items():
+            c = F.col(k) == F.lit(v)
+            cond = c if cond is None else cond & c
+        assert cond is not None
+        checked = F.when(
+            F.assert_true(
+                cond,
+                F.lit(
+                    f"{who}: the sketch's build-parameter columns do not "
+                    f"match the probed parameters {expected} (metadata "
+                    "was lost in a storage round-trip; the parameter "
+                    "columns are authoritative)"
+                ),
+            ).isNull(),
+            F.col(value_col),
+        )
+        return sketch.withColumn(value_col, checked)
     if structural is None:
         return sketch
     checked = F.when(
@@ -222,6 +243,15 @@ def bloom_build(
                 # guarantee) fails loudly instead
                 "bits", metadata={"m_bits": m_bits, "k": k}
             )
+        )
+        # ... and ALSO as real columns, so the parameters survive
+        # metadata-stripping storage (non-Spark writers, catalogs) and
+        # the probe-side guard never degrades to the structural tier
+        .select(
+            "word",
+            "bits",
+            F.lit(m_bits).alias("m_bits"),
+            F.lit(k).alias("k"),
         )
     )
 
@@ -315,6 +345,14 @@ def cms_build(
             F.count(F.lit(1)).alias(
                 "cnt", metadata={"depth": depth, "width": width}
             )
+        )
+        # build params as real columns too — survive any storage
+        .select(
+            "row",
+            "col",
+            "cnt",
+            F.lit(depth).alias("depth"),
+            F.lit(width).alias("width"),
         )
     )
 
@@ -446,6 +484,9 @@ def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
     is NOT bit-identical across engines (the log-snap recipe).
     """
     m = 1 << p
+    registers = _assert_sketch_params(
+        registers, "max_rho", {"p": p}, "hll_estimate"
+    )
     agg = registers.agg(*_hll_agg_exprs())
     v_empty, est_raw, corrected = _hll_correction_exprs(m)
     return agg.select(
@@ -496,6 +537,8 @@ def quantile_sketch_build(
             # cms build metadata): merge and estimate assert against it
             F.md5(key.cast("string")).alias("priority", metadata={"k": k}),
             F.col(value_col).cast("double").alias("value"),
+            # ... and as a real column (survives any storage)
+            F.lit(k).alias("k"),
         )
         .orderBy("priority")
         .limit(k)
@@ -513,13 +556,17 @@ def quantile_sketch_merge(sketches: list[DataFrame], k: int = 1024) -> DataFrame
     shards."""
     if not sketches:
         raise ValueError("quantile_sketch_merge needs at least one sketch")
-    for s in sketches:
-        # no structural fallback: k is a SET-size property (rows per
-        # sketch <= k), not checkable per row without an extra job —
-        # a metadata-less merge degrades gracefully to approximation
+    # keep the guard's RETURN value: the metadata tier raises eagerly,
+    # but the parameter-COLUMN tier (metadata-stripped storage) wraps a
+    # lazy assert onto the priority column, which only fires if the
+    # wrapped frame is the one merged.  No structural fallback exists
+    # for k — a SET-size property no row can witness.
+    checked = [
         _assert_sketch_params(s, "priority", {"k": k}, "quantile_sketch_merge")
-    out = sketches[0]
-    for s in sketches[1:]:
+        for s in sketches
+    ]
+    out = checked[0]
+    for s in checked[1:]:
         out = out.unionByName(s)
     return out.orderBy("priority").limit(k)
 
@@ -581,8 +628,15 @@ def hll_registers_grouped(
         _hexn(h, 1, p // 4).alias("bucket"),
         _rho16(_hexn(h, p // 4 + 1, 4)).alias("rho"),
     )
-    return staged.groupBy(*group_cols, "bucket").agg(
-        F.max("rho").alias("max_rho")
+    return (
+        staged.groupBy(*group_cols, "bucket")
+        .agg(
+            # carry p with the registers (metadata + real column, the
+            # bloom/cms convention): estimators assert against it — a
+            # p-mismatched estimate mis-sizes m and is silently wrong
+            F.max("rho").alias("max_rho", metadata={"p": p})
+        )
+        .select(*group_cols, "bucket", "max_rho", F.lit(p).alias("p"))
     )
 
 
@@ -594,6 +648,9 @@ def hll_estimate_grouped(
     :func:`hll_estimate`, aggregated per group (one group-keyed
     shuffle over register rows, never key rows)."""
     m = 1 << p
+    registers = _assert_sketch_params(
+        registers, "max_rho", {"p": p}, "hll_estimate_grouped"
+    )
     agg = registers.groupBy(*group_cols).agg(*_hll_agg_exprs())
     v_empty, est_raw, corrected = _hll_correction_exprs(m)
     return agg.select(
@@ -623,6 +680,7 @@ def quantile_sketch_build_grouped(
         *group_cols,
         F.md5(key.cast("string")).alias("priority", metadata={"k": k}),
         F.col(value_col).cast("double").alias("value"),
+        F.lit(k).alias("k"),  # real column: survives any storage
     )
     w = W.partitionBy(*group_cols).orderBy("priority")
     return (
@@ -722,12 +780,47 @@ def hll_merge(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
     register table of the UNION of the two key streams (max is the
     merge for rank registers, as addition is for count-min cells), so
     shard/stream/set-union cardinalities all come from the same
-    bounded O(2^p) state."""
-    return (
-        regs_a.unionByName(regs_b)
-        .groupBy("bucket")
-        .agg(F.max("max_rho").alias("max_rho"))
-    )
+    bounded O(2^p) state.
+
+    Build-parameter handling: register tables built with different
+    ``p`` live in different bucket spaces and must never merge — a
+    metadata mismatch raises eagerly; the ``p`` columns (which survive
+    any storage) are re-checked lazily per merged bucket and carried
+    on the output, so downstream estimators keep their guard."""
+
+    def _meta_p(df: DataFrame) -> int | None:
+        try:
+            return df.schema["max_rho"].metadata.get("p")
+        except (KeyError, TypeError):
+            return None
+
+    pa, pb = _meta_p(regs_a), _meta_p(regs_b)
+    if pa is not None and pb is not None and pa != pb:
+        raise ValueError(
+            f"hll_merge: register tables built with different p "
+            f"({pa} vs {pb}) occupy different bucket spaces"
+        )
+    p_known = pa if pa is not None else pb
+    u = regs_a.unionByName(regs_b)
+    meta_kw = {"metadata": {"p": p_known}} if p_known is not None else {}
+    if "p" in u.columns:
+        agg = u.groupBy("bucket").agg(
+            F.max("max_rho").alias("max_rho", **meta_kw),
+            F.min("p").alias("_pmin"),
+            F.max("p").alias("_pmax"),
+        )
+        p_col = F.when(
+            F.assert_true(
+                F.col("_pmin") == F.col("_pmax"),
+                F.lit(
+                    "hll_merge: register tables carry different p "
+                    "parameter columns — different bucket spaces"
+                ),
+            ).isNull(),
+            F.col("_pmin"),
+        )
+        return agg.select("bucket", "max_rho", p_col.alias("p"))
+    return u.groupBy("bucket").agg(F.max("max_rho").alias("max_rho", **meta_kw))
 
 
 def hll_set_ops(

@@ -242,7 +242,7 @@ def run_cms_stream(
     not, so it resets — same reason Delta keys txn idempotence on
     (appId, version) and counting sinks re-derive on app change).
     """
-    from ..operators.sketches import cms_build
+    from ..operators.sketches import _assert_sketch_params, cms_build
 
     store = _SnapshotStore(spark, root)
     checkpoint_dir = os.path.join(root, "_checkpoint")
@@ -253,23 +253,39 @@ def run_cms_stream(
             return  # redelivered batch within this lineage: skip
         batch_cms = cms_build(batch_df, key_col, depth, width)
         cur = _lineage_read(store, lineage)  # new lineage: fresh sketch
-        merged = (
-            batch_cms
-            if cur is None
-            else cur.unionByName(batch_cms)
-            .groupBy("row", "col")
-            .agg(
-                # re-attach the build params a bare re-alias would
-                # strip: Spark parquet round-trips column metadata, so
-                # the persisted merged sketch keeps the hard probe-side
-                # parameter assert instead of silently downgrading to
-                # the structural fallback (which cannot catch
-                # growth-direction mismatches)
-                F.sum("cnt").alias(
-                    "cnt", metadata={"depth": depth, "width": width}
+        if cur is None:
+            merged = batch_cms
+        else:
+            # validate the STORED side against this run's parameters
+            # before cellwise addition (a depth/width-mismatched rerun
+            # against an existing root must fail loudly, not produce a
+            # frankengrid); the guard uses metadata when present and
+            # the real depth/width columns otherwise
+            cur = _assert_sketch_params(
+                cur,
+                "cnt",
+                {"depth": depth, "width": width},
+                "run_cms_stream (stored sketch)",
+            )
+            merged = (
+                cur.unionByName(batch_cms)
+                .groupBy("row", "col")
+                .agg(
+                    # re-attach the build params a bare re-alias would
+                    # strip: metadata for Spark-written storage, plus
+                    # the real columns below, which survive ANY storage
+                    F.sum("cnt").alias(
+                        "cnt", metadata={"depth": depth, "width": width}
+                    )
+                )
+                .select(
+                    "row",
+                    "col",
+                    "cnt",
+                    F.lit(depth).alias("depth"),
+                    F.lit(width).alias("width"),
                 )
             )
-        )
         store.commit(merged, lineage, batch_id)
 
     _drive(stream_df, handle, checkpoint_dir)

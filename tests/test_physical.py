@@ -94,11 +94,13 @@ def test_cms_never_undercounts_and_merges(spark):
     s2 = cms_build(stream.filter("id % 2 = 1"), "key")
     merged = (
         s1.unionByName(s2)
-        .groupBy("row", "col")
+        # depth/width are constant build-parameter columns (same
+        # builder params on both shards): grouping by them is a no-op
+        .groupBy("row", "col", "depth", "width")
         .agg(F.sum("cnt").alias("cnt"))
     )
     a = sorted(map(tuple, cms.collect()))
-    b = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, merged.select(*cms.columns).collect()))
     assert a == b
 
 
@@ -136,11 +138,13 @@ def test_hll_registers_merge_by_max_and_estimate_tracks_truth(spark):
     r2 = hll_registers(keys.filter("id % 2 = 1"), "k")
     merged = (
         r1.unionByName(r2)
-        .groupBy("bucket")
+        # p is a constant build-parameter column: grouping by it is a
+        # no-op on the merge semantics
+        .groupBy("bucket", "p")
         .agg(F.max("max_rho").alias("max_rho"))
     )
     assert sorted(map(tuple, regs.collect())) == sorted(
-        map(tuple, merged.collect())
+        map(tuple, merged.select(*regs.columns).collect())
     )
     est = hll_estimate(regs).collect()[0]
     # 4096 registers -> standard error ~1.04/sqrt(m) ~ 1.6%; allow 4σ

@@ -129,14 +129,16 @@ def test_grouped_hll_shard_merge_equals_single_pass(spark, sf_dir):
     merged = shards[0]
     for s in shards[1:]:
         merged = merged.unionByName(s)
-    merged = merged.groupBy("event_type", "bucket").agg(
+    # p is a constant build-parameter column (same builder, same p),
+    # so grouping by it is a no-op on the merge semantics
+    merged = merged.groupBy("event_type", "bucket", "p").agg(
         F.max("max_rho").alias("max_rho")
     )
 
     def rows(df):
         return sorted(map(tuple, df.collect()))
 
-    assert rows(merged) == rows(single)
+    assert rows(merged.select(*single.columns)) == rows(single)
     assert rows(hll_estimate_grouped(merged, ["event_type"])) == rows(
         hll_estimate_grouped(single, ["event_type"])
     )
@@ -264,6 +266,81 @@ def test_metadata_less_sketch_probe_checks_structure(spark):
     # depending on where codegen evaluates it — match the message)
     with _pytest.raises(Exception, match="cms_estimate"):
         cms_estimate(probes, "key", persisted, d, 64).collect()
+
+
+def test_sketch_param_columns_survive_metadata_stripping_storage(spark, tmp_path):
+    """Every sketch family carries its build parameters as REAL COLUMNS
+    (r8, VERDICT #2): after a parquet round-trip with column metadata
+    stripped (modeling non-Spark writers / catalog registration), the
+    probe-side guard still validates through the parameter columns —
+    matched probes work, mismatched probes fail loudly, and the
+    structural tier is never needed for a shipped sketch (it cannot
+    catch growth-direction or filtered-dimension mismatches)."""
+    import pytest as _pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        cms_build,
+        cms_estimate,
+        hll_estimate,
+        hll_registers,
+        quantile_sketch_build,
+        quantile_sketch_merge,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(50)], "key string"
+    )
+    probes = keys.distinct()
+
+    def strip_roundtrip(df, value_col, sub):
+        path = str(tmp_path / sub)
+        df.withMetadata(value_col, {}).write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        assert not out.schema[value_col].metadata
+        return out
+
+    # bloom: matched probe flags every true member; GROWN m_bits (the
+    # mismatch the structural tier can NEVER catch) fails loudly
+    bloom = strip_roundtrip(bloom_build(keys, "key", 1 << 10, 4), "bits", "b")
+    assert {"m_bits", "k"} <= set(bloom.columns)
+    ok = bloom_probe(probes, "key", bloom, 1 << 10, 4).collect()
+    assert all(r.bloom_positive for r in ok)
+    with _pytest.raises(Exception, match="bloom_probe"):
+        bloom_probe(probes, "key", bloom, 1 << 11, 4).collect()
+
+    # cms: matched estimate >= true count; grown width fails loudly
+    cms = strip_roundtrip(cms_build(keys, "key", 4, 256), "cnt", "c")
+    assert {"depth", "width"} <= set(cms.columns)
+    assert all(
+        r.est_count >= 1 for r in cms_estimate(probes, "key", cms, 4, 256).collect()
+    )
+    with _pytest.raises(Exception, match="cms_estimate"):
+        cms_estimate(probes, "key", cms, 4, 512).collect()
+
+    # hll: matched p estimates; mismatched p fails loudly (a filtered/
+    # derived dimension no geometry check could see)
+    regs = strip_roundtrip(hll_registers(keys, "key", p=12), "max_rho", "h")
+    assert "p" in regs.columns
+    est = hll_estimate(regs, p=12).collect()[0]
+    assert 5 <= est.estimate <= 10  # 7 distinct keys
+    with _pytest.raises(Exception, match="hll_estimate"):
+        hll_estimate(regs, p=8).collect()
+
+    # quantile: matched-k merge preserves the set identity; mismatched
+    # k fails loudly (a set-SIZE property, invisible to any row check)
+    nums = spark.createDataFrame(
+        [(float(i), f"id{i}") for i in range(40)], "v double, id string"
+    )
+    sk = strip_roundtrip(
+        quantile_sketch_build(nums, "v", F.col("id"), k=16), "priority", "q"
+    )
+    assert "k" in sk.columns
+    merged = quantile_sketch_merge([sk, sk], k=16).collect()
+    assert len(merged) <= 16
+    with _pytest.raises(Exception, match="quantile_sketch_merge"):
+        quantile_sketch_merge([sk, sk], k=8).collect()
 
 
 def test_shuffle_partitions_for_scales_with_data():
