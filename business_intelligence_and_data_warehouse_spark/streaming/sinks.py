@@ -100,11 +100,31 @@ class _SnapshotStore:
         self._tw.commit({"df": df}, lineage, batch_id)
 
 
+# Per-batch instrumentation hook (tools/stream_bench.py): when set to a
+# callable (batch_id, wall_seconds, rows) -> None, _drive times each
+# handler invocation.  The row count runs OUTSIDE the timed window so
+# the measurement adds one scan per batch but never inflates the wall
+# number it reports.  None (the default) leaves the drive path
+# untouched.
+BATCH_OBSERVER = None
+
+
 def _drive(stream_df: DataFrame, handle, checkpoint_dir: str) -> None:
     """Run ``handle`` over every available micro-batch and wait for a
     clean shutdown — the ONE copy of the foreachBatch drive sequence
     every run_* sink shares (a fix to the drive path applies here,
     not in five places)."""
+    if BATCH_OBSERVER is not None:
+        import time
+
+        inner, obs = handle, BATCH_OBSERVER
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:  # noqa: F811
+            t0 = time.perf_counter()
+            inner(batch_df, batch_id)
+            wall = time.perf_counter() - t0
+            obs(batch_id, wall, batch_df.count())
+
     q = (
         stream_df.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)

@@ -60,6 +60,7 @@ REPRESENTATIVES = [
     # similarity family
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "sim_ann_ivf_trained",  # r8: the production sqrt(N)-cell quantizer
     "sim_ann_pq",
     "sim_ann_ivfpq",
     "sim_embedding_topk",
@@ -180,7 +181,7 @@ def _gen(mult: int) -> str:
     return out_dir
 
 
-def _run(mults: list[int]) -> None:
+def _run(mults: list[int], only: list[str] | None = None) -> None:
     from business_intelligence_and_data_warehouse_spark.plans.queries import (
         QUERIES,
     )
@@ -208,14 +209,15 @@ def _run(mults: list[int]) -> None:
         "overwrite"
     ).save()
 
-    unknown = [n for n in REPRESENTATIVES if n not in QUERIES]
+    reps = REPRESENTATIVES if only is None else only
+    unknown = [n for n in reps if n not in QUERIES]
     if unknown:
         # fail loudly: a renamed query silently dropping out of the
         # audit would make the summary look complete when it isn't
         # (the repo's no-silent-caps rule)
         raise SystemExit(f"unknown representatives (renamed?): {unknown}")
     results: dict[str, dict[int, float]] = {}
-    for name in REPRESENTATIVES:
+    for name in reps:
         results[name] = {}
         for m in mults:
             best = None
@@ -251,6 +253,11 @@ if __name__ == "__main__":
     if cmd == "gen":
         _gen(int(sys.argv[2]))
     elif cmd == "run":
-        _run([int(x) for x in sys.argv[2].split(",")])
+        # optional 3rd arg: comma-separated subset of representatives
+        # (e.g. the dedup family alone for the x300 decade)
+        only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+        _run([int(x) for x in sys.argv[2].split(",")], only)
     else:
-        raise SystemExit("usage: scale_ramp.py gen M | run M1,M2,...")
+        raise SystemExit(
+            "usage: scale_ramp.py gen M | run M1,M2,... [q1,q2,...]"
+        )
