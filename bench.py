@@ -138,6 +138,11 @@ HEADLINE = [
     "sim_ann_ivf_serving",
     "sim_ann_ivfpq_fixed",
     "sim_ann_lsh_fixed",
+    # r8: incremental ingest lifecycle — train+build on 2/3, append the
+    # late 1/3 against frozen centroids (batch form and the exactly-once
+    # streaming sink form)
+    "sim_ann_ivf_append",
+    "stream_ann_ingest",
 ]
 
 

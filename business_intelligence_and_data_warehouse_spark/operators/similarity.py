@@ -329,14 +329,27 @@ def _pq_codes(
     probes: DataFrame,
     dim: int,
     num_subspaces: int,
-    centroid_stride: int,
+    codebook_stride: int,
     id_col: str,
     vec_col: str,
 ) -> tuple[DataFrame, DataFrame]:
     """(codes, dtable) — the two PQ artifacts :func:`pq_topk` and
     :func:`ivf_pq_topk` share: ``codes`` is the encoded corpus
     (vid, j, code), ``dtable`` the probe-to-codebook subdistance
-    lookup (qid, j, code, dd as scaled BIGINT)."""
+    lookup (qid, j, code, dd as scaled BIGINT).
+
+    ``codebook_stride`` picks the codebook as ``vid % stride == 0``.
+    The encode join is corpus-subspace-rows × codebook, so the
+    codebook size MUST be bounded (callers default to ~256 entries by
+    sizing stride = N/256): a stride fixed as the corpus grows makes
+    the codebook N/stride entries and the encode pass O(N²·m/stride)
+    — measured as a 4 GiB-heap OOM at 60k vectors (x30 ramp data) in
+    the round-8 scale ramp, the same structural quadratic the trained
+    √N coarse quantizer fixed for IVF cells.  The flip side at TOY
+    corpora: 256 entries exceed N/old-stride below N=6400, so the
+    bench SF pays a measured constant factor (~2× on sim_ann_pq at
+    2000 vectors) for the corpus-independent codebook — the same
+    honest trade as the recall-targeted 0.7·√N probe budget."""
     if dim % num_subspaces != 0:
         raise ValueError(
             f"dim {dim} not divisible by num_subspaces {num_subspaces}"
@@ -344,7 +357,7 @@ def _pq_codes(
     subdim = dim // num_subspaces
     sub = _subspace_rows(vectors, num_subspaces, subdim, id_col, vec_col)
     cb = (
-        vectors.filter(F.col(id_col) % centroid_stride == 0)
+        vectors.filter(F.col(id_col) % codebook_stride == 0)
         .select(F.col(id_col).alias("code"), F.col(vec_col).alias("v"))
         .select(
             "code",
@@ -396,7 +409,9 @@ def pq_topk(
     k: int,
     dim: int,
     num_subspaces: int = 8,
-    centroid_stride: int = 25,
+    centroid_stride: int | None = None,
+    codebook_size: int = 256,
+    n: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -408,12 +423,15 @@ def pq_topk(
     precision, the corpus is read as codes, and the approximate
     distance is the sum of m table lookups.
 
-    Codebooks are the deterministic stride subset
-    (``vid % centroid_stride == 0``), the same fixed coarse-quantizer
-    stand-in :func:`ivf_topk` uses in place of trained KMeans (and
-    with the same caveat: a production run pins a FIXED-SIZE trained
-    codebook, typically 256 codes per subspace, so the encode cost
-    and the code width stay bounded as the corpus grows).
+    Codebooks are a deterministic stride subset sized to
+    ``codebook_size`` entries (stride = N/``codebook_size``, the
+    production FIXED-SIZE rule — FAISS's 256 codes per subspace):
+    the encode pass stays O(N·m·256) as the corpus grows.  Passing
+    ``centroid_stride`` pins the stride directly instead (unit tests
+    use stride 1 for the lossless-codebook identity); a FIXED stride
+    makes the codebook N/stride entries and the encode quadratic —
+    the round-8 ramp OOM, see :func:`_pq_codes`.  ``n`` short-circuits
+    the corpus count when the caller already knows it.
 
     Output: (query_id, neighbor_id, rank, approx_dist) — approx
     squared-L2, ascending, ties on neighbor id. Distances snap
@@ -431,6 +449,10 @@ def pq_topk(
     groupBy(qid, vid) partial-aggregated sum. No corpus self-join
     anywhere.
     """
+    if centroid_stride is None:
+        if n is None:
+            n = vectors.count()
+        centroid_stride = max(1, n // codebook_size)
     codes, dtable = _pq_codes(
         vectors, probes, dim, num_subspaces, centroid_stride, id_col, vec_col
     )
@@ -461,6 +483,8 @@ def ivf_pq_topk(
     num_subspaces: int = 8,
     centroid_stride: int = 25,
     nprobe: int = 4,
+    codebook_size: int | None = None,
+    n: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -487,8 +511,18 @@ def ivf_pq_topk(
         vectors, probes, centroid_stride, nprobe, id_col, vec_col
     )
     cand = cand.select("qid", F.col("cid").alias("vid"))
+    # cells and codebook are DIFFERENT knobs: centroid_stride shapes
+    # the coarse cells; codebook_size (when given) pins a bounded
+    # ~256-entry codebook per subspace so the encode pass stays linear
+    # in the corpus (see _pq_codes) instead of inheriting the cell
+    # stride
+    cb_stride = centroid_stride
+    if codebook_size is not None:
+        if n is None:
+            n = vectors.count()
+        cb_stride = max(1, n // codebook_size)
     codes, dtable = _pq_codes(
-        vectors, probes, dim, num_subspaces, centroid_stride, id_col, vec_col
+        vectors, probes, dim, num_subspaces, cb_stride, id_col, vec_col
     )
     scored = (
         cand.join(codes, "vid")
@@ -716,9 +750,17 @@ def train_ivf_centroids(
     trained centroids bit for bit — unlike ``pyspark.ml`` KMeans
     (RNG init, order-dependent float sums, hence rows-only checks):
 
-    * seeds: the ≈√N vectors with ``vid % stride == 0`` where
-      ``stride = floor(N / floor(sqrt(N)))`` — the strided analogue
-      of uniform sample init;
+    * seeds: every ``stride``-th TRAINING vector in vid RANK order
+      (``stride = floor(N / floor(sqrt(N)))``), i.e. rows where
+      ``(row_number() over vid − 1) % stride == 0`` — exactly
+      ``ceil(N/stride) ≈ √N`` seeds for ANY id structure.  (A raw
+      ``vid % stride == 0`` rule silently returns ZERO seeds when the
+      training ids and the stride share a factor — e.g. training on
+      the ``vid % 3 != 0`` split with a stride divisible by 3, the
+      round-8 incremental-ingest configuration — and misweights
+      sparse/hashed id spaces generally.)  The rank window is one
+      vocabulary-sized pass inside the trainer, which at 100 TB runs
+      on a bounded sample anyway (see below);
     * assignment: snapped-cosine argmax (ties → smaller centroid id),
       the same broadcast map-side pass as serving;
     * update: per (cell, pos), ``cq = FLOOR(SUM(q)/COUNT)`` over the
@@ -750,7 +792,14 @@ def train_ivf_centroids(
             "vid", "pos", F.floor(F.col("val") * DOT_SCALE).cast("long").alias("q")
         )
     )
-    cq = elq.filter(F.col("vid") % stride == 0).select(
+    seed_ids = (
+        elq.select("vid")
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("vid")))
+        .filter((F.col("rn") - 1) % stride == 0)
+        .select("vid")
+    )
+    cq = elq.join(F.broadcast(seed_ids), "vid").select(
         F.col("vid").alias("cvid"), "pos", F.col("q").alias("cq")
     )
     for _ in range(iters):
@@ -876,8 +925,13 @@ def build_ivf_index(
     assign = _nearest_centroids(corpus_n, cents_n, 1)
     (
         corpus_n.join(assign, "vid")
+        # `src` labels the LOAD that wrote each row: 'base' for the
+        # initial build, one label per append — the second partition
+        # level that makes incremental ingest idempotent (see
+        # ivf_index_append).  Probes prune on cvid exactly as before.
+        .withColumn("src", F.lit("base"))
         .write.mode("overwrite")
-        .partitionBy("cvid")
+        .partitionBy("cvid", "src")
         .parquet(index_dir + "/cells")
     )
     cents_n.write.mode("overwrite").parquet(index_dir + "/centroids")
@@ -937,6 +991,61 @@ def ivf_probe_index(
             "rank",
             "cosine",
         )
+    )
+
+
+def ivf_index_append(
+    spark,
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src: str | None = None,
+) -> None:
+    """INGEST half of the production ANN lifecycle: assign a new batch
+    to the EXISTING centroid set and append it to the partitioned cell
+    table — the inverted-file ``add()`` analogue (FAISS
+    add-after-train).
+
+    The append never reads, rewrites, or re-sorts existing cells: cost
+    is one O(batch · cells) broadcast assignment (the same map-side
+    pass serving uses) plus one cell-partitioned parquet append, so
+    continuously-arriving embeddings ingest at BATCH cost while every
+    previously-indexed byte stays in place.  Centroids are frozen, not
+    retrained — assignment depends only on the centroid set, so
+    append-then-probe is bit-identical to building the index over the
+    union corpus against the same centroids (property-tested in
+    tests/test_pipeline.py).  When drift accumulates, retraining is a
+    REBUILD lifecycle decision, exactly as for any inverted file.
+
+    Caller contract: new ids must be disjoint from ids already in the
+    index (a duplicate vid would appear twice in its cell and
+    double-count as a probe candidate) — the same contract as the
+    incremental dedup index.
+
+    ``src`` is the load label that becomes the second partition level
+    under each cell.  ``None`` (the default) mints a fresh label and
+    plain-appends — the at-least-once batch form.  A STABLE label
+    (e.g. the streaming sink's ``lineage-batchid``) switches to
+    dynamic partition overwrite: a redelivered batch rewrites exactly
+    the (cvid, src) partitions it wrote the first time — assignment
+    is deterministic given the frozen centroids, so replay converges
+    to the same bytes and the ingest is exactly-once WITHOUT a ledger
+    or any rewrite of other loads' data.
+    """
+    import uuid as _uuid
+
+    cents_n = spark.read.parquet(index_dir + "/centroids")
+    batch_n = _normed(new_vectors, id_col, vec_col)
+    assign = _nearest_centroids(batch_n, cents_n, 1)
+    label = src if src is not None else _uuid.uuid4().hex[:12]
+    (
+        batch_n.join(assign, "vid")
+        .withColumn("src", F.lit(label))
+        .write.mode("append" if src is None else "overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cvid", "src")
+        .parquet(index_dir + "/cells")
     )
 
 

@@ -591,13 +591,23 @@ def _panel_filter(col: str = "vec_id"):
 # shared with the IVF-PQ composition in plans/selection_queries.py;
 # parameterized on the probe predicate so the fixed-panel serving
 # variants replay through the SAME fragment
-def _o_ivf_cand(probe_pred: str) -> str:
+def _o_ivf_cand(
+    probe_pred: str,
+    stride_sql: str | None = None,
+    nprobe_sql: str | None = None,
+) -> str:
+    """``stride_sql``/``nprobe_sql`` override the literal stride-25 /
+    nprobe-4 constants with SQL expressions (e.g. scalar subqueries
+    over a size-derived parameter CTE) — the √N-cell production
+    variants replay through the SAME fragment."""
+    stride_sql = stride_sql or str(_IVF_STRIDE)
+    nprobe_sql = nprobe_sql or str(_IVF_NPROBE)
     return f"""
 adots AS (
   SELECT v.vid AS vid, c.vid AS cvid,
          CAST(SUM(CAST(FLOOR(v.val * c.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
            AS dot
-  FROM el v JOIN el c ON v.pos = c.pos AND c.vid % {_IVF_STRIDE} = 0
+  FROM el v JOIN el c ON v.pos = c.pos AND c.vid % {stride_sql} = 0
   GROUP BY 1, 2
 ),
 acos AS (
@@ -613,7 +623,7 @@ assign AS (
 pcells AS (
   SELECT vid AS qid, cvid FROM acos WHERE {probe_pred}
   QUALIFY row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cvid)
-    <= {_IVF_NPROBE}
+    <= {nprobe_sql}
 ),
 cand AS (
   SELECT DISTINCT p.qid, a.vid AS cid
@@ -827,7 +837,10 @@ def _o_lloyd_round(i: int, prev: str) -> str:
     centroid table, snapped-cosine argmax assignment, floor-snapped
     mean update — each arithmetic step written exactly as the Spark
     operator computes it (exact BIGINT sums, one correctly-rounded
-    double divide), so the trained centroids replay bit for bit."""
+    double divide), so the trained centroids replay bit for bit.
+    Training reads only ``tel``/``telq`` (the TRAINING-corpus views),
+    which equal ``el``/``elq`` except in the incremental-append
+    oracle, where training saw only the initial corpus."""
     return f"""
 c{i}v AS (SELECT cvid, pos, CAST(cq AS DOUBLE) / 1e6 AS cval FROM {prev}),
 c{i}n AS (
@@ -840,7 +853,7 @@ a{i}d AS (
   SELECT v.vid, c.cvid,
          CAST(SUM(CAST(FLOOR(v.val * c.cval * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
            AS dot
-  FROM el v JOIN c{i}v c ON v.pos = c.pos GROUP BY 1, 2
+  FROM tel v JOIN c{i}v c ON v.pos = c.pos GROUP BY 1, 2
 ),
 a{i} AS (
   SELECT a{i}d.vid, a{i}d.cvid AS cvid FROM a{i}d
@@ -851,32 +864,44 @@ a{i} AS (
     ORDER BY dot / NULLIF(nv.norm * cn.cnorm, 0.0) DESC, a{i}d.cvid) = 1
 ),
 c{i + 1} AS (
-  SELECT a{i}.cvid, elq.pos,
-         CAST(FLOOR(CAST(SUM(elq.q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+  SELECT a{i}.cvid, telq.pos,
+         CAST(FLOOR(CAST(SUM(telq.q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
               AS BIGINT) AS cq
-  FROM a{i} JOIN elq ON elq.vid = a{i}.vid GROUP BY 1, 2
+  FROM a{i} JOIN telq ON telq.vid = a{i}.vid GROUP BY 1, 2
 )"""
 
 
-def _o_ivf_trained_cand(probe_pred: str) -> str:
+def _o_ivf_trained_cand(probe_pred: str, corpus_pred: str = "TRUE") -> str:
     """CTE chain replaying the trained quantizer end-to-end — ≈√N
     strided seeds, _IVF_ITERS Lloyd rounds, final assignment, probe
     cells sized ceil(_NPROBE_FRAC·√N), candidate pairs. ``el``/``nrm``
-    must be in scope (the shared _O_ELEMENTS prologue)."""
+    must be in scope (the shared _O_ELEMENTS prologue).
+
+    ``corpus_pred`` (over ``vid``) restricts the TRAINING corpus —
+    seeds, Lloyd assignments, mean updates, and the N that sizes
+    stride/nprobe — while the FINAL assignment and probes still cover
+    every vector: the incremental-append semantics, where data that
+    arrived after training is assigned to the frozen centroids."""
     t = _IVF_ITERS
     rounds = ",".join(_o_lloyd_round(i, f"c{i}") for i in range(t))
     return f"""
+tel AS (SELECT * FROM el WHERE {corpus_pred}),
 par AS (
   SELECT CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
               / FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride,
          CAST(CEIL({_NPROBE_FRAC} * FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))))
               AS BIGINT) AS nprobe
-  FROM embeddings
+  FROM (SELECT DISTINCT vid FROM tel)
 ),
-elq AS (SELECT vid, pos, CAST(FLOOR(val * 1e6) AS BIGINT) AS q FROM el),
+telq AS (SELECT vid, pos, CAST(FLOOR(val * 1e6) AS BIGINT) AS q FROM tel),
+seeds AS (
+  SELECT vid FROM (
+    SELECT vid, row_number() OVER (ORDER BY vid) AS rn
+    FROM (SELECT DISTINCT vid FROM telq)
+  ) WHERE (rn - 1) % (SELECT stride FROM par) = 0
+),
 c0 AS (
-  SELECT vid AS cvid, pos, q AS cq FROM elq
-  WHERE vid % (SELECT stride FROM par) = 0
+  SELECT telq.vid AS cvid, pos, q AS cq FROM telq JOIN seeds USING (vid)
 ),
 {rounds},
 ctv AS (SELECT cvid, pos, CAST(cq AS DOUBLE) / 1e6 AS cval FROM c{t}),
@@ -955,6 +980,17 @@ WITH {_O_ELEMENTS},
 {_O_IVF_VERIFY_TAIL.strip()}
 """
 
+# incremental-append lifecycle: train + build on the initial 2/3 of
+# the corpus (vec_id % 3 != 0), append the remaining 1/3 against the
+# frozen centroids, probe the fixed serving panel over the union
+_O_APPEND_CORPUS_PRED = "vid % 3 != 0"
+
+_O_IVF_APPEND = f"""
+WITH {_O_ELEMENTS},
+{_o_ivf_trained_cand(_O_PANEL_PRED, _O_APPEND_CORPUS_PRED).strip()},
+{_O_IVF_VERIFY_TAIL.strip()}
+"""
+
 
 def _trained_nprobe(n: int) -> int:
     """ceil(_NPROBE_FRAC · floor(sqrt(N))) — the Python twin of the
@@ -1017,6 +1053,93 @@ def sim_ann_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     index_dir = _fresh_result_dir("ivf_trained_index")
     build_ivf_index(emb, index_dir, centroids_n=cents)
+    probes = emb.filter(_panel_filter())
+    return ivf_probe_index(
+        spark, index_dir, probes, k=_IVF_K, nprobe=_trained_nprobe(n)
+    ).orderBy("query_id", "rank")
+
+
+@query_fn("sim_ann_ivf_append", oracle=_O_IVF_APPEND)
+def sim_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INGEST lifecycle: train √N cells + build the partitioned
+    index on the initial 2/3 of the corpus, then
+    ``ivf_index_append`` the late-arriving 1/3 against the FROZEN
+    centroids — assignment cost O(batch · cells), no retrain, no
+    rewrite of existing cells — and probe the fixed serving panel
+    over the union.
+
+    This is the standing pattern for continuously-arriving embeddings
+    at 100 TB (the inverted-file ``add()``): per-load cost is the
+    batch's broadcast centroid assignment plus one cell-partitioned
+    parquet append; the probe path is unchanged.  The oracle replays
+    training on the initial corpus only and assignment over ALL
+    vectors — exactly the lifecycle's visible semantics."""
+    from ..operators.caching import pin
+    from ..operators.similarity import (
+        _normed,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_probe_index,
+        train_ivf_centroids,
+    )
+    from .streaming_queries import _fresh_result_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    initial = emb.filter(F.col("vec_id") % 3 != 0)
+    late = emb.filter(F.col("vec_id") % 3 == 0)
+    n = initial.count()
+    corpus_n = pin(_normed(initial, "vec_id", "embedding"))
+    cents = train_ivf_centroids(
+        initial, iters=_IVF_ITERS, corpus_n=corpus_n, n=n
+    )
+    index_dir = _fresh_result_dir("ivf_append_index")
+    build_ivf_index(initial, index_dir, centroids_n=cents)
+    ivf_index_append(spark, index_dir, late)
+    probes = emb.filter(_panel_filter())
+    return ivf_probe_index(
+        spark, index_dir, probes, k=_IVF_K, nprobe=_trained_nprobe(n)
+    ).orderBy("query_id", "rank")
+
+
+@query_fn("stream_ann_ingest", oracle=_O_IVF_APPEND)
+def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME incremental-ingest semantics as ``sim_ann_ivf_append``,
+    but the late third arrives as a REAL file-source stream in three
+    micro-batches through the exactly-once ingest sink
+    (streaming/sinks.run_ann_ingest_stream): each batch is assigned to
+    the frozen centroids and written as its own (cell, load) partition
+    set via dynamic partition overwrite — idempotent on redelivery, no
+    ledger, no snapshot rewrite.  Appends are order-independent and
+    assignment is deterministic, so the final index — and therefore
+    the probe result — hash-matches the batch append oracle exactly."""
+    from ..operators.caching import pin
+    from ..operators.similarity import (
+        _normed,
+        build_ivf_index,
+        ivf_probe_index,
+        train_ivf_centroids,
+    )
+    from ..streaming.sinks import run_ann_ingest_stream
+    from .streaming_queries import _fresh_result_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    initial = emb.filter(F.col("vec_id") % 3 != 0)
+    late = emb.filter(F.col("vec_id") % 3 == 0)
+    n = initial.count()
+    corpus_n = pin(_normed(initial, "vec_id", "embedding"))
+    cents = train_ivf_centroids(
+        initial, iters=_IVF_ITERS, corpus_n=corpus_n, n=n
+    )
+    index_dir = _fresh_result_dir("ann_ingest_index")
+    build_ivf_index(initial, index_dir, centroids_n=cents)
+    src_dir = _fresh_result_dir("ann_ingest_src")
+    late.repartition(3).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    run_ann_ingest_stream(stream, spark, index_dir)
     probes = emb.filter(_panel_filter())
     return ivf_probe_index(
         spark, index_dir, probes, k=_IVF_K, nprobe=_trained_nprobe(n)

@@ -509,13 +509,32 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M = 8
 _PQ_SD = 8  # 64 dims / 8 subspaces
+_PQ_CB = 256  # fixed codebook entries per subspace (the FAISS rule)
+# coarse-CELL stride for the scaling-probe ramp form sim_ann_ivfpq
+# only (must equal pipeline_queries._IVF_STRIDE — its oracle replays
+# cells through the shared _O_IVF_CAND fragment); no longer a
+# codebook knob anywhere
 _PQ_STRIDE = 25
 _PQ_K = 10
+
+# size-derived PQ codebook parameter: stride = N/256 keeps the
+# codebook ~256 entries at ANY corpus scale, so the encode join is
+# O(N·m·256).  The r1–r7 stride-25 codebook grew as N/25 and made the
+# encode quadratic — a measured 4 GiB-heap OOM at 60k vectors (x30
+# ramp data) in the round-8 ramp (operators/similarity._pq_codes).
+_O_CBPAR = """
+cbpar AS (
+  SELECT GREATEST(1, CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / 256) AS BIGINT))
+    AS cbstride
+  FROM embeddings
+)
+"""
 
 
 # PQ encode + probe-distance-table CTE chain, shared by sim_ann_pq and
 # the IVF-PQ compositions — parameterized on the probe predicate so
-# the fixed-panel serving variant replays through the SAME fragment
+# the fixed-panel serving variant replays through the SAME fragment;
+# the codebook stride comes from the cbpar CTE (prepend _O_CBPAR)
 def _o_pq_codes(probe_pred: str) -> str:
     return f"""
 sub AS (
@@ -523,7 +542,7 @@ sub AS (
 ),
 cb AS (
   SELECT vid AS code, CAST((pos - 1) // {_PQ_SD} AS INTEGER) AS j, pos, val
-  FROM el WHERE vid % {_PQ_STRIDE} = 0
+  FROM el WHERE vid % (SELECT cbstride FROM cbpar) = 0
 ),
 enc AS (
   SELECT s.vid, s.j, c.code,
@@ -558,6 +577,7 @@ _O_PQ_PANEL_PRED = "s.vid % 10 = 0 AND s.vid < 500"
     "sim_ann_pq",
     oracle=f"""
 WITH {_O_ELEMENTS},
+{_O_CBPAR.strip()},
 {_O_PQ_CODES.strip()},
 ax AS (
   SELECT qid, vid, CAST(SUM(dd) AS DOUBLE) / 1e6 AS approx_dist
@@ -589,7 +609,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_PQ_K,
         dim=64,
         num_subspaces=_PQ_M,
-        centroid_stride=_PQ_STRIDE,
+        codebook_size=_PQ_CB,
     ).orderBy("query_id", "rank")
 
 
@@ -601,6 +621,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_ivfpq",
     oracle=f"""
 WITH {_O_ELEMENTS},
+{_O_CBPAR.strip()},
 {_O_IVF_CAND.strip()},
 {_O_PQ_CODES.strip()},
 ax AS (
@@ -638,14 +659,36 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_subspaces=_PQ_M,
         centroid_stride=_PQ_STRIDE,
         nprobe=4,
+        codebook_size=_PQ_CB,
     ).orderBy("query_id", "rank")
+
+
+# size-derived IVF cell parameters for the PRODUCTION serving form:
+# ~√N cells (stride = N/⌊√N⌋) and the recall-targeted probe budget
+# ceil(0.7·√N) — the same sizing the trained IVF uses, so the coarse
+# assign pass is O(N^1.5) instead of the fixed stride's O(N²/25)
+_O_CPAR = """
+cpar AS (
+  SELECT CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+              / FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS cstride,
+         CAST(CEIL(0.7 * FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))))
+              AS BIGINT) AS nprobe
+  FROM embeddings
+)
+"""
 
 
 @query_fn(
     "sim_ann_ivfpq_fixed",
     oracle=f"""
 WITH {_O_ELEMENTS},
-{_o_ivf_cand(_O_PANEL_PRED).strip()},
+{_O_CBPAR.strip()},
+{_O_CPAR.strip()},
+{_o_ivf_cand(
+    _O_PANEL_PRED,
+    "(SELECT cstride FROM cpar)",
+    "(SELECT nprobe FROM cpar)",
+).strip()},
 {_o_pq_codes(_O_PQ_PANEL_PRED).strip()},
 ax AS (
   SELECT c.qid, c.cid AS vid,
@@ -668,14 +711,21 @@ ORDER BY query_id, rank
 """,
 )
 def sim_ann_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ over the FIXED 50-id probe panel — the serving-shape
-    bench variant (constant probe batch, so battery timings measure
-    per-probe cost instead of conflating corpus and probe growth;
-    the scaling-probe sim_ann_ivfpq stays registered for the ramp).
-    Same cells/codebooks as sim_ann_ivfpq; only the panel differs."""
+    """IVF-PQ in full PRODUCTION shape: FIXED 50-id probe panel
+    (constant probe batch, so battery timings measure per-probe cost
+    instead of conflating corpus and probe growth), ~√N coarse cells
+    with the recall-targeted ceil(0.7·√N) probe budget, and the
+    bounded 256-entry codebook — every knob sized so no pass exceeds
+    O(N^1.5).  The scaling-probe stride-cell sim_ann_ivfpq stays
+    registered for the ramp and oracle-history comparability."""
+    import math
+
     from ..operators.similarity import ivf_pq_topk
+    from .pipeline_queries import _trained_nprobe
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k0 = max(1, math.floor(math.sqrt(n)))
     probes = emb.filter(_panel_filter())
     return ivf_pq_topk(
         emb,
@@ -683,8 +733,10 @@ def sim_ann_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_PQ_K,
         dim=64,
         num_subspaces=_PQ_M,
-        centroid_stride=_PQ_STRIDE,
-        nprobe=4,
+        centroid_stride=max(1, math.floor(n / k0)),
+        nprobe=_trained_nprobe(n),
+        codebook_size=_PQ_CB,
+        n=n,
     ).orderBy("query_id", "rank")
 
 
@@ -739,6 +791,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_pq_recall_report",
     oracle=f"""
 WITH {_O_ELEMENTS},
+{_O_CBPAR.strip()},
 pel AS (SELECT * FROM el WHERE vid % 100 = 0),
 bdist AS (
   SELECT p.vid AS qid, c.vid AS cid,
@@ -797,7 +850,7 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = pq_topk(
         emb, probes, k=_PQ_K, dim=64,
-        num_subspaces=_PQ_M, centroid_stride=_PQ_STRIDE,
+        num_subspaces=_PQ_M, codebook_size=_PQ_CB,
     ).select("query_id", "neighbor_id")
     hit = exact.join(
         approx, ["query_id", "neighbor_id"], "left_semi"

@@ -692,3 +692,50 @@ def run_neardup_filter_stream(
     out = store.read("verdicts")
     assert out is not None, "stream produced no batches"
     return out
+
+
+def run_ann_ingest_stream(
+    vector_stream: DataFrame,
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Continuous ANN-index ingest: each micro-batch of embeddings is
+    assigned to the index's FROZEN centroids and written as its own
+    (cell, load) partition set — the streaming face of
+    operators/similarity.ivf_index_append.
+
+    Exactly-once WITHOUT a ledger or snapshot rewrite: the load label
+    is ``lineage-batchid``, and the append uses dynamic partition
+    overwrite, so a redelivered batch rewrites exactly the partitions
+    it wrote the first time (assignment is deterministic given the
+    centroids — replay converges to the same bytes).  This sink is
+    the one streaming write in the engine whose state is
+    APPEND-STRUCTURED: an inverted file grows by whole cells-worth of
+    new postings, so unlike the snapshot-store sinks there is no
+    O(state) commit to fall back to — per-batch cost is
+    O(batch · cells) assignment plus one partitioned write, at any
+    index size.
+
+    Small-files note: one file set per (cell, batch) accretes exactly
+    the way incremental loads always do; compact_parquet
+    (sources/warehouse.py) is the maintenance pass, and rebuilding
+    the index retrains + re-bases in one shot.
+    """
+    from ..operators.similarity import ivf_index_append
+
+    checkpoint_dir = os.path.join(index_dir, "_ingest_checkpoint")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        lineage = _checkpoint_lineage(checkpoint_dir)
+        ivf_index_append(
+            spark,
+            index_dir,
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            src=f"{lineage[:8]}-{batch_id}",
+        )
+
+    _drive(vector_stream, handle, checkpoint_dir)

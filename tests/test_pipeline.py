@@ -145,6 +145,95 @@ def test_train_ivf_centroids_sqrt_n_cells_and_convergence(spark):
     ]
 
 
+def test_ivf_index_append_matches_union_build(spark, tmp_path):
+    """Append-then-probe must be BIT-IDENTICAL to building the index
+    over the union corpus against the same frozen centroids (the
+    inverted-file add() contract: assignment depends only on the
+    centroid set) — and the append must leave every pre-existing cell
+    file untouched (ingest is write-beside, never rewrite)."""
+    import os
+
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_probe_index,
+        train_ivf_centroids,
+    )
+
+    rows = [(i, [1.0, 0.02 * i, 0.0]) for i in range(6)] + [
+        (i, [0.02 * (i - 6), 1.0, 0.0]) for i in range(6, 12)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    initial = vecs.filter("vec_id % 3 != 0")
+    late = vecs.filter("vec_id % 3 = 0")
+    cents = train_ivf_centroids(initial, iters=2)
+    cents.cache().count()  # freeze one centroid set for both builds
+
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_ivf_index(initial, inc_dir, centroids_n=cents)
+
+    def cell_files(d):
+        return {
+            os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d + "/cells")
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    before = cell_files(inc_dir)
+    ivf_index_append(spark, inc_dir, late)
+    after = cell_files(inc_dir)
+    assert set(before) <= set(after) and len(after) > len(before)
+    assert all(after[p] == s for p, s in before.items()), (
+        "append rewrote an existing cell file"
+    )
+
+    build_ivf_index(vecs, full_dir, centroids_n=cents)
+    probes = vecs.filter("vec_id in (1, 6)")
+    inc = sorted(
+        tuple(r)
+        for r in ivf_probe_index(spark, inc_dir, probes, k=8, nprobe=2).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in ivf_probe_index(spark, full_dir, probes, k=8, nprobe=2).collect()
+    )
+    assert inc == full and len(inc) > 0
+    cents.unpersist()
+
+
+def test_ivf_index_append_idempotent_with_stable_src(spark, tmp_path):
+    """A stable ``src`` label switches the append to dynamic partition
+    overwrite: re-delivering the same batch rewrites exactly its own
+    (cvid, src) partitions, so the index converges instead of
+    double-counting — the streaming ingest sink's exactly-once
+    mechanism, exercised here directly."""
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+    )
+
+    rows = [(i, [1.0, 0.02 * i, 0.0]) for i in range(6)] + [
+        (i, [0.02 * (i - 6), 1.0, 0.0]) for i in range(6, 12)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    initial = vecs.filter("vec_id % 3 != 0")
+    late = vecs.filter("vec_id % 3 = 0")
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(initial, index_dir, centroid_stride=2)
+
+    ivf_index_append(spark, index_dir, late, src="lineage-0")
+    cells = spark.read.parquet(index_dir + "/cells")
+    n_first = cells.count()
+    srcs = {r.src for r in cells.select("src").distinct().collect()}
+    assert srcs == {"base", "lineage-0"}
+    # redelivery: same batch, same label -> byte-stable, not doubled
+    ivf_index_append(spark, index_dir, late, src="lineage-0")
+    again = spark.read.parquet(index_dir + "/cells")
+    assert again.count() == n_first
+    assert {r.vid for r in again.select("vid").collect()} == set(range(12))
+
+
 def test_lsh_ann_probe_subset_of_pairs_and_ranked(spark):
     from business_intelligence_and_data_warehouse_spark.operators.similarity import (
         lsh_ann_pairs,

@@ -357,6 +357,8 @@ _EXECUTES_AT_BUILD = {
     "stream_quantile_sketch",
     "sim_ann_ivf_indexed",
     "sim_ann_ivf_serving",
+    "sim_ann_ivf_append",
+    "stream_ann_ingest",
     "ml_churn_rf",
     "ml_kmeans_embeddings",
     "ml_churn_roc_points",
