@@ -143,6 +143,10 @@ HEADLINE = [
     # streaming sink form)
     "sim_ann_ivf_append",
     "stream_ann_ingest",
+    # r8: size-aware band keys — the linear all-pairs LSH (the fixed
+    # 10-bit-key sim_ann_lsh above is the measured-quadratic ramp
+    # subject it replaces in production)
+    "sim_ann_lsh_sized",
 ]
 
 

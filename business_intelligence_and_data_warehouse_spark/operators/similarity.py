@@ -347,8 +347,8 @@ def _pq_codes(
     the round-8 scale ramp, the same structural quadratic the trained
     √N coarse quantizer fixed for IVF cells.  The flip side at TOY
     corpora: 256 entries exceed N/old-stride below N=6400, so the
-    bench SF pays a measured constant factor (~2× on sim_ann_pq at
-    2000 vectors) for the corpus-independent codebook — the same
+    bench SF pays a measured constant factor (~2.8× on sim_ann_pq at
+    2000 vectors, interleaved best-of-2: 3.7s vs 10.3s) for the corpus-independent codebook — the same
     honest trade as the recall-targeted 0.7·√N probe budget."""
     if dim % num_subspaces != 0:
         raise ValueError(
@@ -1106,24 +1106,29 @@ def hyperplane_signatures(
     )
 
 
-def _band_rows(sigs: DataFrame, num_bits: int, bands: int) -> DataFrame:
+def _band_rows(
+    sigs: DataFrame, num_bits: int, bands: int, key_bits: int | None = None
+) -> DataFrame:
     """(vid, band, key) banded slices of a (vid, sig) signature table —
     one map-side explode of bounded fan-out ``bands``; shared by the
     symmetric pair join and the probe-panel form so the band layout
-    cannot drift between them."""
+    cannot drift between them.
+
+    ``key_bits`` masks each band key to its LOW key_bits bits — the
+    size-aware resolution knob (see :func:`lsh_key_bits`).  The slice
+    uses integer ``div``, not float division: a double round-trips
+    longs only below 2^53, so float division silently corrupts keys
+    for signatures wider than 53 bits."""
     r = num_bits // bands
+    def key(b):
+        k = F.expr(f"sig div {2 ** (b * r)}") % (2**r)
+        return k % (2**key_bits) if key_bits is not None and key_bits < r else k
     return sigs.select(
         "vid",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            (F.col("sig") / F.lit(2 ** (b * r))).cast("long")
-                            % (2**r)
-                        ).alias("key"),
-                    )
+                    F.struct(F.lit(b).alias("band"), key(b).alias("key"))
                     for b in range(bands)
                 ]
             )
@@ -1131,11 +1136,35 @@ def _band_rows(sigs: DataFrame, num_bits: int, bands: int) -> DataFrame:
     ).select("vid", "bk.band", "bk.key")
 
 
+def lsh_key_bits(n: int, seg_bits: int = 15, target_log2: int = 3) -> int:
+    """Band-key width for ~2^``target_log2`` expected vectors per
+    bucket: the smallest w with 2^w ≥ N / 2^target_log2, clamped to
+    the band segment width.
+
+    THE fixed-width LSH failure mode, measured in the round-8 ramp:
+    with a fixed key space (10-bit bands), random band collisions
+    produce ~N²·bands/2^w candidate pairs — ``sim_ann_lsh`` fit
+    exponent 2.85 between x10 and x30 (9.3s → 213s) because the
+    key space stopped separating 60k vectors.  Growing w with
+    log2(N) holds expected bucket occupancy (hence candidate count
+    per vector) CONSTANT, making candidate generation linear; the
+    per-pair recall at a given cosine follows 1-(1-p^w)^bands and
+    decreases as w grows — the standard LSH cost/recall dial, spent
+    here on keeping cost linear (production sizes the total bit
+    budget to its similarity threshold).
+
+    Exact integer arithmetic only (bit_length), so the SQL oracle
+    replays it as LENGTH(BIN(N-1)) with no float-log boundary risk.
+    """
+    return max(1, min(seg_bits, (max(n, 1) - 1).bit_length() - target_log2))
+
+
 def lsh_ann_pairs(
     vectors: DataFrame,
     num_bits: int = 32,
     bands: int = 4,
     min_cosine: float = 0.4,
+    key_bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1145,6 +1174,12 @@ def lsh_ann_pairs(
     (num_bits/bands bits each); verification computes the exact
     (decimal-snapped) cosine and keeps pairs >= min_cosine. Recall
     follows 1-(1-p^r)^b with p = 1 - angle/pi.
+
+    ``key_bits`` masks each band key to its low bits — pass
+    :func:`lsh_key_bits`(N) to hold bucket occupancy (and therefore
+    candidate cost) constant as the corpus grows; a FIXED key space
+    is quadratic in N by random collisions alone (measured exponent
+    2.85 in the round-8 ramp, see lsh_key_bits).
     """
     # One row per vector (vid + long sig), but its lineage is the Arrow
     # signature UDF — persist so the self-join below doesn't run the
@@ -1152,7 +1187,7 @@ def lsh_ann_pairs(
     from .caching import pin
 
     sigs = pin(hyperplane_signatures(vectors, num_bits, id_col, vec_col))
-    band_rows = _band_rows(sigs, num_bits, bands)
+    band_rows = _band_rows(sigs, num_bits, bands, key_bits)
     x = band_rows.alias("x")
     y = band_rows.alias("y")
     candidates = (

@@ -558,10 +558,106 @@ ORDER BY vec_a, vec_b
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH candidate generation + exact verify
-    (cosine >= 0.4). Candidate cost is linear in corpus size."""
+    (cosine >= 0.4).
+
+    SCALE CAVEAT (measured, round-8 ramp): the band-key space here is
+    FIXED (4 × 10-bit bands), so random band collisions grow the
+    candidate set as ~N²·bands/2^10 — fit exponent 2.85 between x10
+    and x30 (9.3s → 213s at 60k vectors).  This form stays registered
+    as the ramp subject and oracle-history anchor; the PRODUCTION
+    all-pairs form is ``sim_ann_lsh_sized`` (band keys sized to the
+    corpus, candidates linear), and the serving form is
+    ``sim_ann_lsh_fixed`` (probe panel, linear by construction)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_ann_pairs(
         emb, num_bits=_ANN_BITS, bands=_ANN_BANDS, min_cosine=_ANN_MIN_COS
+    ).orderBy("vec_a", "vec_b")
+
+
+# size-aware variant: 60-bit signatures (the widest 4-band layout
+# whose per-band slice arithmetic stays in exact long/double range),
+# band keys masked to w = bitlength(N-1) - 3 bits — expected bucket
+# occupancy ~8-16 at ANY corpus size, so candidate generation is
+# linear in N (operators/similarity.lsh_key_bits has the math and the
+# measured quadratic it replaces)
+_SZ_BITS, _SZ_SEG = 60, 15
+_HP_CONSTS_SZ = [b * 2654435761 % 1013 for b in range(_SZ_BITS)]
+_HSUMS_SZ = ",\n  ".join(
+    f"SUM(CAST(FLOOR(val * 1e6) AS BIGINT) * ((({c} + pos * 2246822519) % 19) - 9)) AS h{b}"
+    for b, c in enumerate(_HP_CONSTS_SZ)
+)
+_SIG_SZ = " + ".join(
+    f"(CASE WHEN h{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_SZ_BITS)
+)
+_BAND_KEYS_SZ = "\nUNION ALL\n".join(
+    f"SELECT vid, {b} AS band,"
+    f" ((sig // {2**(b * _SZ_SEG)}) % {2**_SZ_SEG})"
+    f" % (SELECT kmod FROM lpar) AS key FROM sigs"
+    for b in range(_ANN_BANDS)
+)
+
+
+@query_fn(
+    "sim_ann_lsh_sized",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+lpar AS (
+  SELECT CAST(1 AS BIGINT) << GREATEST(1, LEAST({_SZ_SEG},
+           CAST(LENGTH(BIN(CAST(COUNT(*) - 1 AS BIGINT))) AS INTEGER) - 3))
+         AS kmod
+  FROM embeddings
+),
+hs AS (
+  SELECT vid,
+  {_HSUMS_SZ}
+  FROM el GROUP BY vid
+),
+sigs AS (SELECT vid, CAST({_SIG_SZ} AS BIGINT) AS sig FROM hs),
+bandrows AS (
+{_BAND_KEYS_SZ}
+),
+cand AS (
+  SELECT DISTINCT x.vid AS qid, y.vid AS cid
+  FROM bandrows x
+  JOIN bandrows y ON x.band = y.band AND x.key = y.key AND x.vid < y.vid
+),
+dots AS (
+  SELECT cand.qid, cand.cid,
+         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM cand
+  JOIN el a ON a.vid = cand.qid
+  JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
+  GROUP BY 1, 2
+)
+SELECT qid AS vec_a, cid AS vec_b,
+       dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+FROM dots
+JOIN nrm nq ON nq.vid = qid
+JOIN nrm nc ON nc.vid = cid
+WHERE dot / NULLIF(nq.norm * nc.norm, 0.0) >= {_ANN_MIN_COS}
+ORDER BY vec_a, vec_b
+""",
+)
+def sim_ann_lsh_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION all-pairs hyperplane-LSH form: band keys carry
+    w = bitlength(N−1) − 3 bits, so expected bucket occupancy — and
+    with it the candidate count per vector — stays constant as the
+    corpus grows, where the fixed 10-bit key space of ``sim_ann_lsh``
+    is quadratic by random collisions alone (measured exponent 2.85
+    in the round-8 ramp).  Same exact-cosine verify and threshold;
+    recall per pair follows 1-(1-p^w)^bands — the bit budget is the
+    recall dial, spent here on keeping cost linear."""
+    from ..operators.similarity import lsh_key_bits
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    return lsh_ann_pairs(
+        emb,
+        num_bits=_SZ_BITS,
+        bands=_ANN_BANDS,
+        min_cosine=_ANN_MIN_COS,
+        key_bits=lsh_key_bits(n, seg_bits=_SZ_SEG),
     ).orderBy("vec_a", "vec_b")
 
 

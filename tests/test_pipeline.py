@@ -234,6 +234,47 @@ def test_ivf_index_append_idempotent_with_stable_src(spark, tmp_path):
     assert {r.vid for r in again.select("vid").collect()} == set(range(12))
 
 
+def test_lsh_key_bits_integer_sizing():
+    """w = smallest width with 2^w >= N/8, clamped to the segment —
+    exact integer twin of the oracle's LENGTH(BIN(N-1)) formula."""
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        lsh_key_bits,
+    )
+
+    assert lsh_key_bits(1) == 1 and lsh_key_bits(2) == 1
+    assert lsh_key_bits(2000) == 8  # 2^8=256 >= 250; 2^7 < 250
+    assert lsh_key_bits(2048) == 8
+    assert lsh_key_bits(2049) == 9
+    assert lsh_key_bits(10**9) == 15  # clamped to the segment width
+    for n in (3, 17, 255, 256, 257, 60_000, 1_000_000):
+        w = lsh_key_bits(n, seg_bits=60)
+        assert 2**w >= n / 8 and (w == 1 or 2 ** (w - 1) < n / 8)
+
+
+def test_lsh_sized_keys_verify_superset_of_full_keys(spark):
+    """Masking band keys to fewer bits only COARSENS buckets, so after
+    the exact-cosine verify the sized form's pair set must contain the
+    full-key form's — recall can only improve as w shrinks (cost is
+    what grows); both are subsets of no-false-positives exact pairs."""
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        lsh_ann_pairs,
+    )
+
+    rows = [
+        (i, [1.0 - 0.01 * i, 0.01 * i, 0.3, -0.2]) for i in range(10)
+    ] + [(i, [-0.5, 0.02 * i, -1.0, 0.4]) for i in range(10, 20)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_ann_pairs(vecs, num_bits=60, bands=4).collect()
+    }
+    sized = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_ann_pairs(vecs, num_bits=60, bands=4, key_bits=4).collect()
+    }
+    assert full <= sized and len(sized) > 0
+
+
 def test_lsh_ann_probe_subset_of_pairs_and_ranked(spark):
     from business_intelligence_and_data_warehouse_spark.operators.similarity import (
         lsh_ann_pairs,
