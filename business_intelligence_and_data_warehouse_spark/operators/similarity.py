@@ -1053,11 +1053,40 @@ def ivf_index_append(
 # Hyperplane LSH
 # ---------------------------------------------------------------------------
 
+def hyperplane_params(bit: int) -> tuple[int, int]:
+    """(offset, stride) of hyperplane ``bit`` in the mod-1013 cycle —
+    THE single source of the hyperplane family, consumed by the Spark
+    column form, the numpy matrix form, and the SQL-oracle generator
+    so the three can never drift.
+
+    Component ``i`` of plane ``bit`` is ``((c + i·s) % 1013 % 19) − 9``
+    (1-based i).  Two design rules, both ramp lessons:
+
+    * reduce through the prime 1013 BEFORE the final % 19 — reducing
+      ``(c + i·B) % 19`` directly collapses to arithmetic mod 19,
+      leaving at most 19 DISTINCT hyperplanes in the whole family
+      (bits repeat, band keys skew: measured max bucket 1252 vs mean
+      25 at 60k vectors, 63M candidate pairs where uniform keys
+      predict <1M);
+    * give each bit its OWN stride ``s = (B + bit·C) % 1013`` — with a
+      shared stride every plane is a shift of one 1013-cycle, which
+      still left 10 duplicate planes in 60 and a 676-max bucket tail.
+      Distinct strides make the planes independent cycles: 60/60
+      distinct, max bucket ~20-37 on 20k random vectors.
+    """
+    c = bit * 2654435761 % 1013
+    s = (2246822519 + bit * 1986436133) % 1013
+    if s == 0:  # a zero stride would make the plane constant
+        s = 2246822519 % 1013
+    return c, s
+
+
 def _hyperplane_component(bit: int, pos: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-9, 9]:
-    a fixed integer mix of (bit, position). Identical across engines
-    and executors; no stored model."""
-    return ((F.lit(bit * 2654435761 % 1013) + pos * 2246822519) % 19) - 9
+    """Deterministic pseudo-random hyperplane component in [-9, 9] —
+    see :func:`hyperplane_params`. Identical across engines and
+    executors; no stored model."""
+    c, s = hyperplane_params(bit)
+    return ((F.lit(c) + pos * s) % 1013 % 19) - 9
 
 
 def _hyperplane_matrix(dim: int, num_bits: int) -> np.ndarray:
@@ -1065,8 +1094,10 @@ def _hyperplane_matrix(dim: int, num_bits: int) -> np.ndarray:
     form of :func:`_hyperplane_component` (same integer mix, 1-based
     positions; all operands positive so numpy `%` == Spark `%`)."""
     pos = np.arange(1, dim + 1, dtype=np.int64)[:, None]
-    bits = np.arange(num_bits, dtype=np.int64)[None, :]
-    return (bits * 2654435761 % 1013 + pos * 2246822519) % 19 - 9
+    cs = np.array(
+        [hyperplane_params(b) for b in range(num_bits)], dtype=np.int64
+    )
+    return (cs[:, 0][None, :] + pos * cs[:, 1][None, :]) % 1013 % 19 - 9
 
 
 def hyperplane_signatures(
@@ -1144,14 +1175,17 @@ def lsh_key_bits(n: int, seg_bits: int = 15, target_log2: int = 3) -> int:
     THE fixed-width LSH failure mode, measured in the round-8 ramp:
     with a fixed key space (10-bit bands), random band collisions
     produce ~N²·bands/2^w candidate pairs — ``sim_ann_lsh`` fit
-    exponent 2.85 between x10 and x30 (9.3s → 213s) because the
-    key space stopped separating 60k vectors.  Growing w with
-    log2(N) holds expected bucket occupancy (hence candidate count
-    per vector) CONSTANT, making candidate generation linear; the
-    per-pair recall at a given cosine follows 1-(1-p^w)^bands and
-    decreases as w grows — the standard LSH cost/recall dial, spent
-    here on keeping cost linear (production sizes the total bit
-    budget to its similarity threshold).
+    exponent 2.85 between x10 and x30 (9.3s → 213s).  (Two layers:
+    most of that 2.85 was the DEGENERATE hyperplane family — see
+    :func:`hyperplane_params`; with full-rank planes the fixed-key
+    form re-measures at 1.28, the residual being this key-space
+    quadratic, which sizing removes: the sized form fits 0.52 out to
+    x100.)  Growing w with log2(N) holds expected bucket occupancy
+    (hence candidate count per vector) CONSTANT, making candidate
+    generation linear; the per-pair recall at a given cosine follows
+    1-(1-p^w)^bands and decreases as w grows — the standard LSH
+    cost/recall dial, spent here on keeping cost linear (production
+    sizes the total bit budget to its similarity threshold).
 
     Exact integer arithmetic only (bit_length), so the SQL oracle
     replays it as LENGTH(BIN(N-1)) with no float-log boundary risk.

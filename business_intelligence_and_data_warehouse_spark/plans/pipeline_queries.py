@@ -52,6 +52,7 @@ from ..operators.multimodal import attach_blob, extract_features
 from ..operators.similarity import (
     brute_force_topk,
     cosine_pairs,
+    hyperplane_params,
     ivf_topk,
     lsh_ann_pairs,
 )
@@ -506,10 +507,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ANN_BITS, _ANN_BANDS, _ANN_MIN_COS = 40, 4, 0.4
-_HP_CONSTS = [b * 2654435761 % 1013 for b in range(_ANN_BITS)]
+_HP_PARAMS = [hyperplane_params(b) for b in range(_ANN_BITS)]
 _HSUMS = ",\n  ".join(
-    f"SUM(CAST(FLOOR(val * 1e6) AS BIGINT) * ((({c} + pos * 2246822519) % 19) - 9)) AS h{b}"
-    for b, c in enumerate(_HP_CONSTS)
+    f"SUM(CAST(FLOOR(val * 1e6) AS BIGINT) * ((({c} + pos * {st}) % 1013 % 19) - 9)) AS h{b}"
+    for b, (c, st) in enumerate(_HP_PARAMS)
 )
 _SIG_ANN = " + ".join(
     f"(CASE WHEN h{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_ANN_BITS)
@@ -562,12 +563,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SCALE CAVEAT (measured, round-8 ramp): the band-key space here is
     FIXED (4 × 10-bit bands), so random band collisions grow the
-    candidate set as ~N²·bands/2^10 — fit exponent 2.85 between x10
-    and x30 (9.3s → 213s at 60k vectors).  This form stays registered
-    as the ramp subject and oracle-history anchor; the PRODUCTION
-    all-pairs form is ``sim_ann_lsh_sized`` (band keys sized to the
-    corpus, candidates linear), and the serving form is
-    ``sim_ann_lsh_fixed`` (probe panel, linear by construction)."""
+    candidate set as ~N²·bands/2^10 — the x10→x30 fit is 1.28 with
+    the full-rank hyperplane family (the original 2.85 / 213s-at-x30
+    measurement was dominated by the degenerate ≤19-plane family,
+    since fixed — hyperplane_params has both layers).  This form
+    stays registered as the ramp subject and oracle-history anchor;
+    the PRODUCTION all-pairs form is ``sim_ann_lsh_sized`` (band keys
+    sized to the corpus, candidates linear — fit 0.52 out to x100),
+    and the serving form is ``sim_ann_lsh_fixed`` (probe panel,
+    linear by construction)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_ann_pairs(
         emb, num_bits=_ANN_BITS, bands=_ANN_BANDS, min_cosine=_ANN_MIN_COS
@@ -581,10 +585,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # linear in N (operators/similarity.lsh_key_bits has the math and the
 # measured quadratic it replaces)
 _SZ_BITS, _SZ_SEG = 60, 15
-_HP_CONSTS_SZ = [b * 2654435761 % 1013 for b in range(_SZ_BITS)]
+_HP_PARAMS_SZ = [hyperplane_params(b) for b in range(_SZ_BITS)]
 _HSUMS_SZ = ",\n  ".join(
-    f"SUM(CAST(FLOOR(val * 1e6) AS BIGINT) * ((({c} + pos * 2246822519) % 19) - 9)) AS h{b}"
-    for b, c in enumerate(_HP_CONSTS_SZ)
+    f"SUM(CAST(FLOOR(val * 1e6) AS BIGINT) * ((({c} + pos * {st}) % 1013 % 19) - 9)) AS h{b}"
+    for b, (c, st) in enumerate(_HP_PARAMS_SZ)
 )
 _SIG_SZ = " + ".join(
     f"(CASE WHEN h{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_SZ_BITS)
@@ -644,10 +648,12 @@ def sim_ann_lsh_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = bitlength(N−1) − 3 bits, so expected bucket occupancy — and
     with it the candidate count per vector — stays constant as the
     corpus grows, where the fixed 10-bit key space of ``sim_ann_lsh``
-    is quadratic by random collisions alone (measured exponent 2.85
-    in the round-8 ramp).  Same exact-cosine verify and threshold;
-    recall per pair follows 1-(1-p^w)^bands — the bit budget is the
-    recall dial, spent here on keeping cost linear."""
+    is quadratic by random collisions alone (round-8 ramp: fixed-key
+    1.28 vs this form 0.52 out to x100, both with the full-rank
+    hyperplane family — hyperplane_params records the degenerate
+    family that originally measured 2.85).  Same exact-cosine verify
+    and threshold; recall per pair follows 1-(1-p^w)^bands — the bit
+    budget is the recall dial, spent here on keeping cost linear."""
     from ..operators.similarity import lsh_key_bits
 
     emb = load_table(spark, sf_dir, "embeddings")
