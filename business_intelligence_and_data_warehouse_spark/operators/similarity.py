@@ -1193,6 +1193,99 @@ def lsh_key_bits(n: int, seg_bits: int = 15, target_log2: int = 3) -> int:
     return max(1, min(seg_bits, (max(n, 1) - 1).bit_length() - target_log2))
 
 
+def banded_hyperplane_keys(
+    vectors: DataFrame,
+    bands: int = 4,
+    bits_per_band: int = 30,
+    key_bits: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, band, key): each band's key computed DIRECTLY from its
+    own ``bits_per_band`` hyperplanes (plane index band·r + j), in one
+    Arrow matrix multiply per batch — no packed-signature word, so the
+    per-band key width is not capped by what fits in one BIGINT.
+
+    This is the ceiling :func:`_band_rows` has: a packed 60-bit long
+    gives 4 bands at most 15 key bits each, and once the corpus passes
+    ~2^18 vectors the size-aware width clamps and bucket occupancy —
+    hence candidate cost — grows linearly again (measured: the
+    15-bit-capped sized form jumped 8.4s at x100 → 125.8s at x300
+    when N=600k outgrew 2^15 keys).  30-bit bands hold occupancy
+    constant out to ~2^33 vectors — billions, the 100 TB regime.
+    ``key_bits`` masks each key to its low bits (pass
+    :func:`lsh_key_bits`(N, seg_bits=bits_per_band))."""
+    nb = bands * bits_per_band
+
+    @pandas_udf("array<long>")
+    def keys_udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.stack(emb.to_numpy())
+        q = np.floor(mat.astype(np.float64) * DOT_SCALE).astype(np.int64)
+        h = _hyperplane_matrix(q.shape[1], nb)
+        bits = (q @ h) > 0  # (n, bands*r)
+        w = np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64)
+        keys = np.stack(
+            [
+                (
+                    bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+                    .astype(np.uint64)
+                    @ w
+                ).astype(np.int64)
+                for b in range(bands)
+            ],
+            axis=1,
+        )
+        return pd.Series(list(keys))
+
+    rows = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(keys_udf(F.col(vec_col))).alias("band", "key"),
+    )
+    if key_bits is not None and key_bits < bits_per_band:
+        rows = rows.withColumn("key", F.col("key") % (2**key_bits))
+    return rows
+
+
+def banded_ann_pairs(
+    vectors: DataFrame,
+    bands: int = 4,
+    bits_per_band: int = 30,
+    key_bits: int | None = None,
+    min_cosine: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-neighbor pairs via per-band direct hyperplane keys + exact
+    verify — the UNCAPPED production form of :func:`lsh_ann_pairs`
+    (see :func:`banded_hyperplane_keys` for why the packed-long form
+    stops scaling at ~2^18 vectors)."""
+    from .caching import pin
+
+    band_rows = pin(
+        banded_hyperplane_keys(
+            vectors, bands, bits_per_band, key_bits, id_col, vec_col
+        )
+    )
+    x, y = band_rows.alias("x"), band_rows.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.vid") < F.col("y.vid")),
+        )
+        .select(F.col("x.vid").alias("qid"), F.col("y.vid").alias("cid"))
+        .distinct()
+    )
+    corpus_n = pin(_normed(vectors, id_col, vec_col))
+    pairs = _cosine_for_pairs_normed(candidates, corpus_n)
+    return pairs.filter(F.col("cosine") >= min_cosine).select(
+        F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), "cosine"
+    )
+
+
 def lsh_ann_pairs(
     vectors: DataFrame,
     num_bits: int = 32,

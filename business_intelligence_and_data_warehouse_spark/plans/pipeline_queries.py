@@ -584,20 +584,32 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # occupancy ~8-16 at ANY corpus size, so candidate generation is
 # linear in N (operators/similarity.lsh_key_bits has the math and the
 # measured quadratic it replaces)
-_SZ_BITS, _SZ_SEG = 60, 15
-_HP_PARAMS_SZ = [hyperplane_params(b) for b in range(_SZ_BITS)]
+# per-band DIRECT keys: band b's key is built from its OWN 30
+# hyperplanes (plane index b·30 + j), never packed through one
+# 60-bit signature word — the packed form caps key width at 15 bits
+# and its size-aware sizing clamps once N passes ~2^18 (measured:
+# 8.4s at x100 → 125.8s at x300); 30-bit bands hold occupancy
+# constant out to ~2^33 vectors
+_SZ_BANDS, _SZ_R = 4, 30
+_HP_PARAMS_SZ = [hyperplane_params(b) for b in range(_SZ_BANDS * _SZ_R)]
 _HSUMS_SZ = ",\n  ".join(
     f"SUM(CAST(FLOOR(val * 1e6) AS BIGINT) * ((({c} + pos * {st}) % 1013 % 19) - 9)) AS h{b}"
     for b, (c, st) in enumerate(_HP_PARAMS_SZ)
 )
-_SIG_SZ = " + ".join(
-    f"(CASE WHEN h{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_SZ_BITS)
-)
+
+
+def _sz_band_key(b: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN h{b * _SZ_R + j} > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(_SZ_R)
+    )
+
+
 _BAND_KEYS_SZ = "\nUNION ALL\n".join(
     f"SELECT vid, {b} AS band,"
-    f" ((sig // {2**(b * _SZ_SEG)}) % {2**_SZ_SEG})"
-    f" % (SELECT kmod FROM lpar) AS key FROM sigs"
-    for b in range(_ANN_BANDS)
+    f" CAST({_sz_band_key(b)} AS BIGINT)"
+    f" % (SELECT kmod FROM lpar) AS key FROM hs"
+    for b in range(_SZ_BANDS)
 )
 
 
@@ -606,7 +618,7 @@ _BAND_KEYS_SZ = "\nUNION ALL\n".join(
     oracle=f"""
 WITH {_O_ELEMENTS},
 lpar AS (
-  SELECT CAST(1 AS BIGINT) << GREATEST(1, LEAST({_SZ_SEG},
+  SELECT CAST(1 AS BIGINT) << GREATEST(1, LEAST({_SZ_R},
            CAST(LENGTH(BIN(CAST(COUNT(*) - 1 AS BIGINT))) AS INTEGER) - 3))
          AS kmod
   FROM embeddings
@@ -616,7 +628,6 @@ hs AS (
   {_HSUMS_SZ}
   FROM el GROUP BY vid
 ),
-sigs AS (SELECT vid, CAST({_SIG_SZ} AS BIGINT) AS sig FROM hs),
 bandrows AS (
 {_BAND_KEYS_SZ}
 ),
@@ -645,25 +656,27 @@ ORDER BY vec_a, vec_b
 )
 def sim_ann_lsh_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION all-pairs hyperplane-LSH form: band keys carry
-    w = bitlength(N−1) − 3 bits, so expected bucket occupancy — and
-    with it the candidate count per vector — stays constant as the
-    corpus grows, where the fixed 10-bit key space of ``sim_ann_lsh``
-    is quadratic by random collisions alone (round-8 ramp: fixed-key
-    1.28 vs this form 0.52 out to x100, both with the full-rank
-    hyperplane family — hyperplane_params records the degenerate
-    family that originally measured 2.85).  Same exact-cosine verify
-    and threshold; recall per pair follows 1-(1-p^w)^bands — the bit
-    budget is the recall dial, spent here on keeping cost linear."""
-    from ..operators.similarity import lsh_key_bits
+    w = bitlength(N−1) − 3 bits computed DIRECTLY per band from 30
+    hyperplanes each, so expected bucket occupancy — and with it the
+    candidate count per vector — stays constant out to ~2^33 vectors,
+    where the fixed 10-bit key space of ``sim_ann_lsh`` is quadratic
+    by random collisions alone (round-8 ramp: fixed-key 1.28; the
+    intermediate packed-60-bit sizing clamped at 15 key bits and
+    jumped 8.4s→125.8s at x300 when N outgrew 2^15 keys — the direct
+    per-band form removes the word-width ceiling entirely).  Same
+    exact-cosine verify and threshold; recall per pair follows
+    1-(1-p^w)^bands — the bit budget is the recall dial, spent here
+    on keeping cost linear."""
+    from ..operators.similarity import banded_ann_pairs, lsh_key_bits
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    return lsh_ann_pairs(
+    return banded_ann_pairs(
         emb,
-        num_bits=_SZ_BITS,
-        bands=_ANN_BANDS,
+        bands=_SZ_BANDS,
+        bits_per_band=_SZ_R,
         min_cosine=_ANN_MIN_COS,
-        key_bits=lsh_key_bits(n, seg_bits=_SZ_SEG),
+        key_bits=lsh_key_bits(n, seg_bits=_SZ_R),
     ).orderBy("vec_a", "vec_b")
 
 
