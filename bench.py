@@ -224,6 +224,21 @@ def main() -> None:
             }
         )
     )
+    # The full line above exceeds the driver's tail capture once the
+    # battery passed ~60 queries (BENCH_r05+ recorded parsed:null). Emit a
+    # short headline LAST so the driver's JSON-line scan always parses it.
+    print(
+        json.dumps(
+            {
+                "metric": "battery_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_of(sf_dir),
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+            }
+        )
+    )
     spark.stop()
 
 

@@ -195,7 +195,7 @@ def curate_corpus(
     final_count = curated.agg(F.count(F.lit(1)).alias("n4"))
     # two 1-row aggregates -> scalar cross join (broadcast, no shuffle)
     funnel = (
-        stage_counts.crossJoin(final_count)
+        stage_counts.crossJoin(F.broadcast(final_count))
         .select(
             F.expr(
                 "stack(5, '0_input', n0, '1_lang', n1, '2_quality', n2, "

@@ -1077,7 +1077,12 @@ def hyperplane_params(bit: int) -> tuple[int, int]:
     c = bit * 2654435761 % 1013
     s = (2246822519 + bit * 1986436133) % 1013
     if s == 0:  # a zero stride would make the plane constant
-        s = 2246822519 % 1013
+        # bit-dependent nonzero fallback: substituting a shared
+        # constant here would recreate the shared-stride shifted-cycle
+        # duplication documented above if two fallback bits ever
+        # coexist (none occur for bits 0-119 today; this keeps the
+        # family duplicate-free for ANY future bit budget)
+        s = 1 + (bit % 1012)
     return c, s
 
 

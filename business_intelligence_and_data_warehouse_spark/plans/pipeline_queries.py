@@ -56,7 +56,7 @@ from ..operators.similarity import (
     ivf_topk,
     lsh_ann_pairs,
 )
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, table_count
 from .queries import query_fn
 
 # normalized text + distinct 3-word shingles, as a DuckDB CTE prefix
@@ -581,7 +581,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # size-aware variant: 60-bit signatures (the widest 4-band layout
 # whose per-band slice arithmetic stays in exact long/double range),
 # band keys masked to w = bitlength(N-1) - 3 bits — expected bucket
-# occupancy ~8-16 at ANY corpus size, so candidate generation is
+# occupancy ~4-8 at ANY corpus size (smallest w with 2^w >= N/8
+# bounds N/2^w to (4, 8]; SCALE.md measures 4.6-7.6), so candidate
+# generation is
 # linear in N (operators/similarity.lsh_key_bits has the math and the
 # measured quadratic it replaces)
 # per-band DIRECT keys: band b's key is built from its OWN 30
@@ -670,7 +672,7 @@ def sim_ann_lsh_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import banded_ann_pairs, lsh_key_bits
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = table_count(spark, sf_dir, "embeddings")
     return banded_ann_pairs(
         emb,
         bands=_SZ_BANDS,
@@ -1161,7 +1163,7 @@ def sim_ann_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming_queries import _fresh_result_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = table_count(spark, sf_dir, "embeddings")
     corpus_n = pin(_normed(emb, "vec_id", "embedding"))
     cents = train_ivf_centroids(
         emb, iters=_IVF_ITERS, corpus_n=corpus_n, n=n

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import repeated_ngram_report
 from ..operators.selection import bigram_lm_scores, dsir_weights
 from ..operators.similarity import brute_force_topk, matryoshka_topk
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, table_count
 from .pipeline_queries import (
     _O_ELEMENTS,
     _O_HEXV,
@@ -610,6 +610,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         num_subspaces=_PQ_M,
         codebook_size=_PQ_CB,
+        n=table_count(spark, sf_dir, "embeddings"),
     ).orderBy("query_id", "rank")
 
 
@@ -660,6 +661,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_stride=_PQ_STRIDE,
         nprobe=4,
         codebook_size=_PQ_CB,
+        n=table_count(spark, sf_dir, "embeddings"),
     ).orderBy("query_id", "rank")
 
 
@@ -724,7 +726,7 @@ def sim_ann_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline_queries import _trained_nprobe
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = table_count(spark, sf_dir, "embeddings")
     k0 = max(1, math.floor(math.sqrt(n)))
     probes = emb.filter(_panel_filter())
     return ivf_pq_topk(
@@ -851,6 +853,7 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pq_topk(
         emb, probes, k=_PQ_K, dim=64,
         num_subspaces=_PQ_M, codebook_size=_PQ_CB,
+        n=table_count(spark, sf_dir, "embeddings"),
     ).select("query_id", "neighbor_id")
     hit = exact.join(
         approx, ["query_id", "neighbor_id"], "left_semi"

@@ -71,6 +71,30 @@ def clear_table_cache() -> int:
     """Drop every memoized table plan; returns how many were cached."""
     n = len(_TABLE_CACHE)
     _TABLE_CACHE.clear()
+    _COUNT_CACHE.clear()
+    return n
+
+
+# (applicationId, abs sf_dir, table) -> row count.  The testdata dirs
+# are immutable for the life of a session (same invariant _TABLE_CACHE
+# relies on), so a count can never go stale; memoizing it lets sizing
+# logic (PQ codebook stride, IVF cell counts) reuse ONE count job per
+# session instead of paying a full-corpus count action per query
+# invocation.
+_COUNT_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def table_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Memoized ``load_table(...).count()`` — one count job per
+    (session, dir, table); repeat invocations are a dict hit."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    app_id = key[0]
+    for stale in [k for k in _COUNT_CACHE if k[0] != app_id]:
+        del _COUNT_CACHE[stale]
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, name).count()
+        _COUNT_CACHE[key] = n
     return n
 
 

@@ -707,10 +707,20 @@ def run_ann_ingest_stream(
     operators/similarity.ivf_index_append.
 
     Exactly-once WITHOUT a ledger or snapshot rewrite: the load label
-    is ``lineage-batchid``, and the append uses dynamic partition
+    is CONTENT-ADDRESSED — a 64-bit xor-of-id-hashes digest of the
+    batch plus its row count — and the append uses dynamic partition
     overwrite, so a redelivered batch rewrites exactly the partitions
     it wrote the first time (assignment is deterministic given the
-    centroids — replay converges to the same bytes).  This sink is
+    centroids — replay converges to the same bytes).  Content
+    addressing (rather than the earlier ``lineage-batchid`` label)
+    makes idempotency survive a FRESH-CHECKPOINT restart over the same
+    source: the replayed batches carry the same digests, so they
+    overwrite rather than duplicate.  Residual caveat: if a restart
+    re-splits the source into DIFFERENT micro-batch boundaries
+    (e.g. a changed maxFilesPerTrigger), partially-overlapping batches
+    get new digests and their vids duplicate — rebuild the index (or
+    compact with a vid-level dedup) after changing batching knobs.
+    This sink is
     the one streaming write in the engine whose state is
     APPEND-STRUCTURED: an inverted file grows by whole cells-worth of
     new postings, so unlike the snapshot-store sinks there is no
@@ -728,14 +738,23 @@ def run_ann_ingest_stream(
     checkpoint_dir = os.path.join(index_dir, "_ingest_checkpoint")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        lineage = _checkpoint_lineage(checkpoint_dir)
+        # content-addressed load label: order-independent xor of the
+        # batch's id hashes + row count.  One tiny agg action per
+        # batch (the batch is about to be fully scanned for the write
+        # anyway); xor cannot overflow and is commutative, so the
+        # digest is independent of partitioning and row order.
+        digest = batch_df.agg(
+            F.expr(f"bit_xor(xxhash64({id_col}))").alias("x"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        label = f"{(digest['x'] or 0) & 0xFFFFFFFFFFFF:012x}-{digest['n']}"
         ivf_index_append(
             spark,
             index_dir,
             batch_df,
             id_col=id_col,
             vec_col=vec_col,
-            src=f"{lineage[:8]}-{batch_id}",
+            src=label,
         )
 
     _drive(vector_stream, handle, checkpoint_dir)

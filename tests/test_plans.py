@@ -453,6 +453,9 @@ def test_no_collect_in_query_code_paths():
         ("analytics/predictive.py", "train.groupBy(label_col).count()"),
         # bounded: one row per load period present in the micro-batch
         ("streaming/sinks.py", "batch_lastp.select(load_date_col).distinct()"),
+        # bounded: the ANN-ingest sink's ONE-ROW content digest (the
+        # load label that makes replay idempotent across lineages)
+        ("streaming/sinks.py", ").collect()[0]"),
         # bounded: the dedup index's ONE-ROW build-params record
         ("operators/dedup.py", 'parquet(index_dir + "/meta").collect()'),
         # bounded: the BPE trainer's one-row-per-iteration merge pick
