@@ -116,6 +116,7 @@ HEADLINE = [
     "corpus_domain_quota",
     "text_char_entropy",
     "bpe_top_pairs",
+    "bpe_train_32k",
     # r7: full BPE encoder (train 8 merges + corpus encode)
     "bpe_encode_corpus",
     "embedding_random_projection",

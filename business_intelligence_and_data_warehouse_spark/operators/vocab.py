@@ -158,44 +158,74 @@ def bpe_apply_merge(symbols, a: str, b: str):
 # full BPE: train a merge list, then encode the corpus with it
 # ---------------------------------------------------------------------------
 
-# New symbols live in the BMP private-use area (U+E000..U+F8FF, 6400
-# codepoints).  normalize_text only lowercases and collapses
-# whitespace — it does NOT strip private-use characters, so the
-# trainer VALIDATES the contract instead of assuming it: bpe_train
-# raises if any input word carries a PUA codepoint (a word containing
-# one would silently collide with merge symbols and corrupt every
-# pair count downstream).  Keeping every symbol (initial char or
-# merged pair) EXACTLY ONE character is what makes greedy
-# left-to-right merging equal to a plain literal ``replace`` in any
-# engine (both Spark's ``replace`` and DuckDB's scan left-to-right
-# over non-overlapping occurrences, the Sennrich trainer's
-# semantics).
+# New symbols live in the Unicode PRIVATE-USE blocks, allocated in
+# rank order across three ranges:
+#
+#   ranks      1..6400     -> U+E000..U+F8FF    (BMP PUA, 6,400)
+#   ranks   6401..71,934   -> U+F0000..U+FFFFD  (plane 15 PUA, 65,534)
+#   ranks 71,935..137,468  -> U+100000..U+10FFFD (plane 16 PUA, 65,534)
+#
+# (U+xFFFE/U+xFFFF noncharacters are excluded from the supplementary
+# blocks.)  The first 6,400 ranks keep their round-7 BMP codepoints,
+# so every previously-trained merge list replays bit-for-bit; the
+# supplementary planes lift the merge budget to 137,468 — past the
+# 32k-100k vocabularies production tokenizers ship.  Supplementary
+# codepoints are surrogate PAIRS in UTF-16 but single CODEPOINTS
+# everywhere this engine's string semantics live: Spark SQL
+# (UTF8String counts/indexes UTF-8 codepoints), DuckDB, and Python
+# all agree that len/substr/replace treat one such symbol as ONE
+# character (verified empirically; pytest pins it) — which is the
+# whole contract: every symbol (initial char or merged pair) being
+# EXACTLY ONE character makes greedy left-to-right merging equal to a
+# plain literal ``replace`` in any engine (both Spark's ``replace``
+# and DuckDB's scan left-to-right over non-overlapping occurrences,
+# the Sennrich trainer's semantics).
+#
+# normalize_text only lowercases and collapses whitespace — it does
+# NOT strip private-use characters, so the trainer VALIDATES the
+# contract instead of assuming it: bpe_train raises if any input word
+# carries a PUA codepoint (a word containing one would silently
+# collide with merge symbols and corrupt every pair count
+# downstream).
 BPE_SYMBOL_BASE = 0xE000
-# Last PUA codepoint: merge ranks beyond this would walk into real
-# CJK-compatibility codepoints and could collide with corpus text.
-BPE_MAX_MERGES = 0xF8FF - BPE_SYMBOL_BASE + 1  # 6400
+_BMP_MERGES = 0xF8FF - BPE_SYMBOL_BASE + 1  # 6,400
+_PLANE_MERGES = 0xFFFD + 1  # 65,534 usable codepoints per PUA-A/B plane
+BPE_MAX_MERGES = _BMP_MERGES + 2 * _PLANE_MERGES  # 137,468
 
-# One-character class matching any BMP private-use codepoint — the
-# symbol alphabet; corpus words must not contain these.
-_PUA_RE = "[\\uE000-\\uF8FF]"
+# One-character class matching any private-use codepoint (all three
+# blocks) — the symbol alphabet; corpus words must not contain these.
+# \x{...} escapes are Java-regex syntax (Spark rlike); this pattern is
+# NOT valid for Python's `re`.
+_PUA_RE = (
+    "[\\uE000-\\uF8FF"
+    "\\x{F0000}-\\x{FFFFD}"
+    "\\x{100000}-\\x{10FFFD}]"
+)
 
 
-def bpe_new_symbol(rank: int) -> str:
+def bpe_new_symbol(rank: int, offset: int = 0) -> str:
     """The single private-use character standing for merge ``rank``
-    (1-based) — deterministic, so any engine regenerates the same
-    symbol table from the same merge ranks.  Bounded to the PUA block:
-    rank > 6400 would leave private-use space and collide with real
-    corpus codepoints."""
-    if not 1 <= rank <= BPE_MAX_MERGES:
+    (1-based; ``offset`` shifts the allocation, for reserving lower
+    symbol space or exercising a block boundary) — deterministic, so
+    any engine regenerates the same symbol table from the same merge
+    ranks.  Bounded to the three PUA blocks: a rank beyond them would
+    walk into assigned codepoints and could collide with corpus
+    text."""
+    r = rank + offset
+    if rank < 1 or r > BPE_MAX_MERGES:
         raise ValueError(
-            f"BPE merge rank {rank} outside the private-use symbol "
-            f"space (1..{BPE_MAX_MERGES})"
+            f"BPE merge rank {rank}+{offset} outside the private-use "
+            f"symbol space (1..{BPE_MAX_MERGES})"
         )
-    return chr(BPE_SYMBOL_BASE + rank - 1)
+    if r <= _BMP_MERGES:
+        return chr(BPE_SYMBOL_BASE + r - 1)
+    if r <= _BMP_MERGES + _PLANE_MERGES:
+        return chr(0xF0000 + r - _BMP_MERGES - 1)
+    return chr(0x100000 + r - _BMP_MERGES - _PLANE_MERGES - 1)
 
 
 def bpe_train(
-    words: DataFrame, n_merges: int
+    words: DataFrame, n_merges: int, symbol_offset: int = 0
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Train ``n_merges`` BPE merges over a (w, freq) word table and
     return ``(merges, encoded_words)``: merges as
@@ -215,20 +245,30 @@ def bpe_train(
     Tie-break: highest pair_count, then (a, b) ascending — fully
     deterministic, mirrored by the DuckDB oracle's ORDER BY.
 
-    Contract guards: ``n_merges`` must fit the private-use symbol
-    block (≤ 6400), and no input word may contain a private-use
+    Contract guards: ``n_merges + symbol_offset`` must fit the
+    private-use symbol space (≤ 137,468 — BMP PUA plus supplementary
+    planes 15/16), and no input word may contain a private-use
     codepoint (it would collide with merge symbols and corrupt pair
     counts) — validated with ONE vocabulary-sized check over the
     already-pinned word table, raising ``ValueError`` with an
     offending sample.
+
+    Budget note: each merge is one pair-count aggregate + a one-row
+    collect, so this distributed loop suits MODEST budgets (tens to
+    low hundreds of merges) or word tables too large to collect; for
+    production-scale budgets (32k+) use :func:`bpe_train_local`, which
+    collects the vocabulary-sized word table once and runs the
+    incremental-pair-count trainer driver-side — identical decisions,
+    property-pinned equal.
     """
     from .caching import pin
 
-    if n_merges > BPE_MAX_MERGES:
+    if n_merges + symbol_offset > BPE_MAX_MERGES:
         raise ValueError(
-            f"n_merges={n_merges} exceeds the {BPE_MAX_MERGES}-symbol "
-            "private-use block (U+E000..U+F8FF); larger vocabularies "
-            "need a multi-char symbol encoding"
+            f"n_merges={n_merges}+offset {symbol_offset} exceeds the "
+            f"{BPE_MAX_MERGES}-symbol private-use space (BMP PUA + "
+            "planes 15/16); larger vocabularies need a multi-char "
+            "symbol encoding"
         )
     work = pin(words.select(F.col("w").alias("w0"), "w", "freq"))
     tainted = work.filter(F.col("w").rlike(_PUA_RE)).select("w").limit(3)
@@ -248,12 +288,119 @@ def bpe_train(
         if not top:  # every word is a single symbol; nothing to merge
             break
         a, b, cnt = top[0].a, top[0].b, int(top[0].pair_count)
-        new = bpe_new_symbol(rank)
+        new = bpe_new_symbol(rank, symbol_offset)
         merges.append((rank, a, b, new, cnt))
         work = work.withColumn(
             "w", F.replace(F.col("w"), F.lit(a + b), F.lit(new))
         )
     return merges, work
+
+
+def bpe_train_local(
+    words: DataFrame, n_merges: int, symbol_offset: int = 0
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges with the same decisions, symbol
+    allocation, guards, and return contract as :func:`bpe_train`, but
+    with the merge loop running DRIVER-SIDE over the collected
+    (w, freq) table — the production path for large budgets (32k-100k
+    merges), where per-iteration Spark jobs would dominate.
+
+    Scale shape (100 TB): the corpus-sized work is unchanged — ONE
+    distributed scan aggregates the corpus into the vocabulary-sized
+    (word-type, freq) table.  That table is then collected: word TYPES
+    number in the millions even for web-scale corpora (bounded by the
+    vocabulary, not the corpus), which is the same single-node
+    working set every production BPE trainer uses (Sennrich's
+    subword-nmt, HuggingFace tokenizers both train over aggregated
+    counts on one machine).  The merge loop itself is inherently
+    sequential — each decision feeds the next re-segmentation — so no
+    engine distributes it; what matters at scale is that the loop
+    touches only the word table, which this does with the classic
+    incremental algorithm: a lazy max-heap over pair counts and
+    per-merge updates restricted to the words containing the merged
+    pair, O(touched chars) per merge instead of a full recount.
+
+    Decision parity with :func:`bpe_train` (property-pinned in
+    tests/test_tokenizer_prep.py): pair counts weight every adjacent
+    position (including overlapping, e.g. "aaa" counts (a,a) twice) by
+    word frequency; ties break (count desc, a asc, b asc) — Python
+    tuple comparison over codepoints equals both engines' binary
+    string collation, including for supplementary-plane symbols,
+    because UTF-8 byte order is codepoint order; re-segmentation is
+    Python's non-overlapping left-to-right ``str.replace``, the same
+    semantics as Spark's and DuckDB's ``replace``.
+    """
+    import heapq
+    from collections import Counter
+
+    if n_merges + symbol_offset > BPE_MAX_MERGES:
+        raise ValueError(
+            f"n_merges={n_merges}+offset {symbol_offset} exceeds the "
+            f"{BPE_MAX_MERGES}-symbol private-use space (BMP PUA + "
+            "planes 15/16); larger vocabularies need a multi-char "
+            "symbol encoding"
+        )
+    spark = words.sparkSession
+    # vocabulary-sized bounded collect (word TYPES, not the corpus) —
+    # the trainer's whole working set; see the scale note above
+    rows = words.select("w", "freq").collect()
+    taint_re = __import__("re").compile(
+        "[\uE000-\uF8FF"
+        "\U000F0000-\U000FFFFD"
+        "\U00100000-\U0010FFFD]"
+    )
+    bad = [r.w for r in rows if taint_re.search(r.w)][:3]
+    if bad:
+        raise ValueError(
+            "BPE input words contain private-use codepoints (the merge "
+            f"symbol alphabet); pre-strip them: {bad!r}"
+        )
+    work = [[r.w, int(r.freq)] for r in rows]
+    counts: Counter = Counter()
+    occur: dict[tuple[str, str], set[int]] = {}
+    for idx, (s, f) in enumerate(work):
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            counts[p] += f
+            occur.setdefault(p, set()).add(idx)
+    # lazy-invalidation heap: stale entries (count changed since push)
+    # are skipped on pop by re-checking against the live counter
+    heap = [(-c, a, b) for (a, b), c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, str, int]] = []
+    rank = 0
+    while rank < n_merges and heap:
+        negc, a, b = heapq.heappop(heap)
+        c = counts.get((a, b), 0)
+        if c <= 0 or -negc != c:
+            continue
+        rank += 1
+        new = bpe_new_symbol(rank, symbol_offset)
+        merges.append((rank, a, b, new, c))
+        ab = a + b
+        touched: Counter = Counter()
+        for idx in list(occur.get((a, b), ())):
+            s, f = work[idx]
+            if ab not in s:  # stale occurrence (pair merged away)
+                continue
+            ns = s.replace(ab, new)
+            for i in range(len(s) - 1):
+                touched[(s[i], s[i + 1])] -= f
+            for i in range(len(ns) - 1):
+                p = (ns[i], ns[i + 1])
+                touched[p] += f
+                occur.setdefault(p, set()).add(idx)
+            work[idx][0] = ns
+        for p, d in touched.items():
+            if d:
+                counts[p] += d
+                heapq.heappush(heap, (-counts[p], p[0], p[1]))
+        counts[(a, b)] = 0
+    encoded = spark.createDataFrame(
+        [(r.w, seg, f) for r, (seg, f) in zip(rows, work)],
+        "w0 string, w string, freq bigint",
+    )
+    return merges, encoded
 
 
 def bpe_encode_words(
@@ -269,14 +416,14 @@ def bpe_encode_words(
     no loop jobs, no shuffle (narrow projection over whatever
     partitioning ``words`` already has).
 
-    Same symbol-space contract as :func:`bpe_train`: at most 6400
+    Same symbol-space contract as :func:`bpe_train`: at most 137,468
     merges, and callers must not feed words containing private-use
     codepoints (this narrow projection adds no validation job; train
     is where the corpus-side check runs)."""
     if len(merges) > BPE_MAX_MERGES:
         raise ValueError(
             f"{len(merges)} merges exceed the {BPE_MAX_MERGES}-symbol "
-            "private-use block (U+E000..U+F8FF)"
+            "private-use space (BMP PUA + planes 15/16)"
         )
     enc = F.col(word_col)
     for _rank, a, b, new, _cnt in merges:

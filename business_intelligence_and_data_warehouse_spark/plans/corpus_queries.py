@@ -257,25 +257,33 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 8
 
 
-def _o_bpe_ctes(n: int) -> str:
+def _o_bpe_ctes(n: int, offset: int = 0, materialized: bool = False) -> str:
     """DuckDB replay of the full BPE trainer (operators/vocab.bpe_train):
     iteration i counts adjacent symbol pairs over the CURRENT
     re-segmentation of the (word, freq) vocabulary, picks the top pair
     (count desc, then a, b — the trainer's tie-break), and re-segments
     by literal replace with the rank-i private-use symbol.  Because
     every symbol is exactly one character, greedy left-to-right merge
-    IS non-overlapping string replace in both engines."""
+    IS non-overlapping string replace in both engines.
+
+    ``materialized`` emits AS MATERIALIZED on every CTE — REQUIRED for
+    deep ladders: each level references w{i-1} twice (p{i} and w{i}),
+    so DuckDB's default CTE inlining doubles the plan per level (2^n
+    copies — fine at 8, impossible at 200+); materialization makes the
+    replay linear in n.  ``offset`` shifts symbol allocation the same
+    way bpe_train's symbol_offset does."""
     from ..operators.vocab import bpe_new_symbol
 
+    mat = " MATERIALIZED" if materialized else ""
     parts = [
-        f"""w0 AS (
+        f"""w0 AS{mat} (
   SELECT w, w AS enc, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split({_O_NORM}, ' ')) AS w FROM documents)
   GROUP BY 1
 )"""
     ]
     for i in range(1, n + 1):
-        parts.append(f"""p{i} AS (
+        parts.append(f"""p{i} AS{mat} (
   SELECT substr(enc, CAST(i AS INTEGER), 1) AS a,
          substr(enc, CAST(i AS INTEGER) + 1, 1) AS b,
          CAST(SUM(freq) AS BIGINT) AS pair_count
@@ -284,36 +292,40 @@ def _o_bpe_ctes(n: int) -> str:
   GROUP BY 1, 2
 )""")
         parts.append(
-            f"m{i} AS (SELECT a, b, pair_count FROM p{i} "
+            f"m{i} AS{mat} (SELECT a, b, pair_count FROM p{i} "
             f"ORDER BY pair_count DESC, a, b LIMIT 1)"
         )
         # Vocabulary-collapse guard: if fewer than i merges exist,
         # m{i} is empty and the bare scalar subquery would be NULL —
         # replace(enc, NULL, sym) nulls every word.  COALESCE to the
         # EMPTY STRING: DuckDB's replace(s, '', x) treats an empty
-        # needle as a no-op and returns s unchanged (verified; note
-        # this differs from e.g. Python's str.replace, which would
+        # needle as a no-op and returns s unchanged (verified on 1.0.0;
+        # note this differs from e.g. Python's str.replace, which would
         # interleave x between every character), so the iteration
-        # passes words through untouched, mirroring the Spark
-        # trainer's loop break.  Kept as ONE scalar subquery:
-        # DuckDB inlines chained CTEs, so each extra reference to
-        # w{i-1} per level multiplies the plan (a CASE form with a
-        # second subquery made the 8-level chain 3^8 copies and hung).
+        # passes words through untouched, mirroring the Spark trainer's
+        # loop break.  ('' rather than a sentinel PUA char: under a
+        # symbol offset ANY PUA codepoint can be a live merge symbol,
+        # so a sentinel would false-replace past exhaustion.)  Kept as
+        # ONE scalar subquery: with default inlining each extra
+        # reference to w{i-1} per level multiplies the plan (a CASE
+        # form with a second subquery made the 8-level chain 3^8
+        # copies and hung); deep ladders additionally need
+        # materialized=True (see docstring).
         parts.append(
-            f"w{i} AS (SELECT w, replace(enc, "
-            f"COALESCE((SELECT a || b FROM m{i}), ''), "
-            f"'{bpe_new_symbol(i)}') AS enc, freq FROM w{i - 1})"
+            f"w{i} AS{mat} (SELECT w, replace(enc, "
+            f"COALESCE((SELECT a || b FROM m{i}), ''), "
+            f"'{bpe_new_symbol(i, offset)}') AS enc, freq FROM w{i - 1})"
         )
     return ",\n".join(parts)
 
 
-def _bpe_merge_rows():
+def _bpe_merge_rows(n: int | None = None, offset: int = 0):
     from ..operators.vocab import bpe_new_symbol
 
     return "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INTEGER) AS rank, a, b, "
-        f"'{bpe_new_symbol(i)}' AS new_symbol, pair_count FROM m{i}"
-        for i in range(1, _BPE_MERGES + 1)
+        f"'{bpe_new_symbol(i, offset)}' AS new_symbol, pair_count FROM m{i}"
+        for i in range(1, (n if n is not None else _BPE_MERGES) + 1)
     )
 
 
@@ -401,3 +413,68 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# production-budget BPE: 32k merge budget, driver-side trainer
+# ---------------------------------------------------------------------------
+
+# The budget a production tokenizer ships with.  At test SFs the
+# synthetic corpus EXHAUSTS (every word type collapses to one symbol)
+# long before the budget — measured 89 merges at sf0.01 — so the query
+# proves budget capacity + early termination, not 32k actual ranks.
+_BPE_BIG_BUDGET = 32_000
+# Symbol offset placing early ranks at the BMP-PUA tail: rank 51
+# allocates U+F8FF's successor U+F0000 (plane 15), so the oracled run
+# crosses the BMP -> supplementary boundary and the replay exercises
+# len/substr/replace over surrogate-pair codepoints in BOTH engines —
+# the exact parity risk the lifted 137,468-merge budget introduces.
+_BPE_BIG_OFFSET = 6_350
+# Oracle replay-ladder depth: must exceed merges-to-exhaustion on the
+# driver's corpus (~2.5x headroom over the measured 89).  If a future
+# testdata generation grows the vocabulary past this, the mismatch is
+# LOUD (oracle returns _BPE_BIG_LEVELS rows, Spark returns more) —
+# raise the constant, never silently truncate the Spark side.
+_BPE_BIG_LEVELS = 220
+
+
+@query_fn(
+    "bpe_train_32k",
+    oracle=f"""
+WITH {_o_bpe_ctes(_BPE_BIG_LEVELS, offset=_BPE_BIG_OFFSET, materialized=True)}
+SELECT * FROM (
+{_bpe_merge_rows(_BPE_BIG_LEVELS, offset=_BPE_BIG_OFFSET)}
+)
+ORDER BY rank
+""",
+)
+def bpe_train_32k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training at a PRODUCTION merge budget (32,000) — the merge
+    list a real tokenizer would ship, trained by the driver-side
+    incremental trainer (operators/vocab.bpe_train_local): one
+    distributed corpus scan into the vocabulary-sized (word, freq)
+    table, then the classic lazy-heap pair-count loop over word types,
+    with symbols allocated from rank 6,351 so the run crosses the
+    BMP-PUA -> plane-15 boundary (the lifted symbol space's parity
+    risk, exercised under the hash oracle).
+
+    The oracle replays the SAME training as a 220-level materialized
+    CTE ladder (one pair-count + argmax + re-segment per level;
+    AS MATERIALIZED keeps DuckDB's plan linear in depth where default
+    inlining is exponential).  Beyond vocabulary exhaustion both
+    sides terminate identically: the Spark trainer's loop breaks, and
+    each exhausted oracle level's empty argmax COALESCEs to a no-op
+    replace and contributes no merge row.  Decision parity (counts,
+    tie-breaks, greedy replace, supplementary-symbol collation) is
+    additionally property-pinned against the distributed trainer in
+    tests/test_tokenizer_prep.py."""
+    from ..operators.vocab import bpe_train_local, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train_local(
+        word_frequencies(docs), _BPE_BIG_BUDGET, symbol_offset=_BPE_BIG_OFFSET
+    )
+    return spark.createDataFrame(
+        merges,
+        "rank int, a string, b string, new_symbol string, pair_count bigint",
+    ).orderBy("rank")

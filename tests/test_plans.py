@@ -461,6 +461,10 @@ def test_no_collect_in_query_code_paths():
         # bounded: the BPE trainer's one-row-per-iteration merge pick
         # (the trainer's inherent sync point; vocabulary-sized agg)
         ("operators/vocab.py", ".limit(1).collect()"),
+        # bounded: the driver-side BPE trainer's vocabulary-sized
+        # (word-type, freq) working set — the single-node trainer
+        # shape every production BPE implementation uses
+        ("operators/vocab.py", 'words.select("w", "freq").collect()'),
         # bounded: the PUA-contamination guard's <=3-row sample (the
         # upstream plan is .limit(3)) quoted in its error message
         ("operators/vocab.py", "bad = [r.w for r in tainted.collect()]"),

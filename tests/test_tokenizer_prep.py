@@ -384,11 +384,13 @@ def test_bpe_train_breaks_on_vocabulary_collapse(spark):
 
 
 def test_bpe_symbol_space_guards(spark):
-    """ADVICE r7: the merge-symbol alphabet is the 6400-codepoint BMP
-    private-use block — the trainer must reject budgets past it and
-    corpora that already contain PUA characters (U+F8FF appears in
-    real Apple-originated text), instead of silently corrupting pair
-    counts."""
+    """ADVICE r7 + round-9 budget lift: the merge-symbol alphabet is
+    the BMP private-use block (6,400) extended through supplementary
+    PUA planes 15/16 (65,534 each; noncharacters excluded) — 137,468
+    ranks total.  The trainer must reject budgets past the space and
+    corpora that already contain PUA characters from ANY of the three
+    blocks (U+F8FF appears in real Apple-originated text), instead of
+    silently corrupting pair counts."""
     import pytest
 
     from business_intelligence_and_data_warehouse_spark.operators.vocab import (
@@ -399,11 +401,21 @@ def test_bpe_symbol_space_guards(spark):
         word_frequencies,
     )
 
-    assert BPE_MAX_MERGES == 6400
+    assert BPE_MAX_MERGES == 137_468
     assert bpe_new_symbol(1) == ""
+    # block boundaries: BMP tail -> plane-15 head -> plane-15 tail
+    # (noncharacters skipped) -> plane-16 head -> plane-16 tail
     assert bpe_new_symbol(6400) == ""
+    assert bpe_new_symbol(6401) == "󰀀"
+    assert bpe_new_symbol(6400 + 65_534) == "󿿽"
+    assert bpe_new_symbol(6400 + 65_534 + 1) == "􀀀"
+    assert bpe_new_symbol(BPE_MAX_MERGES) == "􏿽"
+    # offset shifts allocation but the combined rank obeys the cap
+    assert bpe_new_symbol(1, offset=6400) == "󰀀"
     with pytest.raises(ValueError):
-        bpe_new_symbol(6401)
+        bpe_new_symbol(BPE_MAX_MERGES + 1)
+    with pytest.raises(ValueError):
+        bpe_new_symbol(1, offset=BPE_MAX_MERGES)
     with pytest.raises(ValueError):
         bpe_new_symbol(0)
 
@@ -424,4 +436,113 @@ def test_bpe_symbol_space_guards(spark):
     # within budget: fine
     assert bpe_encode_words(words, fake_merges).count() == 1
     with pytest.raises(ValueError, match="private-use"):
-        bpe_encode_words(words, [(0, "a", "a", "x", 1)] * (6400 + 1))
+        bpe_encode_words(
+            words, [(0, "a", "a", "x", 1)] * (137_468 + 1)
+        )
+
+
+def test_bpe_local_trainer_matches_distributed(spark):
+    """Round-9 production-budget path: bpe_train_local (driver-side
+    incremental trainer) must make IDENTICAL decisions to the
+    distributed bpe_train loop — merges, symbols, counts, and final
+    encodings — on adversarial corpora (ties, overlapping pairs,
+    shared prefixes)."""
+    import random
+
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        bpe_train,
+        bpe_train_local,
+        word_frequencies,
+    )
+
+    rng = random.Random(99)
+    alphabet = "abcde"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+        for _ in range(60)
+    ] + ["aaaa", "ababab", "a", "aa"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(3, 20)))
+        for _ in range(30)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wf = word_frequencies(docs)
+    dist_merges, dist_words = bpe_train(wf, 6)
+    loc_merges, loc_words = bpe_train_local(wf, 6)
+    assert loc_merges == dist_merges
+    assert (
+        {r.w0: r.w for r in loc_words.collect()}
+        == {r.w0: r.w for r in dist_words.collect()}
+    )
+
+
+def test_bpe_supplementary_symbols_cross_engine(spark):
+    """Symbol allocation straddling the BMP -> plane-15 boundary
+    (offset 6,398: ranks 1-2 take the last BMP PUA codepoints, ranks
+    3+ take supplementary ones).  Both trainers must agree — which
+    exercises Spark's substring/length/replace over surrogate-pair
+    codepoints inside pair counting and re-segmentation — and the
+    re-encoded symbol strings must count supplementary symbols as ONE
+    character."""
+    from pyspark.sql import functions as F
+
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        bpe_train,
+        bpe_train_local,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcd abcd abcd ab"), (2, "abc cd ab abcd")],
+        "doc_id long, text string",
+    )
+    wf = word_frequencies(docs)
+    dist_merges, dist_words = bpe_train(wf, 4, symbol_offset=6_398)
+    loc_merges, loc_words = bpe_train_local(wf, 4, symbol_offset=6_398)
+    assert loc_merges == dist_merges
+    assert len(dist_merges) == 4
+    cps = [ord(m[3]) for m in dist_merges]
+    assert cps[0] == 0xF8FE and cps[1] == 0xF8FF  # BMP tail
+    assert cps[2] == 0xF0000 and cps[3] == 0xF0001  # plane-15 head
+    dist_map = {r.w0: r.w for r in dist_words.collect()}
+    assert dist_map == {r.w0: r.w for r in loc_words.collect()}
+    # 'abcd' collapses under 4 merges into symbols including
+    # supplementary ones; Spark must measure its symbol string by
+    # codepoints (JVM-side length == Python len)
+    jvm_lens = {
+        r.w0: r.n for r in dist_words.select(
+            "w0", F.length("w").alias("n")
+        ).collect()
+    }
+    assert jvm_lens == {w0: len(w) for w0, w in dist_map.items()}
+    assert any(ord(c) >= 0xF0000 for w in dist_map.values() for c in w)
+
+
+def test_supplementary_codepoint_semantics(spark):
+    """The engine-parity assumption behind the 137,468-merge budget:
+    Spark SQL's len/substr/replace treat a supplementary-plane
+    codepoint (a surrogate PAIR in UTF-16) as exactly ONE character,
+    matching DuckDB and Python.  Pinned here so a Spark upgrade that
+    switched string semantics to UTF-16 units would fail loudly."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    s15, s16 = "\U000F0000", "\U0010FFFD"
+    df = spark.createDataFrame([(s15 + "a" + s16,)], "s string")
+    row = df.select(
+        F.length("s").alias("n"),
+        F.substring("s", 1, 1).alias("h"),
+        F.substring("s", 3, 1).alias("t"),
+        F.replace("s", F.lit(s15 + "a"), F.lit("x")).alias("r"),
+    ).collect()[0]
+    assert (row.n, row.h, row.t, row.r) == (3, s15, s16, "x" + s16)
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT len(?), substr(?, 1, 1), substr(?, 3, 1), replace(?, ?, 'x')",
+        [s15 + "a" + s16] * 4 + [s15 + "a"],
+    ).fetchone()
+    con.close()
+    assert got == (3, s15, s16, "x" + s16)
