@@ -35,6 +35,34 @@ def shuffle_partitions_for(
     return max(max(16, cpus // 2), min(need, 8 * cpus))
 
 
+def max_partition_bytes_for(heap_bytes: int, cpus: int) -> int:
+    """Scan-split size bounding PER-TASK input so ``cpus`` concurrent
+    tasks of expansion-heavy work (tokenize/explode: ~10x in-memory
+    blowup over parquet bytes) fit the heap.
+
+    This was the REAL fix for the round-8 multi-signal x300 OOM
+    (SCALE.md): the documents scan split into 30 x ~12 MB-parquet
+    tasks, and 30 concurrent tokenize+cache-build tasks exhausted a
+    6 GiB heap.  Splitting the scan to 16 MB slices completed the
+    decade (253s, zero OOM) — while re-tiering the pins to DISK_ONLY
+    changed NOTHING (254s, and still OOMed without the split change),
+    because Spark SQL's cache is compressed-columnar at every storage
+    level; the knob that matters is per-task input volume, not the
+    persist flag.  Rule: heap / (cpus * 12) — budget each concurrent
+    task ~1/12 of its even heap share to leave room for the ~10x
+    expansion — clamped to [16 MB, 128 MB] (default heaps land on the
+    measured-good 16 MB; the cap is Spark's own default).  On a real
+    cluster the same formula applies per executor.
+    """
+    return max(16 << 20, min(128 << 20, heap_bytes // (cpus * 12)))
+
+
+def _heap_bytes() -> int:
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+    units = {"k": 10, "m": 20, "g": 30}
+    return int(mem[:-1]) << units[mem[-1].lower()]
+
+
 def get_spark(
     app_name: str = "bidw-spark",
     cpus: int | None = None,
@@ -90,6 +118,14 @@ def get_spark(
             ),
         )
         .config("spark.ui.enabled", "false")
+        # per-task scan-slice bound — see max_partition_bytes_for
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES",
+                str(max_partition_bytes_for(_heap_bytes(), cpus)),
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -221,8 +221,11 @@ def _run(mults: list[int], only: list[str] | None = None) -> None:
         results[name] = {}
         for m in mults:
             best = None
+            # SPARK_GRAFT_RAMP_REPS=1 for the longest decades (x1000
+            # legs run minutes each — JIT noise is already amortized)
+            reps = int(os.environ.get("SPARK_GRAFT_RAMP_REPS", "2"))
             try:
-                for _ in range(2):
+                for _ in range(reps):
                     t0 = time.perf_counter()
                     QUERIES[name](spark, dirs[m]).write.format("noop").mode(
                         "overwrite"

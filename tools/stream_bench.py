@@ -15,7 +15,7 @@ the min..max spread, because on this VM checkpoint/fsync traffic makes
 single runs noisy (the r7 judge saw 3.5x run-to-run spread on
 stream_dedup_neardup).
 
-Usage:  PYTHONPATH=. python tools/stream_bench.py [reps] [n_batches]
+Usage:  PYTHONPATH=. python tools/stream_bench.py [reps] [n_batches] [sink1,sink2,...]
 Prints a markdown table and one JSON line.
 """
 
@@ -177,6 +177,7 @@ SINKS = ("upsert", "scd2", "cms", "quantile", "neardup", "ann_ingest")
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 
@@ -189,7 +190,7 @@ def main() -> None:
     print(f"# stream_bench sf={sf_of(sf_dir)} reps={reps} batches={n_batches}")
     print("| sink | batches | rows/batch | batch wall s (median) | spread min..max | rows/s (median) | total s (median) |")
     print("|---|---|---|---|---|---|---|")
-    for sink in SINKS:
+    for sink in (only if only is not None else SINKS):
         per_rep: list[list[tuple[int, float, int]]] = []
         totals: list[float] = []
         for _ in range(reps):
