@@ -1291,6 +1291,75 @@ def banded_ann_pairs(
     )
 
 
+def banded_ann_stats(
+    vectors: DataFrame,
+    bands: int = 4,
+    bits_per_band: int = 30,
+    key_bits: int | None = None,
+    min_cosine: float = 0.4,
+    n: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row scale-audit report for the sized banded LSH: the
+    PAIR-NORMALIZED invariant the round-9 ramp analysis showed is the
+    honest scale metric (SCALE.md "pair-normalized cost") — wall-clock
+    exponents are distorted by integer key-width quantization, while
+    candidate volume per vector should stay ~bounded at every corpus
+    size if the sizing works.
+
+    (n_vectors, key_bits, candidate_pairs, verified_pairs,
+    pairs_per_vector): candidate/verified counts share ONE pinned key
+    table and ONE pinned candidate set with the production pair join
+    (two consumers through different exchanges — the pin rule), so the
+    report costs one extra aggregate over what `banded_ann_pairs`
+    already does, and a monitoring job can alert on pairs_per_vector
+    drifting above the (4, 8]·bands·occupancy envelope without
+    materializing a single pair row downstream."""
+    from .caching import pin
+
+    if n is None:
+        n = vectors.count()
+    if key_bits is None:
+        key_bits = lsh_key_bits(n, bits_per_band)
+    band_rows = pin(
+        banded_hyperplane_keys(
+            vectors, bands, bits_per_band, key_bits, id_col, vec_col
+        )
+    )
+    x, y = band_rows.alias("x"), band_rows.alias("y")
+    candidates = pin(
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.vid") < F.col("y.vid")),
+        )
+        .select(F.col("x.vid").alias("qid"), F.col("y.vid").alias("cid"))
+        .distinct()
+    )
+    corpus_n = pin(_normed(vectors, id_col, vec_col))
+    verified = _cosine_for_pairs_normed(candidates, corpus_n).filter(
+        F.col("cosine") >= min_cosine
+    )
+    cagg = candidates.agg(
+        F.count(F.lit(1)).cast("long").alias("candidate_pairs")
+    )
+    vagg = verified.agg(
+        F.count(F.lit(1)).cast("long").alias("verified_pairs")
+    )
+    return cagg.crossJoin(F.broadcast(vagg)).select(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.lit(key_bits).cast("int").alias("key_bits"),
+        "candidate_pairs",
+        "verified_pairs",
+        (
+            F.col("candidate_pairs").cast("double")
+            / F.lit(float(n))
+        ).alias("pairs_per_vector"),
+    )
+
+
 def lsh_ann_pairs(
     vectors: DataFrame,
     num_bits: int = 32,

@@ -682,6 +682,84 @@ def sim_ann_lsh_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
+@query_fn(
+    "lsh_candidate_stats",
+    oracle=f"""
+WITH {{_O_ELEMENTS}},
+lpar AS (
+  SELECT CAST(1 AS BIGINT) << GREATEST(1, LEAST({_SZ_R},
+           CAST(LENGTH(BIN(CAST(COUNT(*) - 1 AS BIGINT))) AS INTEGER) - 3))
+         AS kmod
+  FROM embeddings
+),
+hs AS (
+  SELECT vid,
+  {_HSUMS_SZ}
+  FROM el GROUP BY vid
+),
+bandrows AS (
+{_BAND_KEYS_SZ}
+),
+cand AS (
+  SELECT DISTINCT x.vid AS qid, y.vid AS cid
+  FROM bandrows x
+  JOIN bandrows y ON x.band = y.band AND x.key = y.key AND x.vid < y.vid
+),
+ver AS (
+  SELECT d.qid FROM (
+    SELECT cand.qid, cand.cid,
+           CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE)
+             / 1e6 AS dot
+    FROM cand
+    JOIN el a ON a.vid = cand.qid
+    JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
+    GROUP BY 1, 2
+  ) d
+  JOIN nrm nq ON nq.vid = d.qid
+  JOIN nrm nc ON nc.vid = d.cid
+  WHERE d.dot / NULLIF(nq.norm * nc.norm, 0.0) >= {_ANN_MIN_COS}
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+       (SELECT CAST(GREATEST(1, LEAST({_SZ_R},
+          CAST(LENGTH(BIN(CAST(COUNT(*) - 1 AS BIGINT))) AS INTEGER) - 3))
+          AS INTEGER) FROM embeddings) AS key_bits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS candidate_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ver) AS verified_pairs,
+       CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE)
+         AS pairs_per_vector
+""".replace("{_O_ELEMENTS}", _O_ELEMENTS),
+)
+def lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-normalized LSH scale invariant as a FIRST-CLASS query
+    (round 9): one row of (n_vectors, key_bits, candidate_pairs,
+    verified_pairs, pairs_per_vector) for the sized banded LSH —
+    operators/similarity.banded_ann_stats, sharing the pinned key
+    table and candidate set the production `sim_ann_lsh_sized` pair
+    join uses.
+
+    Why it exists: the round-9 ramp showed wall-clock exponents for
+    the LSH family are dominated by integer key-width quantization
+    (occupancy oscillates in (4, 8] as w steps), while cost per
+    candidate pair stays flat-to-falling across six decades (SCALE.md
+    "pair-normalized cost").  pairs_per_vector IS that invariant: a
+    monitoring job alerts when it drifts above the bands·occupancy
+    envelope (sizing regression / hot-bucket skew) without
+    materializing pair rows."""
+    from ..operators.similarity import banded_ann_stats, lsh_key_bits
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = table_count(spark, sf_dir, "embeddings")
+    return banded_ann_stats(
+        emb,
+        bands=_SZ_BANDS,
+        bits_per_band=_SZ_R,
+        key_bits=lsh_key_bits(n, seg_bits=_SZ_R),
+        min_cosine=_ANN_MIN_COS,
+        n=n,
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN (the query-workload scale path) — coarse-quantize into cells,
 # probe only the nprobe nearest cells
