@@ -478,3 +478,62 @@ def bpe_train_32k(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "rank int, a string, b string, new_symbol string, pair_count bigint",
     ).orderBy("rank")
+
+
+@query_fn(
+    "bpe_encode_32k",
+    oracle=f"""
+WITH {_o_bpe_ctes(_BPE_BIG_LEVELS, offset=_BPE_BIG_OFFSET, materialized=True)},
+occ AS (
+  SELECT doc_id, unnest(string_split({_O_NORM}, ' ')) AS w FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(o.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(e.enc)) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(o.w)) AS BIGINT) / CAST(SUM(len(e.enc)) AS BIGINT)
+         AS compression_ratio
+FROM occ o JOIN w{_BPE_BIG_LEVELS} e USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def bpe_encode_32k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding under the PRODUCTION-budget tokenizer: train to
+    the 32,000-merge budget with the driver-side trainer (to
+    vocabulary exhaustion at test SFs), then score every document's
+    token counts and compression ratio against the fully-trained merge
+    list — the tokenizer-application half of `bpe_train_32k`, with the
+    word→symbol-string map BROADCAST to the one occurrence scan
+    exactly as `bpe_encode_corpus` does (training costs the corpus one
+    scan; encoding never re-segments documents at all).
+
+    len() over the encoded symbol strings counts supplementary-plane
+    symbols as single characters in BOTH engines (the lifted symbol
+    space's parity contract, pinned in tests) — at full exhaustion
+    every word is ONE symbol, so n_tokens == n_words and the
+    compression ratio degenerates to avg word length, which the hash
+    oracle checks exactly rather than assumes."""
+    from ..operators.vocab import bpe_train_local, occurrences, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, encoded = bpe_train_local(
+        word_frequencies(docs), _BPE_BIG_BUDGET, symbol_offset=_BPE_BIG_OFFSET
+    )
+    encmap = encoded.select(
+        F.col("w0").alias("w"), F.length("w").alias("n_sym")
+    )
+    occ = occurrences(docs)
+    return (
+        occ.join(F.broadcast(encmap), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_sym").alias("n_tokens"),
+            (
+                F.sum(F.length("w")) / F.sum("n_sym")
+            ).alias("compression_ratio"),
+        )
+        .orderBy("doc_id")
+    )
