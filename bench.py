@@ -213,6 +213,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    _write_detail(timings, total, sf_dir)
     print(
         json.dumps(
             {
@@ -241,6 +242,46 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _write_detail(timings: dict[str, float], total: float, sf_dir: str) -> None:
+    """Persist the FULL per-query map as a committed artifact.
+
+    The driver's tail capture clips the one-line JSON map once the
+    battery passed ~60 queries (BENCH_r05–r09 lost the first half of
+    the per-query history, including the 10 reference queries — r9
+    verdict item 1).  The round number is inferred as max(existing
+    BENCH_r{N}.json) + 1, so mid-round reruns overwrite the same file
+    and the driver's end-of-round run is what lands in git.
+    """
+    import glob
+    import re
+
+    from business_intelligence_and_data_warehouse_spark.sources.testdata import sf_of
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+    ]
+    n = max(rounds, default=0) + 1
+    detail = {
+        "round": n,
+        "metric": "battery_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_of(sf_dir),
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "queries": timings,
+    }
+    try:
+        with open(os.path.join(repo, f"BENCH_DETAIL_r{n:02d}.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:  # never let bookkeeping fail the bench
+        print(f"bench: detail write failed: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

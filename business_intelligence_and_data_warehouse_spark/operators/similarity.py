@@ -324,6 +324,36 @@ def _subspace_rows(
     )
 
 
+# Per-process memo of MATERIALIZED corpus code tables, keyed by
+# (applicationId, caller tag, dim, m, stride, id_col, vec_col).  The
+# four PQ-family registry queries (sim_ann_pq, sim_ann_ivfpq,
+# sim_ann_ivfpq_fixed, sim_pq_recall_report) all encode the SAME
+# corpus under the SAME fixed-256 codebook; without this each paid the
+# full encode pass (~36s of the sf0.1 battery tail sat in the family,
+# r9 verdict item 5).  The encode is deterministic in (corpus, params)
+# — reuse cannot change a row — and the memo lives on DISK (not the
+# pin ledger, which release_pinned clears at every query boundary), in
+# dirs removed at interpreter exit.  This is the r4 shared-tokenize
+# pattern applied across the family: build once, read many.
+_PQ_CODES_MEMO: dict[tuple, str] = {}
+_PQ_MEMO_PARENT: str | None = None
+
+
+def _pq_memo_dir() -> str:
+    global _PQ_MEMO_PARENT
+    import atexit
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    if _PQ_MEMO_PARENT is None:
+        _PQ_MEMO_PARENT = tempfile.mkdtemp(prefix="bidw_pq_codes_")
+        atexit.register(shutil.rmtree, _PQ_MEMO_PARENT, ignore_errors=True)
+    import os as _os
+
+    return _os.path.join(_PQ_MEMO_PARENT, _uuid.uuid4().hex[:12])
+
+
 def _pq_codes(
     vectors: DataFrame,
     probes: DataFrame,
@@ -332,6 +362,7 @@ def _pq_codes(
     codebook_stride: int,
     id_col: str,
     vec_col: str,
+    codes_tag: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(codes, dtable) — the two PQ artifacts :func:`pq_topk` and
     :func:`ivf_pq_topk` share: ``codes`` is the encoded corpus
@@ -392,6 +423,27 @@ def _pq_codes(
         .agg(F.min("dc").alias("best"))
         .select("vid", "j", F.col("best.code").alias("code"))
     )
+    if codes_tag is not None:
+        # serve the corpus encode from the per-process parquet memo:
+        # first caller in a session materializes it, the rest of the
+        # PQ family reads N·m narrow rows instead of re-running the
+        # broadcast-join + argmin encode pass
+        spark = vectors.sparkSession
+        key = (
+            spark.sparkContext.applicationId,
+            codes_tag,
+            dim,
+            num_subspaces,
+            codebook_stride,
+            id_col,
+            vec_col,
+        )
+        path = _PQ_CODES_MEMO.get(key)
+        if path is None:
+            path = _pq_memo_dir()
+            codes.write.mode("overwrite").parquet(path)
+            _PQ_CODES_MEMO[key] = path
+        codes = spark.read.parquet(path)
     # ADC lookup table: probe-to-codebook subdistances (P * m * K rows)
     psub = _subspace_rows(probes, num_subspaces, subdim, id_col, vec_col)
     dtable = psub.join(F.broadcast(cb), "j").select(
@@ -414,6 +466,7 @@ def pq_topk(
     n: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes_tag: str | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al., "Product Quantization
     for Nearest Neighbor Search"): split each vector into m subspaces,
@@ -431,7 +484,10 @@ def pq_topk(
     use stride 1 for the lossless-codebook identity); a FIXED stride
     makes the codebook N/stride entries and the encode quadratic —
     the round-8 ramp OOM, see :func:`_pq_codes`.  ``n`` short-circuits
-    the corpus count when the caller already knows it.
+    the corpus count when the caller already knows it.  ``codes_tag``
+    (a stable corpus identity, e.g. the sf_dir) opts the corpus encode
+    into the per-process parquet memo so a family of queries over the
+    same corpus shares ONE encode pass (see ``_PQ_CODES_MEMO``).
 
     Output: (query_id, neighbor_id, rank, approx_dist) — approx
     squared-L2, ascending, ties on neighbor id. Distances snap
@@ -454,7 +510,8 @@ def pq_topk(
             n = vectors.count()
         centroid_stride = max(1, n // codebook_size)
     codes, dtable = _pq_codes(
-        vectors, probes, dim, num_subspaces, centroid_stride, id_col, vec_col
+        vectors, probes, dim, num_subspaces, centroid_stride, id_col, vec_col,
+        codes_tag=codes_tag,
     )
     approx = (
         codes.join(F.broadcast(dtable), ["j", "code"])
@@ -487,6 +544,7 @@ def ivf_pq_topk(
     n: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes_tag: str | None = None,
 ) -> DataFrame:
     """IVF-PQ (the FAISS ``IVFADC`` architecture): coarse cells prune
     WHICH vectors a probe scores, PQ codes make each score a table
@@ -522,7 +580,8 @@ def ivf_pq_topk(
             n = vectors.count()
         cb_stride = max(1, n // codebook_size)
     codes, dtable = _pq_codes(
-        vectors, probes, dim, num_subspaces, cb_stride, id_col, vec_col
+        vectors, probes, dim, num_subspaces, cb_stride, id_col, vec_col,
+        codes_tag=codes_tag,
     )
     scored = (
         cand.join(codes, "vid")
@@ -1047,6 +1106,70 @@ def ivf_index_append(
         .partitionBy("cvid", "src")
         .parquet(index_dir + "/cells")
     )
+
+
+def compact_ivf_index(spark, index_dir: str) -> tuple[int, int]:
+    """Vid-level compaction of a :func:`build_ivf_index` cell table:
+    keep exactly ONE row per vid and re-base every load into a single
+    fresh ``src`` partition, preserving the ``cvid`` partitioning that
+    probes prune on.
+
+    This is the maintenance pass that closes the streaming ingest's
+    one documented duplication corner (streaming/sinks.py
+    run_ann_ingest_stream): if a fresh-checkpoint restart re-splits
+    the source into DIFFERENT micro-batch boundaries, partially-
+    overlapping batches carry new content digests and their vids land
+    twice (possibly in different cells, if the vector changed between
+    deliveries).  The winner per vid is deterministic — the
+    lexicographically LARGEST load label (within one load a vid is
+    unique by the append contract), with cvid as final tiebreak — so
+    repeated compaction is idempotent.  Cost is one shuffle over the
+    cell table, i.e. the O(state) rewrite the incremental ingest
+    avoids per-batch; run it as a maintenance window job, exactly like
+    compact_parquet (sources/warehouse.py), whose stage-and-swap
+    rename mechanics this reuses.
+
+    Returns (rows_before, rows_after).
+    """
+    import os
+    import shutil
+
+    cells_path = index_dir.rstrip("/") + "/cells"
+    cells = spark.read.parquet(cells_path)
+    before = cells.count()
+    w = W.partitionBy("vid").orderBy(F.desc("src"), F.desc("cvid"))
+    compacted = (
+        cells.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("src", F.lit("base"))
+    )
+    tmp = cells_path + f"__compact_{_uuid_hex()}"
+    try:
+        compacted.write.mode("overwrite").partitionBy("cvid", "src").parquet(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    old = cells_path + f"__old_{_uuid_hex()}"
+    try:
+        os.rename(cells_path, old)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        os.rename(tmp, cells_path)
+    except BaseException:
+        os.rename(old, cells_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return before, spark.read.parquet(cells_path).count()
+
+
+def _uuid_hex() -> str:
+    import uuid
+
+    return uuid.uuid4().hex[:8]
 
 
 # ---------------------------------------------------------------------------

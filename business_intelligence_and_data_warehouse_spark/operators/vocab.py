@@ -192,6 +192,14 @@ _BMP_MERGES = 0xF8FF - BPE_SYMBOL_BASE + 1  # 6,400
 _PLANE_MERGES = 0xFFFD + 1  # 65,534 usable codepoints per PUA-A/B plane
 BPE_MAX_MERGES = _BMP_MERGES + 2 * _PLANE_MERGES  # 137,468
 
+# Practical budget for bpe_encode_words' nested-replace EXPRESSION
+# form (one replace() per merge): Catalyst's recursive expression
+# analysis overflows the default driver thread stack past ~320 nested
+# calls (measured on this JVM: 256 OK, 320 StackOverflowError).
+# Production budgets encode via the broadcast encoded-word-map join
+# instead (bpe_encode_32k, save/load_bpe_tokenizer).
+BPE_ENCODE_EXPR_MERGES = 256
+
 # One-character class matching any private-use codepoint (all three
 # blocks) — the symbol alphabet; corpus words must not contain these.
 # \x{...} escapes are Java-regex syntax (Spark rlike); this pattern is
@@ -416,16 +424,157 @@ def bpe_encode_words(
     no loop jobs, no shuffle (narrow projection over whatever
     partitioning ``words`` already has).
 
-    Same symbol-space contract as :func:`bpe_train`: at most 137,468
-    merges, and callers must not feed words containing private-use
-    codepoints (this narrow projection adds no validation job; train
-    is where the corpus-side check runs)."""
-    if len(merges) > BPE_MAX_MERGES:
+    PRACTICAL CAP — this form builds one nested ``replace()``
+    expression per merge, and Catalyst's recursive analysis overflows
+    the driver thread stack well before the symbol space runs out
+    (measured on this JVM: 256 nested replaces analyze fine, 320
+    StackOverflowError).  The guard is therefore
+    ``BPE_ENCODE_EXPR_MERGES`` (256), NOT the 137,468-symbol space
+    cap: production budgets (32k) must encode via the broadcast
+    encoded-word-map pattern instead — train once, broadcast the
+    (word → symbol-string) table, join (exactly what
+    plans/corpus_queries.bpe_encode_32k and the persisted-artifact
+    path save_bpe_tokenizer/load_bpe_tokenizer do).
+
+    Callers must not feed words containing private-use codepoints
+    (this narrow projection adds no validation job; train is where
+    the corpus-side check runs)."""
+    if len(merges) > BPE_ENCODE_EXPR_MERGES:
         raise ValueError(
-            f"{len(merges)} merges exceed the {BPE_MAX_MERGES}-symbol "
-            "private-use space (BMP PUA + planes 15/16)"
+            f"{len(merges)} merges exceed the {BPE_ENCODE_EXPR_MERGES}"
+            "-merge nested-replace expression budget (Catalyst stack "
+            "overflow past ~320 measured); for production budgets "
+            "broadcast-join the trained encoded-word map instead "
+            "(see save_bpe_tokenizer/load_bpe_tokenizer)"
         )
     enc = F.col(word_col)
     for _rank, a, b, new, _cnt in merges:
         enc = F.replace(enc, F.lit(a + b), F.lit(new))
     return words.withColumn(out_col, enc)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer artifact lifecycle: train once, persist, apply many
+# ---------------------------------------------------------------------------
+
+_BPE_ARTIFACT_VERSION = 1
+
+
+def save_bpe_tokenizer(
+    merges: list[tuple[int, str, str, str, int]],
+    encoded: DataFrame,
+    tokenizer_dir: str,
+    budget: int,
+    symbol_offset: int = 0,
+) -> None:
+    """Persist a trained BPE tokenizer as a reusable on-disk artifact —
+    the train-once half of the production lifecycle, mirroring
+    ``build_ivf_index`` / ``build_dedup_index``: training scans the
+    corpus once; every later encode run loads this artifact instead of
+    retraining.
+
+    Layout under ``tokenizer_dir``:
+
+    * ``merges/`` — parquet (rank, a, b, new_symbol, pair_count), the
+      shippable merge list in training order (what HuggingFace's
+      ``merges.txt`` carries);
+    * ``words/`` — parquet (w0, w, freq): the fully re-segmented
+      training vocabulary, i.e. the word → symbol-string ENCODED MAP.
+      This is the apply-side fast path: encoding a corpus is one
+      broadcast join of this vocabulary-sized table against the
+      occurrence scan — no nested-replace expression, no training
+      jobs (the only plan shape that works past
+      ``BPE_ENCODE_EXPR_MERGES``);
+    * ``meta.json`` — build params validated at load (format version,
+      budget, symbol_offset, n_merges, n_words).
+
+    The artifact is self-describing and engine-portable (parquet +
+    JSON); ``load_bpe_tokenizer`` refuses artifacts whose meta is
+    missing, from an unknown format version, or inconsistent with the
+    stored merge table — the same fail-loud posture as the dedup
+    index's meta check.
+    """
+    import json as _json
+    import os as _os
+
+    spark = encoded.sparkSession
+    merges_df = spark.createDataFrame(
+        merges or [],
+        "rank int, a string, b string, new_symbol string, pair_count bigint",
+    )
+    merges_df.coalesce(1).write.mode("overwrite").parquet(
+        tokenizer_dir.rstrip("/") + "/merges"
+    )
+    encoded.select("w0", "w", "freq").write.mode("overwrite").parquet(
+        tokenizer_dir.rstrip("/") + "/words"
+    )
+    n_words = spark.read.parquet(tokenizer_dir.rstrip("/") + "/words").count()
+    meta = {
+        "format_version": _BPE_ARTIFACT_VERSION,
+        "kind": "bpe_tokenizer",
+        "budget": budget,
+        "symbol_offset": symbol_offset,
+        "n_merges": len(merges),
+        "n_words": n_words,
+    }
+    with open(
+        _os.path.join(tokenizer_dir, "meta.json"), "w", encoding="utf-8"
+    ) as f:
+        _json.dump(meta, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
+def load_bpe_tokenizer(
+    spark, tokenizer_dir: str
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame, dict]:
+    """Load a :func:`save_bpe_tokenizer` artifact and return
+    ``(merges, encoded_words, meta)`` with the same shapes
+    ``bpe_train_local`` returns — the apply-many half: callers
+    broadcast-join ``encoded_words`` (w0 → w symbol string) against
+    their occurrence scan and never touch a trainer.
+
+    Fail-loud validation: missing/unreadable ``meta.json``, an unknown
+    ``format_version``, a non-tokenizer ``kind``, or a merge table
+    whose row count disagrees with the recorded ``n_merges`` all raise
+    ``ValueError`` — a half-written or foreign directory must never
+    silently encode a corpus with the wrong vocabulary.
+    """
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(tokenizer_dir, "meta.json")
+    try:
+        with open(meta_path, encoding="utf-8") as f:
+            meta = _json.load(f)
+    except (OSError, ValueError) as exc:
+        raise ValueError(
+            f"not a BPE tokenizer artifact (meta.json unreadable at "
+            f"{tokenizer_dir}): {exc}"
+        ) from exc
+    if meta.get("kind") != "bpe_tokenizer":
+        raise ValueError(
+            f"artifact at {tokenizer_dir} is kind={meta.get('kind')!r}, "
+            "not a bpe_tokenizer"
+        )
+    if meta.get("format_version") != _BPE_ARTIFACT_VERSION:
+        raise ValueError(
+            f"unsupported tokenizer format_version "
+            f"{meta.get('format_version')!r} (engine supports "
+            f"{_BPE_ARTIFACT_VERSION})"
+        )
+    merges_rows = (
+        spark.read.parquet(tokenizer_dir.rstrip("/") + "/merges")
+        .orderBy("rank")
+        .collect()
+    )
+    if len(merges_rows) != meta.get("n_merges"):
+        raise ValueError(
+            f"tokenizer artifact corrupt: merges table has "
+            f"{len(merges_rows)} rows, meta records {meta.get('n_merges')}"
+        )
+    merges = [
+        (int(r.rank), r.a, r.b, r.new_symbol, int(r.pair_count))
+        for r in merges_rows
+    ]
+    encoded = spark.read.parquet(tokenizer_dir.rstrip("/") + "/words")
+    return merges, encoded, meta

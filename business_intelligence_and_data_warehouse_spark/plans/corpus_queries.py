@@ -480,9 +480,10 @@ def bpe_train_32k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-@query_fn(
-    "bpe_encode_32k",
-    oracle=f"""
+# Shared by bpe_encode_32k and bpe_encode_indexed: the artifact
+# lifecycle MUST NOT change a token, so both queries replay against
+# the identical oracle.
+_O_BPE_ENCODE_32K = f"""
 WITH {_o_bpe_ctes(_BPE_BIG_LEVELS, offset=_BPE_BIG_OFFSET, materialized=True)},
 occ AS (
   SELECT doc_id, unnest(string_split({_O_NORM}, ' ')) AS w FROM documents
@@ -496,8 +497,10 @@ SELECT doc_id,
 FROM occ o JOIN w{_BPE_BIG_LEVELS} e USING (w)
 GROUP BY doc_id
 ORDER BY doc_id
-""",
-)
+"""
+
+
+@query_fn("bpe_encode_32k", oracle=_O_BPE_ENCODE_32K)
 def bpe_encode_32k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus encoding under the PRODUCTION-budget tokenizer: train to
     the 32,000-merge budget with the driver-side trainer (to
@@ -521,6 +524,61 @@ def bpe_encode_32k(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_frequencies(docs), _BPE_BIG_BUDGET, symbol_offset=_BPE_BIG_OFFSET
     )
     encmap = encoded.select(
+        F.col("w0").alias("w"), F.length("w").alias("n_sym")
+    )
+    occ = occurrences(docs)
+    return (
+        occ.join(F.broadcast(encmap), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_sym").alias("n_tokens"),
+            (
+                F.sum(F.length("w")) / F.sum("n_sym")
+            ).alias("compression_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query_fn("bpe_encode_indexed", oracle=_O_BPE_ENCODE_32K)
+def bpe_encode_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-artifact form of `bpe_encode_32k`: train the
+    32k-budget tokenizer once, SAVE it with
+    operators/vocab.save_bpe_tokenizer (merge list + encoded word map
+    + validated build-params meta — the ``build_ivf_index`` /
+    ``build_dedup_index`` lifecycle applied to the tokenizer), then
+    encode the corpus FROM THE LOADED ARTIFACT, never touching a
+    trainer on the apply side.
+
+    The oracle is bit-identical to `bpe_encode_32k`'s by construction
+    — persisting and reloading the tokenizer may not change a token.
+    The returned plan is the production encode shape, pytest-gated in
+    tests/test_tokenizer_prep.py: ONE documents scan joined (broadcast)
+    against the vocabulary-sized words parquet of the artifact — no
+    nested-replace expression (past BPE_ENCODE_EXPR_MERGES), no
+    training jobs, no corpus-sized shuffle other than the per-doc
+    aggregate."""
+    from ..operators.vocab import (
+        bpe_train_local,
+        load_bpe_tokenizer,
+        occurrences,
+        save_bpe_tokenizer,
+        word_frequencies,
+    )
+    from .streaming_queries import _fresh_result_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok_dir = _fresh_result_dir("bpe_tokenizer_32k")
+    merges, encoded = bpe_train_local(
+        word_frequencies(docs), _BPE_BIG_BUDGET, symbol_offset=_BPE_BIG_OFFSET
+    )
+    save_bpe_tokenizer(
+        merges, encoded, tok_dir, _BPE_BIG_BUDGET, symbol_offset=_BPE_BIG_OFFSET
+    )
+    _merges, words, _meta = load_bpe_tokenizer(spark, tok_dir)
+    encmap = words.select(
         F.col("w0").alias("w"), F.length("w").alias("n_sym")
     )
     occ = occurrences(docs)

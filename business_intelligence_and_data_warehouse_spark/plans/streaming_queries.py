@@ -427,7 +427,14 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch merges into a versioned parquet snapshot with an
     atomic current-pointer and a batch-id ledger (idempotent replay —
     the production exactly-once recipe; streaming/sinks.py).  The
-    final snapshot must equal the batch last-row-per-user query."""
+    final snapshot must equal the batch last-row-per-user query.
+
+    Runs through the BUCKETED partial-rewrite store (bucket_count=8):
+    each batch rewrites only the key-hash buckets it touches and
+    carries the rest forward by reference — the O(touched) commit
+    that replaces the O(state) full rewrite past SCALE.md's ~25-30M-row
+    crossover.  The oracle is unchanged from the plain store's: the
+    commit strategy may not change a row."""
     import tempfile
 
     from ..streaming.sinks import run_upsert_stream
@@ -445,6 +452,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             key_cols=["user_id"],
             order_col="_ord",
             root=root,
+            bucket_count=8,
         )
         out = snap.select(
             "user_id",

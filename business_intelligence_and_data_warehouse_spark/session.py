@@ -10,6 +10,7 @@ Spark's legacy default of 200.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -58,9 +59,18 @@ def max_partition_bytes_for(heap_bytes: int, cpus: int) -> int:
 
 
 def _heap_bytes() -> int:
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
-    units = {"k": 10, "m": 20, "g": 30}
-    return int(mem[:-1]) << units[mem[-1].lower()]
+    """Parse SPARK_GRAFT_DRIVER_MEM with the same tolerance as
+    ``spark.driver.memory``: optional k/m/g/t suffix (case-insensitive),
+    unitless byte counts, and fractional values ("4.5g").  Anything
+    unrecognizable falls back to the 4 GiB default rather than raising —
+    a bad env var must not brick every ``get_spark()`` call.
+    """
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g").strip()
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([kmgt]?)b?", mem, re.IGNORECASE)
+    if not m:
+        return 4 << 30
+    units = {"": 0, "k": 10, "m": 20, "g": 30, "t": 40}
+    return int(float(m.group(1)) * (1 << units[m.group(2).lower()]))
 
 
 def get_spark(

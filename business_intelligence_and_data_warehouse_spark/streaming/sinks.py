@@ -100,6 +100,132 @@ class _SnapshotStore:
         self._tw.commit({"df": df}, lineage, batch_id)
 
 
+class _BucketStore:
+    """Key-hash-BUCKETED versioned snapshot with an atomic
+    current-pointer: the O(touched-state) commit that replaces the
+    plain store's O(state) full rewrite once keyed state outgrows the
+    per-batch write budget (SCALE.md round-9 puts the crossover at
+    ~25-30M snapshot rows on this VM).
+
+    Mechanism — the same one the ANN ingest sink uses for its cell
+    table, applied to keyed upsert state: rows are assigned a stable
+    bucket ``pmod(xxhash64(key...), bucket_count)``; each commit
+    rewrites ONLY the buckets the batch touched (written
+    ``partitionBy("_bucket")`` into a fresh versioned dir) and CARRIES
+    FORWARD the untouched buckets' existing directories by reference
+    in the pointer file — exactly how Delta/Iceberg commits reference
+    unchanged data files from the previous snapshot instead of
+    rewriting them.  The pointer (bucket → path, lineage, batch_id)
+    flips atomically via os.replace, so a crash mid-commit leaves the
+    previous snapshot fully readable; version dirs no longer
+    referenced by any live bucket are pruned after the flip.
+
+    Untouched buckets are not merely cheap — their files are
+    BYTE-UNTOUCHED across a commit (pytest-pinned in
+    tests/test_streaming.py), which is what bounds per-batch IO by
+    |touched buckets| rather than |state|.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, bucket_count: int):
+        if bucket_count < 1:
+            raise ValueError(f"bucket_count must be >= 1, got {bucket_count}")
+        self.spark = spark
+        self.root = root
+        self.bucket_count = bucket_count
+        os.makedirs(root, exist_ok=True)
+
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def _state(self) -> dict | None:
+        try:
+            with open(self._pointer()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def bucket_paths(self) -> dict[int, str]:
+        state = self._state()
+        if state is None:
+            return {}
+        return {int(b): p for b, p in state["buckets"].items()}
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame | None:
+        """Lazy union of the current snapshot's bucket directories —
+        all of them, or only ``buckets`` (the touched-side read a
+        partial merge needs).  The ``_bucket`` partition column lives
+        in the directory names, not the data files, so the returned
+        schema equals the plain store's."""
+        paths = self.bucket_paths()
+        if buckets is not None:
+            paths = {b: p for b, p in paths.items() if b in set(buckets)}
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths.values())
+
+    def already_applied(self, lineage: str, batch_id: int) -> bool:
+        state = self._state()
+        return (
+            state is not None
+            and state.get("lineage") == lineage
+            and batch_id <= int(state["batch_id"])
+        )
+
+    def commit(
+        self,
+        merged: DataFrame,
+        touched: list[int],
+        lineage: str,
+        batch_id: int,
+    ) -> None:
+        """Write ``merged`` (rows of the touched buckets only, carrying
+        an integer ``_bucket`` column) and flip the pointer: touched
+        buckets point into the new version dir, untouched buckets keep
+        their existing paths by reference."""
+        version_dir = os.path.join(
+            self.root, f"v{batch_id}_{uuid.uuid4().hex[:8]}"
+        )
+        # align tasks to buckets before the partitioned write: without
+        # this every task emits a file into EVERY touched bucket dir
+        # (tasks × buckets small files per commit — measured 3× the
+        # whole commit cost at 20M-row state), with it each bucket's
+        # rows land in one task and the commit writes ~|touched| files
+        merged = merged.repartition(
+            max(1, min(len(touched), 64)), "_bucket"
+        )
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(
+            version_dir
+        )
+        paths = self.bucket_paths()
+        replaced = [paths[b] for b in touched if b in paths]
+        for b in touched:
+            paths[b] = os.path.join(version_dir, f"_bucket={b}")
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "buckets": {str(b): p for b, p in paths.items()},
+                    "bucket_count": self.bucket_count,
+                    "lineage": lineage,
+                    "batch_id": batch_id,
+                },
+                fh,
+            )
+        os.replace(tmp, self._pointer())
+        # prune version dirs no longer referenced by ANY live bucket
+        live_dirs = {os.path.dirname(p) for p in paths.values()}
+        for old in replaced:
+            d = os.path.dirname(old)
+            if d not in live_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+
+
+def _bucket_expr(key_cols: list[str], bucket_count: int):
+    """Stable key-hash bucket assignment — deterministic across
+    batches, restarts, and engines, so a key's bucket never moves."""
+    return F.pmod(F.xxhash64(*key_cols), F.lit(bucket_count)).cast("int")
+
+
 # Per-batch instrumentation hook (tools/stream_bench.py): when set to a
 # callable (batch_id, wall_seconds, rows) -> None, _drive times each
 # handler invocation.  The row count runs OUTSIDE the timed window so
@@ -202,10 +328,29 @@ def run_upsert_stream(
     key_cols: list[str],
     order_col: str,
     root: str,
+    bucket_count: int | None = None,
 ) -> DataFrame:
     """Drive ``stream_df`` to completion through a foreachBatch
     last-state upsert into a snapshot store at ``root``; returns the
     final snapshot.
+
+    ``bucket_count`` selects the commit strategy:
+
+    * ``None`` (default) — the plain versioned snapshot: every batch
+      rewrites the whole merged state.  Right while state is small
+      (the rewrite is one narrow stage and the store stays trivially
+      atomic);
+    * an int — the BUCKETED partial rewrite (:class:`_BucketStore`):
+      state is hash-partitioned on the upsert key into that many
+      buckets, and a batch merges into + rewrites ONLY the buckets its
+      keys land in, carrying every untouched bucket forward by
+      reference.  Per-batch cost drops from O(|state|) to
+      O(|state| · touched/bucket_count + |batch|) — the mitigation for
+      the ~25-30M-row crossover SCALE.md round-9 measured.  Size it so
+      one bucket's rows fit a comfortable write task (e.g. state-rows
+      / 1-5M), and well above the typical batch's distinct-key spread
+      so batches actually touch a subset.  Both strategies produce
+      IDENTICAL final state (same merge, same keys — pytest-pinned).
 
     CONTRACT: the returned DataFrame is a LAZY read of the current
     snapshot directory, which the NEXT run against the same ``root``
@@ -214,18 +359,54 @@ def run_upsert_stream(
     consumed — deferring an action past another run reads a deleted
     path.  (The registry adapter writes it to its own parquet dir
     before returning, plans/streaming_queries.py.)"""
-    store = _SnapshotStore(spark, root)
     checkpoint_dir = os.path.join(root, "_checkpoint")
 
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        lineage = _checkpoint_lineage(checkpoint_dir)
-        if store.already_applied(lineage, batch_id):
-            return  # redelivered batch within this lineage: skip
-        merged = merge_last_state(store.read(), batch_df, key_cols, order_col)
-        store.commit(merged, lineage, batch_id)
+    if bucket_count is None:
+        store = _SnapshotStore(spark, root)
 
-    _drive(stream_df, handle, checkpoint_dir)
-    out = store.read()
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            lineage = _checkpoint_lineage(checkpoint_dir)
+            if store.already_applied(lineage, batch_id):
+                return  # redelivered batch within this lineage: skip
+            merged = merge_last_state(
+                store.read(), batch_df, key_cols, order_col
+            )
+            store.commit(merged, lineage, batch_id)
+
+        _drive(stream_df, handle, checkpoint_dir)
+        out = store.read()
+        assert out is not None, "stream produced no batches"
+        return out
+
+    bstore = _BucketStore(spark, root, bucket_count)
+
+    def handle_bucketed(batch_df: DataFrame, batch_id: int) -> None:
+        lineage = _checkpoint_lineage(checkpoint_dir)
+        if bstore.already_applied(lineage, batch_id):
+            return  # redelivered batch within this lineage: skip
+        _guard_reserved(batch_df, "run_upsert_stream", "_bucket")
+        batch = batch_df.withColumn(
+            "_bucket", _bucket_expr(key_cols, bucket_count)
+        )
+        # the touched-bucket set is bounded by bucket_count (a small
+        # constant), so this collect is a bounded-size driver list —
+        # the same class as the ANN sink's one-row digest agg
+        touched = sorted(
+            r._bucket
+            for r in batch.select("_bucket").distinct().collect()
+        )
+        cur = bstore.read(touched)
+        if cur is not None:
+            # bucket dirs store the partition value in their NAME, not
+            # the data files — recompute it (deterministic in the keys)
+            cur = cur.withColumn(
+                "_bucket", _bucket_expr(key_cols, bucket_count)
+            )
+        merged = merge_last_state(cur, batch, key_cols, order_col)
+        bstore.commit(merged, touched, lineage, batch_id)
+
+    _drive(stream_df, handle_bucketed, checkpoint_dir)
+    out = bstore.read()
     assert out is not None, "stream produced no batches"
     return out
 
@@ -707,8 +888,10 @@ def run_ann_ingest_stream(
     operators/similarity.ivf_index_append.
 
     Exactly-once WITHOUT a ledger or snapshot rewrite: the load label
-    is CONTENT-ADDRESSED — a 64-bit xor-of-id-hashes digest of the
-    batch plus its row count — and the append uses dynamic partition
+    is CONTENT-ADDRESSED — a 64-bit xor of per-row xxhash64(id, vector)
+    digests of the batch plus its row count (vector values are folded
+    in, so same-id/changed-content redelivery gets a NEW label rather
+    than silently reusing the old partitions) — and the append uses dynamic partition
     overwrite, so a redelivered batch rewrites exactly the partitions
     it wrote the first time (assignment is deterministic given the
     centroids — replay converges to the same bytes).  Content
@@ -718,8 +901,10 @@ def run_ann_ingest_stream(
     overwrite rather than duplicate.  Residual caveat: if a restart
     re-splits the source into DIFFERENT micro-batch boundaries
     (e.g. a changed maxFilesPerTrigger), partially-overlapping batches
-    get new digests and their vids duplicate — rebuild the index (or
-    compact with a vid-level dedup) after changing batching knobs.
+    get new digests and their vids duplicate — run
+    operators.similarity.compact_ivf_index (the vid-level dedup
+    compact; regression-tested in tests/test_pipeline.py)
+    or rebuild the index after changing batching knobs.
     This sink is
     the one streaming write in the engine whose state is
     APPEND-STRUCTURED: an inverted file grows by whole cells-worth of
@@ -743,11 +928,18 @@ def run_ann_ingest_stream(
         # batch (the batch is about to be fully scanned for the write
         # anyway); xor cannot overflow and is commutative, so the
         # digest is independent of partitioning and row order.
+        # The hash folds BOTH the id and the vector values in, so a
+        # redelivered batch with the same ids but changed embeddings
+        # gets a new label (changed vectors can land in different
+        # cells; reusing the old label would leave stale rows in other
+        # (cell, label) partitions).  Full 64-bit digest: the label is
+        # only a partition directory name, and the extra 4 hex chars
+        # square the cross-batch collision margin.
         digest = batch_df.agg(
-            F.expr(f"bit_xor(xxhash64({id_col}))").alias("x"),
+            F.expr(f"bit_xor(xxhash64({id_col}, {vec_col}))").alias("x"),
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
-        label = f"{(digest['x'] or 0) & 0xFFFFFFFFFFFF:012x}-{digest['n']}"
+        label = f"{(digest['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{digest['n']}"
         ivf_index_append(
             spark,
             index_dir,

@@ -234,6 +234,65 @@ def test_ivf_index_append_idempotent_with_stable_src(spark, tmp_path):
     assert {r.vid for r in again.select("vid").collect()} == set(range(12))
 
 
+def test_compact_ivf_index_dedups_rebatched_redelivery(spark, tmp_path):
+    """The streaming ingest's documented duplication corner: a fresh-
+    checkpoint restart with CHANGED batching re-splits the source, so
+    partially-overlapping batches carry new content digests and their
+    vids land twice — here vid 3 is redelivered under a new label with
+    a CHANGED vector, so its two copies sit in different cells.
+    compact_ivf_index must leave exactly one row per vid (the
+    lexicographically-largest load label wins, deterministically),
+    keep the cvid partition layout probes prune on, and be idempotent."""
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_append,
+        ivf_probe_index,
+    )
+
+    rows = [(i, [1.0, 0.02 * i, 0.0]) for i in range(6)] + [
+        (i, [0.02 * (i - 6), 1.0, 0.0]) for i in range(6, 12)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(vecs.filter("vec_id >= 6"), index_dir, centroid_stride=2)
+
+    # first delivery: vids 0-5 in one batch
+    ivf_index_append(
+        spark, index_dir, vecs.filter("vec_id < 6"), src="0a11-6"
+    )
+    # restart with changed batching: vids 3-5 redelivered as their own
+    # batch (new digest label), vid 3's vector changed -> other cell
+    redelivered = spark.createDataFrame(
+        [(3, [0.0, 1.0, 0.0]), (4, [1.0, 0.08, 0.0]), (5, [1.0, 0.10, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_index_append(spark, index_dir, redelivered, src="0b22-3")
+
+    cells = spark.read.parquet(index_dir + "/cells")
+    dup_vids = (
+        cells.groupBy("vid").count().filter("count > 1").collect()
+    )
+    assert {r.vid for r in dup_vids} == {3, 4, 5}, "corner not reproduced"
+
+    before, after = compact_ivf_index(spark, index_dir)
+    assert before == 15 and after == 12
+    cells = spark.read.parquet(index_dir + "/cells")
+    assert cells.groupBy("vid").count().filter("count > 1").count() == 0
+    # winner is the later (larger) load label: vid 3 keeps the
+    # redelivered vector, which normalizes onto the y-axis cell
+    kept3 = cells.filter("vid = 3").collect()
+    assert len(kept3) == 1 and abs(kept3[0].vec[1]) > abs(kept3[0].vec[0])
+    # partition layout survives: probe still prunes and ranks cleanly
+    probes = vecs.filter("vec_id = 1")
+    out = ivf_probe_index(spark, index_dir, probes, k=5, nprobe=2).collect()
+    assert len(out) == 5
+    assert sorted(r.rank for r in out) == [1, 2, 3, 4, 5]
+    # idempotent: a second compaction is a no-op on row counts
+    b2, a2 = compact_ivf_index(spark, index_dir)
+    assert (b2, a2) == (12, 12)
+
+
 def test_lsh_key_bits_integer_sizing():
     """w = smallest width with 2^w >= N/8, clamped to the segment —
     exact integer twin of the oracle's LENGTH(BIN(N-1)) formula."""

@@ -661,3 +661,99 @@ def test_cms_stream_merged_sketch_keeps_build_metadata(spark, tmp_path):
     probes = spark.createDataFrame([("k0",)], "user_id string")
     with _pytest.raises(ValueError, match="build"):
         cms_estimate(probes, "user_id", cms, 4, 2048)
+
+
+def test_bucketed_upsert_matches_plain_and_skips_untouched_buckets(
+    spark, tmp_path
+):
+    """The bucketed partial-rewrite store must (a) produce IDENTICAL
+    final state to the plain full-rewrite store, and (b) leave every
+    UNTOUCHED bucket's files byte-identical across a batch — the
+    property that bounds per-batch IO by |touched buckets| instead of
+    |state| (the SCALE.md ~25-30M-row crossover mitigation)."""
+    import hashlib
+    import os
+
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        _BucketStore,
+        run_upsert_stream,
+    )
+
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+
+    def run(root, src, bucket_count):
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return run_upsert_stream(
+            stream.withColumn("_ord", key), spark,
+            key_cols=["user_id"], order_col="_ord", root=root,
+            bucket_count=bucket_count,
+        )
+
+    # batch 1: users 1..40 (spread over the 16 buckets); batch 2
+    # updates ONE user, so most buckets must go untouched
+    src = str(tmp_path / "src")
+    _write_events(
+        spark, src,
+        [(u, _t(u), u, "view", float(u)) for u in range(1, 41)],
+    )
+    _write_events(spark, src, [(100, _t(100), 7, "click", 9.0)])
+
+    plain = run(str(tmp_path / "plain"), src, None)
+    brt = str(tmp_path / "bucketed")
+    bucketed = run(brt, src, 16)
+    want = sorted(map(tuple, plain.drop("_ord").collect()))
+    assert sorted(map(tuple, bucketed.drop("_ord").collect())) == want
+    assert {r.user_id: r.event_id for r in bucketed.collect()}[7] == 100
+
+    # replay the second run over the same root/checkpoint: ledger no-op
+    again = run(brt, src, 16)
+    assert sorted(map(tuple, again.drop("_ord").collect())) == want
+
+    # now drive a THIRD batch through the same root and prove the
+    # untouched buckets' files are the SAME BYTES at the same paths
+    store = _BucketStore(spark, brt, 16)
+    paths_before = store.bucket_paths()
+
+    def dir_digest(d):
+        out = {}
+        for r, _, fs in os.walk(d):
+            for f in sorted(fs):
+                p = os.path.join(r, f)
+                out[os.path.relpath(p, d)] = hashlib.md5(
+                    open(p, "rb").read()
+                ).hexdigest()
+        return out
+
+    digests_before = {b: dir_digest(p) for b, p in paths_before.items()}
+    _write_events(spark, src, [(101, _t(101), 8, "click", 10.0)])
+    run(brt, src, 16)
+
+    touched_bucket = spark.createDataFrame(
+        [(8,)], "user_id long"
+    ).select(
+        F.pmod(F.xxhash64("user_id"), F.lit(16)).cast("int").alias("b")
+    ).collect()[0].b
+    paths_after = store.bucket_paths()
+    changed = {
+        b for b in paths_before
+        if paths_after[b] != paths_before[b]
+        or dir_digest(paths_after[b]) != digests_before[b]
+    }
+    assert changed == {touched_bucket}, changed
+    # untouched buckets carried forward BY REFERENCE (same path)
+    for b, p in paths_before.items():
+        if b != touched_bucket:
+            assert paths_after[b] == p
+    # and the merged state is still right
+    final = {r.user_id: r.event_id for r in store.read().collect()}
+    assert final[8] == 101 and final[7] == 100 and len(final) == 40

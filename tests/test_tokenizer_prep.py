@@ -435,9 +435,19 @@ def test_bpe_symbol_space_guards(spark):
     words = spark.createDataFrame([("aa",)], "w string")
     # within budget: fine
     assert bpe_encode_words(words, fake_merges).count() == 1
-    with pytest.raises(ValueError, match="private-use"):
+    # the expression form's guard is the MEASURED Catalyst nested-
+    # replace depth (256; StackOverflowError observed at 320), not the
+    # 137,468-symbol space — production budgets must broadcast-join
+    # the encoded word map instead (bpe_encode_32k / the persisted
+    # tokenizer artifact)
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        BPE_ENCODE_EXPR_MERGES,
+    )
+
+    assert BPE_ENCODE_EXPR_MERGES == 256
+    with pytest.raises(ValueError, match="nested-replace"):
         bpe_encode_words(
-            words, [(0, "a", "a", "x", 1)] * (137_468 + 1)
+            words, [(0, "a", "a", "x", 1)] * (BPE_ENCODE_EXPR_MERGES + 1)
         )
 
 
@@ -546,3 +556,78 @@ def test_supplementary_codepoint_semantics(spark):
     ).fetchone()
     con.close()
     assert got == (3, s15, s16, "x" + s16)
+
+
+def test_bpe_tokenizer_artifact_roundtrip(spark, tmp_path):
+    """save_bpe_tokenizer/load_bpe_tokenizer: the persisted artifact
+    must round-trip the merge list and encoded word map EXACTLY (the
+    lifecycle may not change a token), and load must fail loud on a
+    missing/foreign/corrupt directory — the build_ivf_index /
+    build_dedup_index meta discipline applied to the tokenizer."""
+    import json
+    import os
+
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        bpe_train_local,
+        load_bpe_tokenizer,
+        save_bpe_tokenizer,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    merges, encoded = bpe_train_local(word_frequencies(docs), 12)
+    tok_dir = str(tmp_path / "tok")
+    save_bpe_tokenizer(merges, encoded, tok_dir, budget=12)
+
+    m2, enc2, meta = load_bpe_tokenizer(spark, tok_dir)
+    assert m2 == merges
+    assert meta["budget"] == 12 and meta["n_merges"] == len(merges)
+    orig = {(r.w0, r.w) for r in encoded.collect()}
+    assert {(r.w0, r.w) for r in enc2.collect()} == orig
+
+    # fail-loud: not an artifact
+    with pytest.raises(ValueError, match="meta.json unreadable"):
+        load_bpe_tokenizer(spark, str(tmp_path / "nope"))
+    # fail-loud: wrong kind
+    other = str(tmp_path / "other")
+    os.makedirs(other)
+    json.dump({"kind": "ivf_index"}, open(other + "/meta.json", "w"))
+    with pytest.raises(ValueError, match="kind"):
+        load_bpe_tokenizer(spark, other)
+    # fail-loud: meta/merges row-count disagreement
+    meta_path = os.path.join(tok_dir, "meta.json")
+    m = json.load(open(meta_path))
+    m["n_merges"] = len(merges) + 1
+    json.dump(m, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="corrupt"):
+        load_bpe_tokenizer(spark, tok_dir)
+
+
+def test_bpe_encode_indexed_plan_is_pure_apply(spark):
+    """The persisted-artifact encode's RETURNED plan must be the
+    production apply shape: exactly ONE documents scan, the artifact's
+    words parquet broadcast to it, and no training anywhere in the
+    plan — encoding from the artifact never re-derives the tokenizer."""
+    import re
+
+    from business_intelligence_and_data_warehouse_spark.plans.queries import (
+        QUERIES,
+    )
+
+    df = QUERIES["bpe_encode_indexed"](spark, "/root/testdata/sf0.001")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert plan.count("documents.parquet") == 1, plan
+    assert "bpe_tokenizer_32k" in plan, plan  # reads the artifact...
+    assert len(re.findall(r"\n\(\d+\) BroadcastExchange", plan)) == 1, plan
+    # ...and nothing else: the only two scans are documents + artifact
+    scans = re.findall(r"\n\(\d+\) Scan parquet", plan)
+    assert len(scans) == 2, plan
+    assert "BatchEvalPython" not in plan

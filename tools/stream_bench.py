@@ -90,11 +90,24 @@ def run_sink(spark, sf_dir: str, sink: str, n_batches: int):
     root = tempfile.mkdtemp(prefix=f"bidw_sbench_{sink}_")
     src_dir = None
     try:
-        if sink == "upsert":
+        if sink in ("upsert", "upsert_bucketed"):
+            # the _bucketed twin routes through the _BucketStore
+            # partial-rewrite commit (touched key-hash buckets only);
+            # the A/B isolates the commit strategy — same source,
+            # same merge, same final state
             ev = _events(spark, sf_dir).withColumn("_ord", event_order_key())
-            stream, src_dir = _multi_file_source(spark, ev, n_batches, "ts")
+            # SPARK_GRAFT_UPSERT_SPLIT chooses the arrival model: "ts"
+            # (default) is the uniform-key event stream — every batch
+            # touches every key-hash bucket, the bucketed store's
+            # worst case; "user_id" is the key-local arrival of CDC
+            # backfills / sharded producers — each batch touches
+            # ~1/n_batches of the buckets, the shape the partial
+            # rewrite exists for
+            split = os.environ.get("SPARK_GRAFT_UPSERT_SPLIT", "ts")
+            stream, src_dir = _multi_file_source(spark, ev, n_batches, split)
             snap = sinks.run_upsert_stream(
-                stream, spark, key_cols=["user_id"], order_col="_ord", root=root
+                stream, spark, key_cols=["user_id"], order_col="_ord", root=root,
+                bucket_count=64 if sink == "upsert_bucketed" else None,
             )
         elif sink == "scd2":
             updates = _events(spark, sf_dir).select(
@@ -171,7 +184,15 @@ def run_sink(spark, sf_dir: str, sink: str, n_batches: int):
     return batches, n_out
 
 
-SINKS = ("upsert", "scd2", "cms", "quantile", "neardup", "ann_ingest")
+SINKS = (
+    "upsert",
+    "upsert_bucketed",
+    "scd2",
+    "cms",
+    "quantile",
+    "neardup",
+    "ann_ingest",
+)
 
 
 def main() -> None:
