@@ -996,6 +996,85 @@ def build_ivf_index(
     cents_n.write.mode("overwrite").parquet(index_dir + "/centroids")
 
 
+def trained_centroids_cached(
+    vectors: DataFrame,
+    tag: str,
+    iters: int = 2,
+    corpus_n: DataFrame | None = None,
+    n: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`train_ivf_centroids` behind the per-process parquet memo
+    (same mechanism as ``_PQ_CODES_MEMO``): the first caller in a
+    session trains and materializes the √N centroid set; later callers
+    with the same (tag, iters) read ~√N rows instead of re-running
+    the Lloyd rounds.  Training is deterministic in (corpus, iters) —
+    snapped arithmetic, rank-ordered seeds — so reuse cannot change a
+    centroid (the registry's IVF family re-verified hash-identical).
+    ``tag`` must identify the TRAINING corpus (e.g. ``f"{sf_dir}|full"``
+    vs ``f"{sf_dir}|mod3"`` for the incremental split)."""
+    spark = vectors.sparkSession
+    key = (
+        "ivf_cents",
+        spark.sparkContext.applicationId,
+        tag,
+        iters,
+        id_col,
+        vec_col,
+    )
+    path = _PQ_CODES_MEMO.get(key)
+    if path is None:
+        cents = train_ivf_centroids(
+            vectors, iters=iters, corpus_n=corpus_n, n=n,
+            id_col=id_col, vec_col=vec_col,
+        )
+        path = _pq_memo_dir()
+        cents.write.mode("overwrite").parquet(path)
+        _PQ_CODES_MEMO[key] = path
+    return spark.read.parquet(path)
+
+
+def build_ivf_index_cached(
+    vectors: DataFrame,
+    tag: str,
+    centroids_n: DataFrame,
+    index_dir: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """:func:`build_ivf_index` behind the per-process memo.  The first
+    caller builds the cell-partitioned index once; later same-tag
+    callers either probe the memoized directory directly
+    (``index_dir=None`` — READ-ONLY use) or get a fresh byte-identical
+    copy at ``index_dir`` to MUTATE (append/ingest lifecycles), so a
+    query's appends never leak into the shared base.  Returns the
+    directory to use.  The build is deterministic in
+    (corpus, centroids), so the copy equals a fresh build."""
+    import shutil
+
+    spark = vectors.sparkSession
+    key = (
+        "ivf_index",
+        spark.sparkContext.applicationId,
+        tag,
+        id_col,
+        vec_col,
+    )
+    base = _PQ_CODES_MEMO.get(key)
+    if base is None:
+        base = _pq_memo_dir()
+        build_ivf_index(
+            vectors, base, id_col=id_col, vec_col=vec_col,
+            centroids_n=centroids_n,
+        )
+        _PQ_CODES_MEMO[key] = base
+    if index_dir is None:
+        return base
+    shutil.copytree(base, index_dir, dirs_exist_ok=True)
+    return index_dir
+
+
 def ivf_probe_index(
     spark,
     index_dir: str,

@@ -562,11 +562,10 @@ def load_bpe_tokenizer(
             f"{meta.get('format_version')!r} (engine supports "
             f"{_BPE_ARTIFACT_VERSION})"
         )
-    merges_rows = (
-        spark.read.parquet(tokenizer_dir.rstrip("/") + "/merges")
-        .orderBy("rank")
-        .collect()
-    )
+    # bounded collect: the merge LIST (<= the 137,468-symbol budget),
+    # the same vocabulary-sized driver working set the trainer holds
+    merges_df = spark.read.parquet(tokenizer_dir.rstrip("/") + "/merges")
+    merges_rows = merges_df.orderBy("rank").collect()
     if len(merges_rows) != meta.get("n_merges"):
         raise ValueError(
             f"tokenizer artifact corrupt: merges table has "

@@ -1232,22 +1232,20 @@ def sim_ann_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch against a growing corpus instead of conflating the two
     (the scaling-probe forms stay registered for the scale ramp)."""
     from ..operators.similarity import (
-        _normed,
-        build_ivf_index,
+        build_ivf_index_cached,
         ivf_probe_index,
-        train_ivf_centroids,
+        trained_centroids_cached,
     )
-    from ..operators.caching import pin
-    from .streaming_queries import _fresh_result_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = table_count(spark, sf_dir, "embeddings")
-    corpus_n = pin(_normed(emb, "vec_id", "embedding"))
-    cents = train_ivf_centroids(
-        emb, iters=_IVF_ITERS, corpus_n=corpus_n, n=n
+    # train-once/build-once via the per-process artifact memo (the PQ
+    # pattern, SCALE.md r10): deterministic training, so reuse is
+    # hash-identical; probes are READ-ONLY so they hit the shared dir
+    cents = trained_centroids_cached(
+        emb, f"{sf_dir}|full", iters=_IVF_ITERS, n=n
     )
-    index_dir = _fresh_result_dir("ivf_trained_index")
-    build_ivf_index(emb, index_dir, centroids_n=cents)
+    index_dir = build_ivf_index_cached(emb, f"{sf_dir}|full", cents)
     probes = emb.filter(_panel_filter())
     return ivf_probe_index(
         spark, index_dir, probes, k=_IVF_K, nprobe=_trained_nprobe(n)
@@ -1269,13 +1267,11 @@ def sim_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet append; the probe path is unchanged.  The oracle replays
     training on the initial corpus only and assignment over ALL
     vectors — exactly the lifecycle's visible semantics."""
-    from ..operators.caching import pin
     from ..operators.similarity import (
-        _normed,
-        build_ivf_index,
+        build_ivf_index_cached,
         ivf_index_append,
         ivf_probe_index,
-        train_ivf_centroids,
+        trained_centroids_cached,
     )
     from .streaming_queries import _fresh_result_dir
 
@@ -1283,12 +1279,16 @@ def sim_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     initial = emb.filter(F.col("vec_id") % 3 != 0)
     late = emb.filter(F.col("vec_id") % 3 == 0)
     n = initial.count()
-    corpus_n = pin(_normed(initial, "vec_id", "embedding"))
-    cents = train_ivf_centroids(
-        initial, iters=_IVF_ITERS, corpus_n=corpus_n, n=n
+    # shared with stream_ann_ingest (same training split): centroids
+    # and the base index come from the per-process memo; the append
+    # MUTATES, so it gets a fresh byte-identical copy of the base
+    cents = trained_centroids_cached(
+        initial, f"{sf_dir}|mod3", iters=_IVF_ITERS, n=n
     )
-    index_dir = _fresh_result_dir("ivf_append_index")
-    build_ivf_index(initial, index_dir, centroids_n=cents)
+    index_dir = build_ivf_index_cached(
+        initial, f"{sf_dir}|mod3", cents,
+        index_dir=_fresh_result_dir("ivf_append_index"),
+    )
     ivf_index_append(spark, index_dir, late)
     probes = emb.filter(_panel_filter())
     return ivf_probe_index(
@@ -1307,12 +1307,10 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger, no snapshot rewrite.  Appends are order-independent and
     assignment is deterministic, so the final index — and therefore
     the probe result — hash-matches the batch append oracle exactly."""
-    from ..operators.caching import pin
     from ..operators.similarity import (
-        _normed,
-        build_ivf_index,
+        build_ivf_index_cached,
         ivf_probe_index,
-        train_ivf_centroids,
+        trained_centroids_cached,
     )
     from ..streaming.sinks import run_ann_ingest_stream
     from .streaming_queries import _fresh_result_dir
@@ -1321,12 +1319,15 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     initial = emb.filter(F.col("vec_id") % 3 != 0)
     late = emb.filter(F.col("vec_id") % 3 == 0)
     n = initial.count()
-    corpus_n = pin(_normed(initial, "vec_id", "embedding"))
-    cents = train_ivf_centroids(
-        initial, iters=_IVF_ITERS, corpus_n=corpus_n, n=n
+    # shared with sim_ann_ivf_append (same training split); the stream
+    # sink MUTATES the index, so copy the memoized base
+    cents = trained_centroids_cached(
+        initial, f"{sf_dir}|mod3", iters=_IVF_ITERS, n=n
     )
-    index_dir = _fresh_result_dir("ann_ingest_index")
-    build_ivf_index(initial, index_dir, centroids_n=cents)
+    index_dir = build_ivf_index_cached(
+        initial, f"{sf_dir}|mod3", cents,
+        index_dir=_fresh_result_dir("ann_ingest_index"),
+    )
     src_dir = _fresh_result_dir("ann_ingest_src")
     late.repartition(3).write.mode("overwrite").parquet(src_dir)
     stream = (

@@ -468,6 +468,14 @@ def test_no_collect_in_query_code_paths():
         # bounded: the PUA-contamination guard's <=3-row sample (the
         # upstream plan is .limit(3)) quoted in its error message
         ("operators/vocab.py", "bad = [r.w for r in tainted.collect()]"),
+        # bounded: loading a persisted tokenizer's merge LIST — at most
+        # the 137,468-symbol budget, the same vocabulary-sized driver
+        # working set the trainer itself holds
+        ("operators/vocab.py", 'merges_df.orderBy("rank").collect()'),
+        # bounded: the bucketed upsert commit's touched-bucket set — at
+        # most bucket_count rows (a small constant), the same class as
+        # the ANN sink's one-row digest
+        ("streaming/sinks.py", 'batch.select("_bucket").distinct()'),
     }
     offenders = []
     for path in sorted(pkg.rglob("*.py")):
