@@ -116,3 +116,53 @@ def test_pareto_bands_are_monotone(spark):
     bands = [order[r["abc_class"]] for r in rows]
     assert all(a <= b for a, b in zip(bands, bands[1:]))
     assert bands[0] == 0 and bands[-1] == 2
+
+
+def test_heap_bytes_parses_every_spark_legal_memory_string(monkeypatch):
+    """SPARK_GRAFT_DRIVER_MEM must accept everything spark.driver.memory
+    accepts — unitless bytes, k/m/g/t suffixes (either case, optional
+    trailing 'b'), fractional values — and fall back to the 4 GiB
+    default on garbage instead of raising (a bad env var must not
+    brick every get_spark call; r9 ADVICE item 1)."""
+    from business_intelligence_and_data_warehouse_spark import session as s
+
+    cases = {
+        "4g": 4 << 30,
+        "8G": 8 << 30,
+        "512m": 512 << 20,
+        "2t": 2 << 40,
+        "4294967296": 4 << 30,
+        "4.5g": int(4.5 * (1 << 30)),
+        "4gb": 4 << 30,
+        " 6g ": 6 << 30,
+        "bogus": 4 << 30,
+        "": 4 << 30,
+        "-2g": 4 << 30,
+    }
+    for raw, want in cases.items():
+        monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", raw)
+        assert s._heap_bytes() == want, raw
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM")
+    assert s._heap_bytes() == 4 << 30
+
+
+def test_bench_detail_artifact_written(tmp_path, monkeypatch):
+    """bench.py must persist the FULL per-query map to
+    BENCH_DETAIL_r{N}.json (N inferred from existing BENCH_r files) —
+    the one-line stdout map is tail-clipped by the driver past ~60
+    queries (r9 verdict item 1)."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    (tmp_path / "BENCH_r03.json").write_text("{}")
+    timings = {"q1": 1.5, "q2": -1.0}
+    bench._write_detail(timings, 1.5, "/root/testdata/sf0.1")
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r04.json").read_text())
+    assert detail["queries"] == timings
+    assert detail["round"] == 4
+    assert detail["n_failed"] == 1 and detail["n_queries"] == 2
+    assert detail["sf"] == 0.1
