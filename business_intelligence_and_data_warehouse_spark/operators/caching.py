@@ -49,3 +49,28 @@ def release_pinned() -> int:
         except Exception:  # pragma: no cover - session already stopped
             pass
     return n
+
+
+_SCRATCH_PARENT: str | None = None
+
+
+def scratch_dir(tag: str) -> str:
+    """Unique per-invocation scratch directory under ONE per-process
+    parent removed at interpreter exit — the single copy of the
+    tmp-parent + atexit-rmtree + unique-child pattern shared by query
+    result materialization (plans/streaming_queries._fresh_result_dir
+    delegates here) and the artifact memos (operators/similarity).
+
+    A fixed path would alias across invocations (a stale lazy reader
+    of the previous dir fails mid-scan or silently reads newer rows);
+    a per-dir atexit would leak registrations.  One parent, one
+    cleanup."""
+    global _SCRATCH_PARENT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_PARENT is None:
+        _SCRATCH_PARENT = tempfile.mkdtemp(prefix="bidw_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_PARENT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=f"{tag}_", dir=_SCRATCH_PARENT)

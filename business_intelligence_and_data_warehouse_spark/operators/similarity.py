@@ -336,22 +336,12 @@ def _subspace_rows(
 # dirs removed at interpreter exit.  This is the r4 shared-tokenize
 # pattern applied across the family: build once, read many.
 _PQ_CODES_MEMO: dict[tuple, str] = {}
-_PQ_MEMO_PARENT: str | None = None
 
 
 def _pq_memo_dir() -> str:
-    global _PQ_MEMO_PARENT
-    import atexit
-    import shutil
-    import tempfile
-    import uuid as _uuid
+    from .caching import scratch_dir
 
-    if _PQ_MEMO_PARENT is None:
-        _PQ_MEMO_PARENT = tempfile.mkdtemp(prefix="bidw_pq_codes_")
-        atexit.register(shutil.rmtree, _PQ_MEMO_PARENT, ignore_errors=True)
-    import os as _os
-
-    return _os.path.join(_PQ_MEMO_PARENT, _uuid.uuid4().hex[:12])
+    return scratch_dir("bidw_artifact_memo")
 
 
 def _pq_codes(
@@ -1042,6 +1032,7 @@ def build_ivf_index_cached(
     index_dir: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids_key: str = "iters2",
 ) -> str:
     """:func:`build_ivf_index` behind the per-process memo.  The first
     caller builds the cell-partitioned index once; later same-tag
@@ -1050,7 +1041,13 @@ def build_ivf_index_cached(
     copy at ``index_dir`` to MUTATE (append/ingest lifecycles), so a
     query's appends never leak into the shared base.  Returns the
     directory to use.  The build is deterministic in
-    (corpus, centroids), so the copy equals a fresh build."""
+    (corpus, centroids), so the copy equals a fresh build.
+
+    ``centroids_key`` must identify HOW ``centroids_n`` was produced
+    (e.g. ``f"iters{n}"`` for the trained quantizer) — the memo key
+    cannot see the centroid DataFrame's contents, and two same-tag
+    callers with differently-trained centroids must not share an
+    index (cell assignment depends on the centroid set)."""
     import shutil
 
     spark = vectors.sparkSession
@@ -1058,6 +1055,7 @@ def build_ivf_index_cached(
         "ivf_index",
         spark.sparkContext.applicationId,
         tag,
+        centroids_key,
         id_col,
         vec_col,
     )
@@ -1199,14 +1197,19 @@ def compact_ivf_index(spark, index_dir: str) -> tuple[int, int]:
     the source into DIFFERENT micro-batch boundaries, partially-
     overlapping batches carry new content digests and their vids land
     twice (possibly in different cells, if the vector changed between
-    deliveries).  The winner per vid is deterministic — the
-    lexicographically LARGEST load label (within one load a vid is
-    unique by the append contract), with cvid as final tiebreak — so
-    repeated compaction is idempotent.  Cost is one shuffle over the
-    cell table, i.e. the O(state) rewrite the incremental ingest
-    avoids per-batch; run it as a maintenance window job, exactly like
-    compact_parquet (sources/warehouse.py), whose stage-and-swap
-    rename mechanics this reuses.
+    deliveries).  The winner per vid is the LATEST-WRITTEN load: load
+    labels are content digests with no delivery-order meaning, so
+    delivery order is recovered from the load's on-disk write time
+    (max file mtime under its ``src=`` partition dirs — one bounded
+    driver-side listing over the index, the same planning pass any
+    compaction runs; ``shutil.copytree``'s ``copy2`` preserves mtimes
+    across the cached-base copy).  Label then cvid break exact
+    mtime ties, so repeated compaction is deterministic and
+    idempotent.  Cost is one shuffle over the cell table, i.e. the
+    O(state) rewrite the incremental ingest avoids per-batch; run it
+    as a maintenance window job, exactly like compact_parquet
+    (sources/warehouse.py), whose stage-and-swap rename mechanics
+    this reuses.
 
     Returns (rows_before, rows_after).
     """
@@ -1214,13 +1217,32 @@ def compact_ivf_index(spark, index_dir: str) -> tuple[int, int]:
     import shutil
 
     cells_path = index_dir.rstrip("/") + "/cells"
-    cells = spark.read.parquet(cells_path)
+    # delivery-order proxy: src label -> latest mtime of its files
+    # (bounded: one stat pass over the index's partition dirs)
+    load_mtime: dict[str, float] = {}
+    for dirpath, _dirs, files in os.walk(cells_path):
+        base = os.path.basename(dirpath)
+        if not base.startswith("src="):
+            continue
+        label = base[len("src="):]
+        for f in files:
+            if f.endswith(".parquet"):
+                m = os.path.getmtime(os.path.join(dirpath, f))
+                if m > load_mtime.get(label, -1.0):
+                    load_mtime[label] = m
+    order = spark.createDataFrame(
+        [(lbl, float(m)) for lbl, m in load_mtime.items()],
+        "src string, __load_mtime double",
+    )
+    cells = spark.read.parquet(cells_path).join(F.broadcast(order), "src")
     before = cells.count()
-    w = W.partitionBy("vid").orderBy(F.desc("src"), F.desc("cvid"))
+    w = W.partitionBy("vid").orderBy(
+        F.desc("__load_mtime"), F.desc("src"), F.desc("cvid")
+    )
     compacted = (
         cells.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__load_mtime")
         .withColumn("src", F.lit("base"))
     )
     tmp = cells_path + f"__compact_{_uuid_hex()}"

@@ -1245,7 +1245,9 @@ def sim_ann_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = trained_centroids_cached(
         emb, f"{sf_dir}|full", iters=_IVF_ITERS, n=n
     )
-    index_dir = build_ivf_index_cached(emb, f"{sf_dir}|full", cents)
+    index_dir = build_ivf_index_cached(
+        emb, f"{sf_dir}|full", cents, centroids_key=f"iters{_IVF_ITERS}"
+    )
     probes = emb.filter(_panel_filter())
     return ivf_probe_index(
         spark, index_dir, probes, k=_IVF_K, nprobe=_trained_nprobe(n)
@@ -1288,6 +1290,7 @@ def sim_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = build_ivf_index_cached(
         initial, f"{sf_dir}|mod3", cents,
         index_dir=_fresh_result_dir("ivf_append_index"),
+        centroids_key=f"iters{_IVF_ITERS}",
     )
     ivf_index_append(spark, index_dir, late)
     probes = emb.filter(_panel_filter())
@@ -1327,6 +1330,7 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = build_ivf_index_cached(
         initial, f"{sf_dir}|mod3", cents,
         index_dir=_fresh_result_dir("ann_ingest_index"),
+        centroids_key=f"iters{_IVF_ITERS}",
     )
     src_dir = _fresh_result_dir("ann_ingest_src")
     late.repartition(3).write.mode("overwrite").parquet(src_dir)

@@ -29,26 +29,13 @@ from ..streaming.windows import (
 )
 from .queries import ORACLES, query_fn
 
-_RESULT_PARENT: str | None = None
-
-
 def _fresh_result_dir(tag: str) -> str:
-    """Unique materialization dir PER INVOCATION: a fixed per-process
-    path would be overwritten by the next invocation while an earlier
-    returned DataFrame still lazily reads it (aliasing — stale readers
-    fail mid-scan or silently see the newer rows).  All dirs live
-    under one per-process parent removed at interpreter exit, so
-    results stay valid for the process lifetime without unbounded /tmp
-    leakage across processes."""
-    global _RESULT_PARENT
-    import atexit
-    import shutil
-    import tempfile
+    """Unique materialization dir PER INVOCATION — see
+    operators/caching.scratch_dir (the one shared copy of the
+    per-process scratch-parent pattern)."""
+    from ..operators.caching import scratch_dir
 
-    if _RESULT_PARENT is None:
-        _RESULT_PARENT = tempfile.mkdtemp(prefix="bidw_results_")
-        atexit.register(shutil.rmtree, _RESULT_PARENT, ignore_errors=True)
-    return tempfile.mkdtemp(prefix=f"{tag}_", dir=_RESULT_PARENT)
+    return scratch_dir(tag)
 
 _O_EV = "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 _O_VSUM = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"

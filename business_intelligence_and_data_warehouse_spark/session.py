@@ -118,13 +118,24 @@ def get_spark(
         # kernel time over one bench run at 48g; clean at 4g). The data
         # volumes in local testing are tiny, so a small preallocated heap
         # is both faster and more stable.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
+        # render the PARSED heap size back into a Spark-legal integer
+        # string rather than forwarding the raw env var: the tolerant
+        # parser accepts forms Spark's JavaUtils rejects ("4.5g",
+        # trailing "b") and falls back on garbage — passing the raw
+        # string through would re-brick the session the parser's
+        # fallback exists to save (r10 review finding).
+        .config("spark.driver.memory", f"{max(1, _heap_bytes() >> 20)}m")
         # ParallelGC: measured far fewer multi-second stalls than G1 on
         # this VM (G1 showed sporadic 40-80s pauses with idle CPUs).
+        # -Xms follows the parsed heap (capped at the measured-good
+        # 4 GiB preallocation) so a smaller SPARK_GRAFT_DRIVER_MEM
+        # can't produce -Xms > -Xmx, which fails JVM launch
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
-                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xms4g -XX:+UseParallelGC"
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                f"-Xms{min(4096, max(1, _heap_bytes() >> 20))}m"
+                " -XX:+UseParallelGC",
             ),
         )
         .config("spark.ui.enabled", "false")

@@ -100,6 +100,45 @@ class _SnapshotStore:
         self._tw.commit({"df": df}, lineage, batch_id)
 
 
+
+# ---------------------------------------------------------------------------
+# shared snapshot-pointer primitives (ONE copy of the commit protocol)
+# ---------------------------------------------------------------------------
+
+def _pointer_path(root: str) -> str:
+    return os.path.join(root, "_CURRENT")
+
+
+def _read_pointer(root: str) -> dict | None:
+    """Current pointer state, or None before the first commit."""
+    try:
+        with open(_pointer_path(root)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _flip_pointer(root: str, state: dict) -> None:
+    """Atomically publish ``state``: staged tmp write + os.replace, so
+    a crash mid-commit leaves the previous snapshot fully readable."""
+    tmp = _pointer_path(root) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, _pointer_path(root))
+
+
+def _ledger_applied(state: dict | None, lineage: str, batch_id: int) -> bool:
+    """The (lineage, batch_id) idempotence ledger shared by every
+    snapshot store: batch ids are monotone only WITHIN one checkpoint
+    lineage (a reset restarts them at 0), so the skip decision scopes
+    to the lineage — the same rule as Delta's (txnAppId, txnVersion)."""
+    return (
+        state is not None
+        and state.get("lineage") == lineage
+        and batch_id <= int(state["batch_id"])
+    )
+
+
 class _BucketStore:
     """Key-hash-BUCKETED versioned snapshot with an atomic
     current-pointer: the O(touched-state) commit that replaces the
@@ -134,15 +173,34 @@ class _BucketStore:
         self.bucket_count = bucket_count
         os.makedirs(root, exist_ok=True)
 
-    def _pointer(self) -> str:
-        return os.path.join(self.root, "_CURRENT")
-
     def _state(self) -> dict | None:
-        try:
-            with open(self._pointer()) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
+        state = _read_pointer(self.root)
+        if state is None:
             return None
+        # FAIL LOUD on a geometry/layout mismatch: bucket assignment is
+        # pmod(hash, bucket_count), so resuming an existing root with a
+        # DIFFERENT bucket_count would look up keys in the wrong bucket
+        # and silently violate the one-row-per-key contract (the old
+        # row stays referenced in its old bucket while the new row
+        # lands elsewhere — both come back from read()).  A root
+        # written by the PLAIN store (pointer carries "paths", not
+        # "buckets") is equally foreign.
+        if "buckets" not in state:
+            raise ValueError(
+                f"{self.root} is not a bucketed snapshot root (pointer "
+                "has no 'buckets' — written by the plain store?); use a "
+                "fresh root or bucket_count=None"
+            )
+        stored = int(state.get("bucket_count", -1))
+        if stored != self.bucket_count:
+            raise ValueError(
+                f"bucketed snapshot at {self.root} was written with "
+                f"bucket_count={stored}, reopened with "
+                f"{self.bucket_count}; the key→bucket assignment would "
+                "change under existing state — rebuild the root (or a "
+                "compaction that re-buckets) to resize"
+            )
+        return state
 
     def bucket_paths(self) -> dict[int, str]:
         state = self._state()
@@ -164,12 +222,7 @@ class _BucketStore:
         return self.spark.read.parquet(*paths.values())
 
     def already_applied(self, lineage: str, batch_id: int) -> bool:
-        state = self._state()
-        return (
-            state is not None
-            and state.get("lineage") == lineage
-            and batch_id <= int(state["batch_id"])
-        )
+        return _ledger_applied(self._state(), lineage, batch_id)
 
     def commit(
         self,
@@ -200,18 +253,15 @@ class _BucketStore:
         replaced = [paths[b] for b in touched if b in paths]
         for b in touched:
             paths[b] = os.path.join(version_dir, f"_bucket={b}")
-        tmp = self._pointer() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "buckets": {str(b): p for b, p in paths.items()},
-                    "bucket_count": self.bucket_count,
-                    "lineage": lineage,
-                    "batch_id": batch_id,
-                },
-                fh,
-            )
-        os.replace(tmp, self._pointer())
+        _flip_pointer(
+            self.root,
+            {
+                "buckets": {str(b): p for b, p in paths.items()},
+                "bucket_count": self.bucket_count,
+                "lineage": lineage,
+                "batch_id": batch_id,
+            },
+        )
         # prune version dirs no longer referenced by ANY live bucket
         live_dirs = {os.path.dirname(p) for p in paths.values()}
         for old in replaced:
@@ -707,15 +757,8 @@ class _TwinStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
-    def _pointer(self) -> str:
-        return os.path.join(self.root, "_CURRENT")
-
     def _state(self) -> dict | None:
-        try:
-            with open(self._pointer()) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return None
+        return _read_pointer(self.root)
 
     def read(self, name: str) -> DataFrame | None:
         state = self._state()
@@ -724,12 +767,7 @@ class _TwinStore:
         return self.spark.read.parquet(state["paths"][name])
 
     def already_applied(self, lineage: str, batch_id: int) -> bool:
-        state = self._state()
-        return (
-            state is not None
-            and state.get("lineage") == lineage
-            and batch_id <= int(state["batch_id"])
-        )
+        return _ledger_applied(self._state(), lineage, batch_id)
 
     def commit(
         self, frames: dict[str, DataFrame], lineage: str, batch_id: int
@@ -751,12 +789,11 @@ class _TwinStore:
             )
             df.write.mode("overwrite").parquet(path)
             paths[name] = path
-        tmp = self._pointer() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"paths": paths, "lineage": lineage, "batch_id": batch_id}, fh
-            )
-        os.replace(tmp, self._pointer())  # both snapshots flip at once
+        # both snapshots flip at once
+        _flip_pointer(
+            self.root,
+            {"paths": paths, "lineage": lineage, "batch_id": batch_id},
+        )
         live = set(paths.values())
         for old in replaced:
             if old not in live:

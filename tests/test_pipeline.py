@@ -240,9 +240,13 @@ def test_compact_ivf_index_dedups_rebatched_redelivery(spark, tmp_path):
     partially-overlapping batches carry new content digests and their
     vids land twice — here vid 3 is redelivered under a new label with
     a CHANGED vector, so its two copies sit in different cells.
-    compact_ivf_index must leave exactly one row per vid (the
-    lexicographically-largest load label wins, deterministically),
-    keep the cvid partition layout probes prune on, and be idempotent."""
+    compact_ivf_index must leave exactly one row per vid — the
+    LATEST-WRITTEN load wins, recovered from file mtimes, because
+    content-digest labels carry no delivery-order meaning (the
+    redelivered label here is lexicographically SMALLER than the
+    first delivery's, so a label-order pick would keep the stale
+    vector) — keep the cvid partition layout probes prune on, and be
+    idempotent."""
     from business_intelligence_and_data_warehouse_spark.operators.similarity import (
         build_ivf_index,
         compact_ivf_index,
@@ -259,10 +263,15 @@ def test_compact_ivf_index_dedups_rebatched_redelivery(spark, tmp_path):
 
     # first delivery: vids 0-5 in one batch
     ivf_index_append(
-        spark, index_dir, vecs.filter("vec_id < 6"), src="0a11-6"
+        spark, index_dir, vecs.filter("vec_id < 6"), src="fa11-6"
     )
     # restart with changed batching: vids 3-5 redelivered as their own
-    # batch (new digest label), vid 3's vector changed -> other cell
+    # batch LATER but under a lexicographically SMALLER content-digest
+    # label; vid 3's vector changed -> other cell.  mtime granularity
+    # guard: make sure the second load's files are measurably newer.
+    import time as _time
+
+    _time.sleep(0.05)
     redelivered = spark.createDataFrame(
         [(3, [0.0, 1.0, 0.0]), (4, [1.0, 0.08, 0.0]), (5, [1.0, 0.10, 0.0])],
         "vec_id long, embedding array<float>",
@@ -279,8 +288,9 @@ def test_compact_ivf_index_dedups_rebatched_redelivery(spark, tmp_path):
     assert before == 15 and after == 12
     cells = spark.read.parquet(index_dir + "/cells")
     assert cells.groupBy("vid").count().filter("count > 1").count() == 0
-    # winner is the later (larger) load label: vid 3 keeps the
-    # redelivered vector, which normalizes onto the y-axis cell
+    # winner is the LATER-WRITTEN load despite its smaller label:
+    # vid 3 keeps the redelivered vector (normalizes onto the y-axis
+    # cell) — a label-order pick would have kept the stale one
     kept3 = cells.filter("vid = 3").collect()
     assert len(kept3) == 1 and abs(kept3[0].vec[1]) > abs(kept3[0].vec[0])
     # partition layout survives: probe still prunes and ranks cleanly

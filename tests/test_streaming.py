@@ -757,3 +757,52 @@ def test_bucketed_upsert_matches_plain_and_skips_untouched_buckets(
     # and the merged state is still right
     final = {r.user_id: r.event_id for r in store.read().collect()}
     assert final[8] == 101 and final[7] == 100 and len(final) == 40
+
+
+def test_bucket_store_rejects_geometry_and_layout_mismatch(spark, tmp_path):
+    """Reopening a bucketed root with a DIFFERENT bucket_count would
+    look keys up in the wrong bucket and silently break the one-row-
+    per-key contract (the stale row stays referenced in its old
+    bucket); a root written by the PLAIN store is equally foreign.
+    Both must fail loud (r10 review finding)."""
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        _BucketStore,
+        run_upsert_stream,
+    )
+
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+
+    def run(root, src, bucket_count):
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return run_upsert_stream(
+            stream.withColumn("_ord", key), spark,
+            key_cols=["user_id"], order_col="_ord", root=root,
+            bucket_count=bucket_count,
+        )
+
+    src = str(tmp_path / "src")
+    _write_events(spark, src, [(1, _t(0), 7, "view", 1.0)])
+
+    broot = str(tmp_path / "bucketed")
+    run(broot, src, 16)
+    with pytest.raises(ValueError, match="bucket_count=16"):
+        _BucketStore(spark, broot, 8)._state()
+    # same count reopens fine
+    assert _BucketStore(spark, broot, 16)._state() is not None
+
+    proot = str(tmp_path / "plain")
+    run(proot, src, None)
+    with pytest.raises(ValueError, match="not a bucketed"):
+        _BucketStore(spark, proot, 16)._state()

@@ -96,13 +96,16 @@ def run_sink(spark, sf_dir: str, sink: str, n_batches: int):
             # the A/B isolates the commit strategy — same source,
             # same merge, same final state
             ev = _events(spark, sf_dir).withColumn("_ord", event_order_key())
-            # SPARK_GRAFT_UPSERT_SPLIT chooses the arrival model: "ts"
-            # (default) is the uniform-key event stream — every batch
-            # touches every key-hash bucket, the bucketed store's
-            # worst case; "user_id" is the key-local arrival of CDC
-            # backfills / sharded producers — each batch touches
-            # ~1/n_batches of the buckets, the shape the partial
-            # rewrite exists for
+            # SPARK_GRAFT_UPSERT_SPLIT chooses how the source is split
+            # into batches ("ts" default, or "user_id" for key-range
+            # slices).  NOTE (measured, SCALE.md r10): hash buckets see
+            # ~n(1-(1-1/n)^B) touched buckets for B distinct batch
+            # keys REGARDLESS of key contiguity — at bench SFs both
+            # splits have B >> bucket_count, so both measure the
+            # bucketed store's all-buckets-touched worst case.  The
+            # favorable regime (B << bucket_count point updates over
+            # large state) is measured by the dedicated crossover
+            # experiment in SCALE.md, not this tool
             split = os.environ.get("SPARK_GRAFT_UPSERT_SPLIT", "ts")
             stream, src_dir = _multi_file_source(spark, ev, n_batches, split)
             snap = sinks.run_upsert_stream(
