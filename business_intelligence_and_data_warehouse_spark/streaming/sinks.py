@@ -165,12 +165,22 @@ class _BucketStore:
     |touched buckets| rather than |state|.
     """
 
-    def __init__(self, spark: SparkSession, root: str, bucket_count: int):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        bucket_count: int,
+        key_cols: list[str] | None = None,
+    ):
         if bucket_count < 1:
             raise ValueError(f"bucket_count must be >= 1, got {bucket_count}")
         self.spark = spark
         self.root = root
         self.bucket_count = bucket_count
+        # recorded in the pointer so rebucket_snapshot can recompute
+        # assignments offline, and validated on reopen (a different
+        # key set would change every bucket assignment)
+        self.key_cols = list(key_cols) if key_cols else None
         os.makedirs(root, exist_ok=True)
 
     def _state(self) -> dict | None:
@@ -197,8 +207,20 @@ class _BucketStore:
                 f"bucketed snapshot at {self.root} was written with "
                 f"bucket_count={stored}, reopened with "
                 f"{self.bucket_count}; the key→bucket assignment would "
-                "change under existing state — rebuild the root (or a "
-                "compaction that re-buckets) to resize"
+                "change under existing state — resize offline with "
+                "rebucket_snapshot (or rebuild the root)"
+            )
+        stored_keys = state.get("key_cols")
+        if (
+            stored_keys is not None
+            and self.key_cols is not None
+            and list(stored_keys) != self.key_cols
+        ):
+            raise ValueError(
+                f"bucketed snapshot at {self.root} was keyed on "
+                f"{stored_keys}, reopened with {self.key_cols}; a "
+                "different key set changes every bucket assignment — "
+                "use a fresh root"
             )
         return state
 
@@ -258,6 +280,7 @@ class _BucketStore:
             {
                 "buckets": {str(b): p for b, p in paths.items()},
                 "bucket_count": self.bucket_count,
+                "key_cols": self.key_cols,
                 "lineage": lineage,
                 "batch_id": batch_id,
             },
@@ -372,6 +395,74 @@ def _checkpoint_lineage(checkpoint_dir: str) -> str:
         return _LINEAGE_FALLBACK.setdefault(checkpoint_dir, token)
 
 
+def rebucket_snapshot(
+    spark: SparkSession, root: str, new_bucket_count: int
+) -> tuple[int, int]:
+    """Offline RESIZE of a bucketed snapshot root: read every bucket,
+    reassign rows under ``new_bucket_count``, write ONE fresh version
+    dir, flip the pointer, prune the old version dirs — the
+    "compaction that re-buckets" the geometry guard points at, run in
+    a maintenance window exactly like compact_parquet.
+
+    Key columns come from the pointer (recorded at commit time), so
+    the resize cannot silently re-key the state; the ledger
+    (lineage, batch_id) carries over unchanged — a resize is not a
+    batch, and the stream resumes against the resized layout with the
+    NEW bucket_count passed to run_upsert_stream.  Cost is one full
+    O(state) shuffle+rewrite, which is exactly what resizing a
+    hash-partitioned layout costs anywhere (Delta OPTIMIZE, Iceberg
+    rewrite_data_files).
+
+    Returns (old_bucket_count, new_bucket_count).
+    """
+    if new_bucket_count < 1:
+        raise ValueError(
+            f"new_bucket_count must be >= 1, got {new_bucket_count}"
+        )
+    state = _read_pointer(root)
+    if state is None or "buckets" not in state:
+        raise ValueError(
+            f"{root} is not a committed bucketed snapshot root"
+        )
+    key_cols = state.get("key_cols")
+    if not key_cols:
+        raise ValueError(
+            f"pointer at {root} records no key_cols (written before the "
+            "resize support); rebuild the root instead"
+        )
+    old_count = int(state["bucket_count"])
+    old_paths = {int(b): p for b, p in state["buckets"].items()}
+    df = spark.read.parquet(*old_paths.values()).withColumn(
+        "_bucket", _bucket_expr(list(key_cols), new_bucket_count)
+    )
+    version_dir = os.path.join(root, f"rebucket_{uuid.uuid4().hex[:8]}")
+    (
+        df.repartition(max(1, min(new_bucket_count, 64)), "_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(version_dir)
+    )
+    new_paths = {
+        int(d[len("_bucket="):]): os.path.join(version_dir, d)
+        for d in os.listdir(version_dir)
+        if d.startswith("_bucket=")
+    }
+    _flip_pointer(
+        root,
+        {
+            "buckets": {str(b): p for b, p in new_paths.items()},
+            "bucket_count": new_bucket_count,
+            "key_cols": list(key_cols),
+            "lineage": state.get("lineage"),
+            "batch_id": state.get("batch_id"),
+        },
+    )
+    for d in {os.path.dirname(p) for p in old_paths.values()}:
+        if d != version_dir:
+            shutil.rmtree(d, ignore_errors=True)
+    return old_count, new_bucket_count
+
+
 def run_upsert_stream(
     stream_df: DataFrame,
     spark: SparkSession,
@@ -428,7 +519,7 @@ def run_upsert_stream(
         assert out is not None, "stream produced no batches"
         return out
 
-    bstore = _BucketStore(spark, root, bucket_count)
+    bstore = _BucketStore(spark, root, bucket_count, key_cols=key_cols)
 
     def handle_bucketed(batch_df: DataFrame, batch_id: int) -> None:
         lineage = _checkpoint_lineage(checkpoint_dir)

@@ -806,3 +806,64 @@ def test_bucket_store_rejects_geometry_and_layout_mismatch(spark, tmp_path):
     run(proot, src, None)
     with pytest.raises(ValueError, match="not a bucketed"):
         _BucketStore(spark, proot, 16)._state()
+
+
+def test_rebucket_snapshot_resizes_and_stream_resumes(spark, tmp_path):
+    """The offline resize the geometry guard points at: rebucket the
+    root, state identical row-for-row under the new layout, ledger
+    carried over (no batch replays), and the stream RESUMES against
+    the resized root with the new bucket_count."""
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        _BucketStore,
+        rebucket_snapshot,
+        run_upsert_stream,
+    )
+
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+
+    def run(root, src, bucket_count):
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return run_upsert_stream(
+            stream.withColumn("_ord", key), spark,
+            key_cols=["user_id"], order_col="_ord", root=root,
+            bucket_count=bucket_count,
+        )
+
+    src = str(tmp_path / "src")
+    _write_events(
+        spark, src, [(u, _t(u), u, "view", float(u)) for u in range(1, 21)]
+    )
+    root = str(tmp_path / "sink")
+    before = sorted(
+        map(tuple, run(root, src, 16).drop("_ord").collect())
+    )
+
+    old, new = rebucket_snapshot(spark, root, 4)
+    assert (old, new) == (16, 4)
+    store = _BucketStore(spark, root, 4, key_cols=["user_id"])
+    assert sorted(map(tuple, store.read().drop("_ord").collect())) == before
+    assert len(store.bucket_paths()) <= 4
+    # old geometry now correctly refuses
+    with pytest.raises(ValueError, match="bucket_count=4"):
+        _BucketStore(spark, root, 16)._state()
+    # a different key set refuses too
+    with pytest.raises(ValueError, match="keyed on"):
+        _BucketStore(spark, root, 4, key_cols=["event_id"])._state()
+
+    # the stream resumes with the NEW count: deliver one more file
+    _write_events(spark, src, [(100, _t(100), 7, "click", 9.0)])
+    after = run(root, src, 4)
+    final = {r.user_id: r.event_id for r in after.collect()}
+    assert final[7] == 100 and len(final) == 20
