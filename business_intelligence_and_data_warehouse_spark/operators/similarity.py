@@ -2052,3 +2052,96 @@ def random_projection(
         .groupBy("vid", "j")
         .agg(F.sum(F.col("e") * F.col("sign")).alias("proj"))
     )
+
+
+def ivf_assignment_drift(
+    spark,
+    index_dir: str,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """REBUILD-DECISION metric for the incremental IVF lifecycle: how
+    far has the index drifted from what a fresh train over TODAY's
+    corpus would build?
+
+    The ingest path appends against FROZEN centroids
+    (:func:`ivf_index_append` — the FAISS add-after-train contract),
+    so assignment quality decays as the corpus distribution moves away
+    from the training snapshot.  Retraining is a REBUILD lifecycle
+    decision; this report is the measurement that decision reads:
+
+    * retrain √N Lloyd centroids over the CURRENT indexed corpus
+      (same deterministic trainer serving uses);
+    * re-assign every indexed vector to the retrained cells
+      (one broadcast map-side pass, the serving plan shape);
+    * count the vectors whose retrained cell population differs from
+      their frozen cell population — computed as a CELL-PAIR
+      confusion table so the metric is stable under arbitrary
+      centroid RENUMBERING (cells have no identity across trainings;
+      comparing raw cvid labels would report ~100% drift for a
+      bit-identical re-train).  A vector "moved" if its
+      (frozen cell, retrained cell) pair is not the dominant mapping
+      of its frozen cell — the standard clustering-agreement view
+      (one row per frozen cell keeps its majority image).
+
+    Returns ONE row: (n_vectors, n_cells_frozen, n_cells_retrained,
+    n_moved, drift_frac).  Everything is exact integer arithmetic
+    over the snapped-cosine assignments, so the report is
+    deterministic and SQL-replayable (registered as an oracled query
+    in round 11; pytest-pinned now).
+
+    Scale: the retrain is the trainer's documented bounded cost (√N
+    cells, iters broadcast-assign passes); the confusion table is
+    cells×cells AT MOST and in practice near-diagonal; nothing
+    corpus-sized shuffles except the one (cell,cell) keyed count.
+    """
+    cells = spark.read.parquet(index_dir.rstrip("/") + "/cells").select(
+        "vid", "vec", "norm", F.col("cvid").alias("frozen_cvid")
+    )
+    corpus_n = cells.select("vid", "vec", "norm")
+    n = corpus_n.count()
+    # retrain over the CURRENT corpus: corpus_n is already normed, and
+    # train_ivf_centroids normalizes internally from raw vectors — feed
+    # it the raw-shaped frame it expects
+    raw = corpus_n.select(
+        F.col("vid").alias(id_col), F.col("vec").alias(vec_col)
+    )
+    cents2 = train_ivf_centroids(
+        raw, iters=iters, id_col=id_col, vec_col=vec_col, n=n
+    )
+    assign2 = _nearest_centroids(corpus_n, cents2, 1).withColumnRenamed(
+        "cvid", "retrained_cvid"
+    )
+    pairs = cells.select("vid", "frozen_cvid").join(assign2, "vid")
+    confusion = pairs.groupBy("frozen_cvid", "retrained_cvid").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    # majority image per frozen cell (ties -> smaller retrained id,
+    # deterministic); everything outside the majority mapping "moved"
+    w = W.partitionBy("frozen_cvid").orderBy(
+        F.desc("n_pair"), F.col("retrained_cvid")
+    )
+    kept = (
+        confusion.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.sum("n_pair").alias("n_kept"))
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("frozen_cvid").alias("n_cells_frozen"),
+        F.countDistinct("retrained_cvid").alias("n_cells_retrained"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(kept))
+        .select(
+            "n_vectors",
+            "n_cells_frozen",
+            "n_cells_retrained",
+            (F.col("n_vectors") - F.col("n_kept")).alias("n_moved"),
+            (
+                (F.col("n_vectors") - F.col("n_kept")).cast("double")
+                / F.col("n_vectors")
+            ).alias("drift_frac"),
+        )
+    )

@@ -695,3 +695,50 @@ def test_containment_catches_quotes_jaccard_misses(spark):
     )
     out = containment_pairs(shingle_table(dup, 3), 0.9).collect()
     assert len(out) == 1 and out[0].containment == 1.0 and out[0].jaccard == 1.0
+
+
+def test_ivf_assignment_drift_zero_without_drift_and_positive_with(
+    spark, tmp_path
+):
+    """The rebuild-decision metric (staged for r11 registration):
+    an index whose training saw the WHOLE corpus must report ZERO
+    drift against a retrain (same deterministic trainer, renumbering-
+    invariant confusion view); appending a distribution the training
+    never saw must report drift > 0."""
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_assignment_drift,
+        ivf_index_append,
+        train_ivf_centroids,
+    )
+
+    rows = [(i, [1.0, 0.02 * i, 0.0]) for i in range(8)] + [
+        (i, [0.02 * (i - 8), 1.0, 0.0]) for i in range(8, 16)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # index trained on the full corpus -> retrain is bit-identical up
+    # to renumbering -> drift 0
+    full_dir = str(tmp_path / "full")
+    build_ivf_index(vecs, full_dir, centroids_n=train_ivf_centroids(vecs, iters=2))
+    r = ivf_assignment_drift(spark, full_dir).collect()[0]
+    assert r.n_vectors == 16 and r.n_moved == 0 and r.drift_frac == 0.0
+
+    # index trained on ONE mode, then a second mode appended against
+    # the frozen centroids: the retrain reshapes cells -> drift > 0
+    drift_dir = str(tmp_path / "drift")
+    first = vecs.filter("vec_id < 8")
+    build_ivf_index(
+        first, drift_dir, centroids_n=train_ivf_centroids(first, iters=2)
+    )
+    late = spark.createDataFrame(
+        [(i, [0.01 * i, -1.0, 0.5]) for i in range(16, 32)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_index_append(spark, drift_dir, late)
+    r2 = ivf_assignment_drift(spark, drift_dir).collect()[0]
+    assert r2.n_vectors == 24
+    assert r2.n_moved > 0 and 0.0 < r2.drift_frac <= 1.0
+    # determinism: same index, same report
+    r3 = ivf_assignment_drift(spark, drift_dir).collect()[0]
+    assert (r2.n_moved, r2.drift_frac) == (r3.n_moved, r3.drift_frac)
