@@ -463,6 +463,43 @@ def rebucket_snapshot(
     return old_count, new_bucket_count
 
 
+def _upsert_batch_bucketed(
+    bstore: "_BucketStore",
+    batch_df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    lineage: str,
+    batch_id: int,
+) -> None:
+    """One bucketed upsert micro-batch: assign buckets, read ONLY the
+    touched buckets' current state, merge, commit the touched set.
+    Factored out of the stream handler so property tests can drive
+    arbitrary batch sequences store-directly (no streaming harness)."""
+    if bstore.already_applied(lineage, batch_id):
+        return  # redelivered batch within this lineage: skip
+    _guard_reserved(batch_df, "run_upsert_stream", "_bucket")
+    bucket_count = bstore.bucket_count
+    batch = batch_df.withColumn(
+        "_bucket", _bucket_expr(key_cols, bucket_count)
+    )
+    # the touched-bucket set is bounded by bucket_count (a small
+    # constant), so this collect is a bounded-size driver list —
+    # the same class as the ANN sink's one-row digest agg
+    touched = sorted(
+        r._bucket
+        for r in batch.select("_bucket").distinct().collect()
+    )
+    cur = bstore.read(touched)
+    if cur is not None:
+        # bucket dirs store the partition value in their NAME, not
+        # the data files — recompute it (deterministic in the keys)
+        cur = cur.withColumn(
+            "_bucket", _bucket_expr(key_cols, bucket_count)
+        )
+    merged = merge_last_state(cur, batch, key_cols, order_col)
+    bstore.commit(merged, touched, lineage, batch_id)
+
+
 def run_upsert_stream(
     stream_df: DataFrame,
     spark: SparkSession,
@@ -522,29 +559,14 @@ def run_upsert_stream(
     bstore = _BucketStore(spark, root, bucket_count, key_cols=key_cols)
 
     def handle_bucketed(batch_df: DataFrame, batch_id: int) -> None:
-        lineage = _checkpoint_lineage(checkpoint_dir)
-        if bstore.already_applied(lineage, batch_id):
-            return  # redelivered batch within this lineage: skip
-        _guard_reserved(batch_df, "run_upsert_stream", "_bucket")
-        batch = batch_df.withColumn(
-            "_bucket", _bucket_expr(key_cols, bucket_count)
+        _upsert_batch_bucketed(
+            bstore,
+            batch_df,
+            key_cols,
+            order_col,
+            _checkpoint_lineage(checkpoint_dir),
+            batch_id,
         )
-        # the touched-bucket set is bounded by bucket_count (a small
-        # constant), so this collect is a bounded-size driver list —
-        # the same class as the ANN sink's one-row digest agg
-        touched = sorted(
-            r._bucket
-            for r in batch.select("_bucket").distinct().collect()
-        )
-        cur = bstore.read(touched)
-        if cur is not None:
-            # bucket dirs store the partition value in their NAME, not
-            # the data files — recompute it (deterministic in the keys)
-            cur = cur.withColumn(
-                "_bucket", _bucket_expr(key_cols, bucket_count)
-            )
-        merged = merge_last_state(cur, batch, key_cols, order_col)
-        bstore.commit(merged, touched, lineage, batch_id)
 
     _drive(stream_df, handle_bucketed, checkpoint_dir)
     out = bstore.read()

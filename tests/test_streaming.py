@@ -867,3 +867,61 @@ def test_rebucket_snapshot_resizes_and_stream_resumes(spark, tmp_path):
     after = run(root, src, 4)
     final = {r.user_id: r.event_id for r in after.collect()}
     assert final[7] == 100 and len(final) == 20
+
+
+# ---------------------------------------------------------------------------
+# randomized property: bucketed == plain == reference for ANY batch sequence
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_UKEYS = st.integers(min_value=1, max_value=9)
+_UVALS = st.integers(min_value=0, max_value=99)
+_UBATCH = st.dictionaries(_UKEYS, _UVALS, min_size=1, max_size=5)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(_UBATCH, min_size=1, max_size=4))
+def test_bucketed_upsert_equals_plain_for_any_batch_sequence(
+    spark, tmp_path_factory, batches
+):
+    """For ANY batch sequence the bucketed partial-rewrite store must
+    end in exactly the state the plain full-rewrite store ends in,
+    which must equal the last-write-wins dict — including redelivery
+    (every batch is applied twice under the same (lineage, batch_id),
+    which the ledger must no-op) and multi-bucket spreads."""
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        _BucketStore,
+        _SnapshotStore,
+        _upsert_batch_bucketed,
+        merge_last_state,
+    )
+
+    tmp = tmp_path_factory.mktemp("ubx")
+    plain = _SnapshotStore(spark, str(tmp / "plain"))
+    bucketed = _BucketStore(spark, str(tmp / "bucketed"), 4, key_cols=["k"])
+    reference: dict[int, tuple[int, str]] = {}
+    for i, batch in enumerate(batches):
+        rows = [(k, v, f"{i:04d}-{k:04d}") for k, v in batch.items()]
+        bdf = spark.createDataFrame(rows, "k int, v int, _ord string")
+        for _redelivery in range(2):  # second apply must be a no-op
+            if not plain.already_applied("L", i):
+                plain.commit(
+                    merge_last_state(plain.read(), bdf, ["k"], "_ord"),
+                    "L",
+                    i,
+                )
+            _upsert_batch_bucketed(bucketed, bdf, ["k"], "_ord", "L", i)
+        for k, v in batch.items():
+            reference[k] = (v, f"{i:04d}-{k:04d}")
+
+    want = sorted((k, v, o) for k, (v, o) in reference.items())
+    got_plain = sorted(map(tuple, plain.read().collect()))
+    got_bucketed = sorted(map(tuple, bucketed.read().collect()))
+    assert got_plain == want
+    assert got_bucketed == want
