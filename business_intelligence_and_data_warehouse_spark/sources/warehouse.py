@@ -16,6 +16,8 @@ hook.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -36,14 +38,19 @@ def save_bucketed(
 
 
 def delta_available(spark: SparkSession) -> bool:
-    """True when the Delta Lake runtime is on the classpath (not in this
-    environment; warehouse writes fall back to parquet tables)."""
+    """True when the Delta Lake runtime is USABLE in this session: jar
+    on the classpath AND the session configured with Delta's SQL
+    extension/catalog.  The classpath check alone is a false positive
+    on images that bundle the jars but build a vanilla session —
+    `saveAsTable(format='delta')` would then raise instead of the
+    intended graceful parquet fallback (r10 review finding)."""
     try:
         # py4j resolves missing packages lazily, so force a class load
         spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
-        return True
     except Exception:
         return False
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    return "io.delta.sql.DeltaSparkSessionExtension" in ext
 
 
 def write_table(
@@ -52,9 +59,27 @@ def write_table(
     partition_cols: tuple[str, ...] = (),
     fmt: str | None = None,
 ) -> None:
-    """Warehouse table write: Delta when available, else parquet."""
-    if fmt is None:
-        fmt = "delta" if delta_available(df.sparkSession) else "parquet"
+    """Warehouse table write: Delta when available, else parquet.
+
+    Even with ``delta_available`` true, the write falls back to parquet
+    if the Delta path fails for an environment reason — the contract is
+    "the table lands", not "Delta or bust" (an explicit ``fmt`` is
+    honored verbatim and never falls back)."""
+    if fmt is not None:
+        _write_table_as(df, table, partition_cols, fmt)
+        return
+    if delta_available(df.sparkSession):
+        try:
+            _write_table_as(df, table, partition_cols, "delta")
+            return
+        except Exception:
+            pass  # fall through: the parquet table is the contract
+    _write_table_as(df, table, partition_cols, "parquet")
+
+
+def _write_table_as(
+    df: DataFrame, table: str, partition_cols: tuple[str, ...], fmt: str
+) -> None:
     writer = df.write.format(fmt).mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -77,6 +102,27 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("orc").load(path)
 
 
+def _hive_partition_cols(path: str) -> list[str]:
+    """Partition columns of a Hive-layout dataset, outermost first,
+    inferred from the directory components between ``path`` and its
+    parquet files (``k=v`` segments).  Empty for a flat dataset."""
+    import os
+
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            rel = os.path.relpath(root, path)
+            if rel == ".":
+                return []
+            cols = []
+            for seg in rel.split(os.sep):
+                m = re.match(r"([^=]+)=", seg)
+                if not m:
+                    return []  # not a Hive layout (staging dirs etc.)
+                cols.append(m.group(1))
+            return cols
+    return []
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -95,17 +141,41 @@ def compact_parquet(
     storm (footer reads, task scheduling) long before data IO matters.
     Returns (files_before, files_after).
 
+    Hive-partitioned datasets keep their layout: the partition columns
+    are inferred from the directory structure and the rewrite goes back
+    out ``partitionBy`` the same columns, so directory-level pruning
+    survives compaction (flattening them would silently cost every
+    future scan its pruning — r10 review finding).  Without
+    ``target_files``, output sizing coalesces toward ``before // 64``
+    files (never below 1), matching the sort_cols branch — previously
+    the default path did no merging at all.
+
+    DRIVER-LOCAL PATHS ONLY: the stage-and-swap uses os.rename, so a
+    scheme-qualified path (s3://, hdfs://) is rejected UP FRONT rather
+    than after paying for a full rewrite it cannot swap in (at object-
+    store scale the transactional answer is Delta/Iceberg OPTIMIZE).
+
     The rewrite stages into a sibling temp dir and swaps it over the
     original only after success. The swap is TWO renames (old aside,
     staging in), not one atomic op: a concurrent reader can observe the
-    dataset briefly missing, so run compaction in a maintenance window
-    (Delta/Iceberg `OPTIMIZE` is the transactional answer at scale). A
-    failed rewrite cleans its staging dir; a failure between the two
-    renames restores the original directory before re-raising.
+    dataset briefly missing, so run compaction in a maintenance window.
+    A failed rewrite cleans its staging dir; a failure between the two
+    renames restores the original directory before re-raising (and if
+    even the restore fails, the original error propagates with the
+    restore failure chained, never masked).
     """
     import os
     import shutil
     import uuid
+
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+        raise ValueError(
+            f"compact_parquet swaps directories with os.rename and only "
+            f"supports driver-local paths, got {path!r}; use the table "
+            "format's own OPTIMIZE/rewrite on object stores"
+        )
+    if target_files is not None and target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
 
     def _count_files(p: str) -> int:
         return sum(
@@ -116,21 +186,28 @@ def compact_parquet(
         )
 
     before = _count_files(path)
+    part_cols = _hive_partition_cols(path)
     df = spark.read.parquet(path)
+    n = target_files if target_files is not None else max(1, before // 64)
     if sort_cols:
-        n = target_files or max(1, before // 64)
         df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
             *sort_cols
         )
-    elif target_files:
-        df = df.repartition(target_files)
+    elif part_cols:
+        # align tasks to partitions so each output dir gets few files
+        # (the same task×dir small-files fan-out the bucketed snapshot
+        # store had to fix)
+        df = df.repartition(n, *part_cols)
+    else:
+        df = df.coalesce(n)
     tmp = path.rstrip("/") + f"__compact_{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
     try:
-        (
-            df.write.mode("overwrite")
-            .option("maxRecordsPerFile", max_records_per_file)
-            .parquet(tmp)
-        )
+        writer.parquet(tmp)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
@@ -145,10 +222,18 @@ def compact_parquet(
         raise
     try:
         os.rename(tmp, path)
-    except BaseException:
+    except BaseException as swap_exc:
         # Put the original back so readers never see the path missing
-        # longer than the failed instant.
-        os.rename(old, path)
+        # longer than the failed instant.  If even the restore fails
+        # (e.g. a concurrent writer recreated `path`), propagate the
+        # ORIGINAL swap error with the restore failure chained — a bare
+        # restore raise would mask what actually went wrong and skip
+        # the staging cleanup.
+        try:
+            os.rename(old, path)
+        except BaseException as restore_exc:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise swap_exc from restore_exc
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     shutil.rmtree(old, ignore_errors=True)

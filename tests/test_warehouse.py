@@ -325,3 +325,70 @@ def test_scd1_merge_twin_null_keys_follow_merge_semantics(spark):
     rewrite = rows(scd1_upsert(dim, batch, ["k"]))
     assert twin == [(None, "new"), (None, "old"), (1, "b1")]
     assert rewrite == [(None, "new"), (1, "b1")]
+
+
+def test_compact_parquet_preserves_hive_partition_layout(spark, tmp_path):
+    """Compacting a partitionBy dataset must KEEP the directory layout
+    (flattening it silently costs every future scan its directory-level
+    pruning — r10 review finding) and still merge the small files
+    within each partition."""
+    import os
+
+    from business_intelligence_and_data_warehouse_spark.sources.warehouse import (
+        compact_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "part")
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+    )
+    # accrete small files: 4 appends of 8 files each per partition
+    for _ in range(4):
+        df.repartition(8).write.mode("append").partitionBy("grp").parquet(path)
+
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+    before, after = compact_parquet(spark, path)
+    assert after < before
+    # layout survives: the partition dirs still exist and prune
+    dirs = {d for d in os.listdir(path) if d.startswith("grp=")}
+    assert dirs == {"grp=0", "grp=1", "grp=2"}
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    # (partition VALUES are re-inferred as int on read — compare
+    # stringly; the layout, not the inferred value type, is the claim)
+    one = spark.read.parquet(os.path.join(path, "grp=1"))
+    assert one.count() == sum(1 for _id, g in want if str(g) == "1")
+
+
+def test_compact_parquet_default_path_actually_merges(spark, tmp_path):
+    """Without sort_cols/target_files the rewrite must still coalesce
+    toward before//64 files (the motivating small-files case) — the
+    old default path did no merging at all."""
+    from business_intelligence_and_data_warehouse_spark.sources.warehouse import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "flat")
+    for _ in range(5):
+        spark.range(1000).repartition(16).write.mode("append").parquet(path)
+    before, after = compact_parquet(spark, path)
+    assert before == 80 and after <= 2
+    assert spark.read.parquet(path).count() == 5000
+
+
+def test_compact_parquet_rejects_remote_paths_and_bad_targets(spark):
+    """Scheme-qualified paths fail UP FRONT (os.rename cannot swap an
+    object-store URI — the old behavior paid for a full rewrite, then
+    failed and leaked the staging copy); target_files < 1 is an error,
+    not a silent no-op."""
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.sources.warehouse import (
+        compact_parquet,
+    )
+
+    with pytest.raises(ValueError, match="driver-local"):
+        compact_parquet(spark, "s3://bucket/tbl")
+    with pytest.raises(ValueError, match="target_files"):
+        compact_parquet(spark, "/nonexistent-local", target_files=0)
