@@ -167,6 +167,11 @@ def with_balanced_weights(
     (`PythonAnalysis.py:285`): w(class) = n / (n_classes · n_class), so
     each class contributes equal total weight to the fit."""
     counts = {r[0]: r[1] for r in train.groupBy(label_col).count().collect()}
+    if not counts:
+        raise ValueError(
+            "with_balanced_weights: empty training set (no label rows) — "
+            "upstream mart produced no customers"
+        )
     n, k = sum(counts.values()), len(counts)
     expr = None
     for lbl, cnt in sorted(counts.items()):
@@ -179,8 +184,14 @@ def with_balanced_weights(
     return train.withColumn(weight_col, expr)
 
 
+# Behavioral features ONLY — recency is EXCLUDED, exactly as the
+# reference excludes it (`PythonAnalysis.py:277-278` builds X from
+# order_count/total_spend/avg_review/on_time/delay/tenure/... and never
+# days_since_order): recency DEFINES the label (churned = recency > 90),
+# so any transform of it — including the previous cap at the horizon,
+# where capped == 90 iff churned — makes the metrics circular (a single
+# split at 89.5 reproduces the label; r10 review finding).
 CHURN_FEATURE_COLS = [
-    "recency_days_capped",
     "frequency",
     "monetary",
     "active_span_days",
@@ -198,23 +209,28 @@ def fit_churn_model(mart: DataFrame, num_trees: int = 50, seed: int = 42):
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import VectorAssembler
 
+    from ..operators.caching import pin
+
     feats = (
         churn_features(mart)
         .withColumn("label", F.col("churned").cast("double"))
-        # recency trivially encodes the label (it defines it); cap it at
-        # the churn horizon so the model learns from behavior instead
-        .withColumn(
-            "recency_days_capped",
-            F.least(F.col("recency_days"), F.lit(CHURN_DAYS)).cast("double"),
-        )
         .na.fill(0.0)
     )
     assembler = VectorAssembler(
         inputCols=CHURN_FEATURE_COLS, outputCol="features"
     )
-    data = assembler.transform(feats).select("customer_id", "features", "label")
+    # PIN the assembled table before branching: sampleBy draws per-row
+    # in partition order, and the upstream groupBy gives no cross-
+    # re-execution order guarantee — unpinned, the >=4 downstream
+    # actions (weights collect, fit, AUC, confusion, count) could each
+    # re-sample a DIFFERENT train set, silently overlapping train and
+    # test (r10 review finding).  The pins also collapse the repeated
+    # full-pipeline recomputation those actions paid.
+    data = pin(
+        assembler.transform(feats).select("customer_id", "features", "label")
+    )
     train, test = stratified_split(data, "label", 0.7, seed)
-    train = with_balanced_weights(train, "label", "weight")
+    train = pin(with_balanced_weights(train, "label", "weight"))
     model = RandomForestClassifier(
         numTrees=num_trees,
         maxDepth=5,
@@ -222,7 +238,7 @@ def fit_churn_model(mart: DataFrame, num_trees: int = 50, seed: int = 42):
         labelCol="label",
         weightCol="weight",
     ).fit(train)
-    return model, train, model.transform(test)
+    return model, train, pin(model.transform(test))
 
 
 def churn_random_forest(
@@ -247,15 +263,26 @@ def churn_random_forest(
     # confusion-matrix aggregate over the scored test set — the AUC
     # evaluator above is the only other full pass (it needs the raw
     # scores, which a count aggregate cannot summarize)
+    # coalesce: SUM over an EMPTY scored set is NULL, and `0 - None`
+    # crashed before the n_test guard could run (r10 review finding)
     conf = pred.agg(
-        F.sum(
-            ((F.col("prediction") == 1.0) & (F.col("label") == 1.0)).cast("long")
+        F.coalesce(
+            F.sum(
+                ((F.col("prediction") == 1.0) & (F.col("label") == 1.0)).cast("long")
+            ),
+            F.lit(0),
         ).alias("tp"),
-        F.sum(
-            ((F.col("prediction") == 1.0) & (F.col("label") == 0.0)).cast("long")
+        F.coalesce(
+            F.sum(
+                ((F.col("prediction") == 1.0) & (F.col("label") == 0.0)).cast("long")
+            ),
+            F.lit(0),
         ).alias("fp"),
-        F.sum(
-            ((F.col("prediction") == 0.0) & (F.col("label") == 1.0)).cast("long")
+        F.coalesce(
+            F.sum(
+                ((F.col("prediction") == 0.0) & (F.col("label") == 1.0)).cast("long")
+            ),
+            F.lit(0),
         ).alias("fn"),
         F.count(F.lit(1)).alias("n_test"),
     ).first()
@@ -320,6 +347,18 @@ def churn_roc_points(
         vector_to_array("probability")[1].alias("score"),
         F.col("label").cast("long").alias("pos"),
     )
+    totals = scored.agg(
+        F.coalesce(F.sum("pos"), F.lit(0)).alias("p"),
+        F.coalesce(F.sum(F.lit(1) - F.col("pos")), F.lit(0)).alias("n"),
+    ).first()
+    if totals.p == 0 or totals.n == 0:
+        # single-class test set: every fpr or tpr would be NULL (x/0),
+        # silently breaking the documented curve invariants — fail
+        # informatively instead (r10 review finding)
+        raise ValueError(
+            f"ROC undefined: scored test set has {totals.p} positives "
+            f"and {totals.n} negatives (needs both classes)"
+        )
     by_score = scored.groupBy("score").agg(
         F.sum("pos").alias("n_pos"),
         F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
