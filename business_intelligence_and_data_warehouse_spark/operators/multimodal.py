@@ -99,6 +99,14 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("truncated PPM header")
         vals.append(int(payload[start:pos]))
     pos += 1  # exactly one whitespace byte separates maxval and raster
+    if not payload[pos - 1 : pos].isspace():
+        raise ValueError("missing whitespace after PPM maxval")
+    if payload[pos - 1 : pos] == b"\r" and payload[pos : pos + 1] == b"\n":
+        # text-mode (CRLF) writers: both bytes are the separator.
+        # Consuming only the \r silently shifted every pixel by one
+        # byte while all length checks still passed (r10 review
+        # finding) — corrupt means and digests with no exception.
+        pos += 1
     width, height, maxval = vals
     if width <= 0 or height <= 0:
         # zero/negative dims must land in callers' corrupt-blob path,
@@ -132,15 +140,29 @@ def decode_image(payload: bytes) -> "object":
 def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic stand-in feature extractor (streaming batches)."""
     for pdf in batches:
+        # NULL payloads (nullable binary column) take the sentinel row
+        # — the same corrupt/NULL-blob contract as the media
+        # extractors; the previous len(None) killed the whole Arrow
+        # batch (r10 review finding)
         payloads = pdf["payload"]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len).astype("int64"),
-                "digest": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                "first_byte": payloads.map(lambda b: int(b[0]) if len(b) else -1),
+                "n_bytes": payloads.map(
+                    lambda b: len(b) if b is not None else -1
+                ).astype("int64"),
+                "digest": payloads.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    if b is not None
+                    else None
+                ),
+                "first_byte": payloads.map(
+                    lambda b: int(b[0]) if b is not None and len(b) else -1
+                ),
                 "fake_label": payloads.map(
-                    lambda b: (int(b[0]) % 10) if len(b) else -1
+                    lambda b: (int(b[0]) % 10)
+                    if b is not None and len(b)
+                    else -1
                 ),
             }
         )
@@ -158,6 +180,8 @@ def _image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     means + a raster digest.  Undecodable payloads yield a (-1, -1)
     geometry row instead of failing the batch — at corpus scale a few
     corrupt blobs must never kill the stage."""
+    import numpy as np
+
     for pdf in batches:
         out = {k: [] for k in (
             "doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
@@ -166,14 +190,21 @@ def _image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for did, payload in zip(pdf["doc_id"], pdf["payload"]):
             try:
                 w, h, _maxval, raster = decode_ppm(bytes(payload))
-                px = memoryview(raster)
-                n = w * h
-                sums = [0, 0, 0]
-                for c in range(3):
-                    sums[c] = sum(px[c::3])
+                # vectorized channel means: the pure-Python strided
+                # sum cost O(3wh) interpreter additions per image in
+                # the hot mapInPandas stage (numpy is already a
+                # dependency of the sibling audio extractor).  Integer
+                # sums below 2^53 are exact in float64, so the means
+                # stay bit-identical to the exact-int division and the
+                # closed-form oracle still hash-matches.
+                means = (
+                    np.frombuffer(raster, dtype=np.uint8)
+                    .reshape(-1, 3)
+                    .mean(axis=0)
+                )
                 vals = (
                     w, h,
-                    sums[0] / n, sums[1] / n, sums[2] / n,
+                    float(means[0]), float(means[1]), float(means[2]),
                     hashlib.md5(raster).hexdigest(),
                 )
             except (ValueError, IndexError, TypeError):
@@ -233,6 +264,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, digs = [], [], []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL blob -> zero frames, not a crash
                 b = bytes(payload)
                 n_frames = (len(b) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n_frames, stride):
@@ -316,7 +349,10 @@ def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for did, payload in zip(pdf["doc_id"], pdf["payload"]):
             try:
                 nch, width, rate, n, frames = decode_wav(bytes(payload))
-                if nch != 1 or width != 2 or n == 0:
+                if nch != 1 or width != 2 or n == 0 or rate <= 0:
+                    # rate<=0: stdlib wave accepts framerate=0 headers;
+                    # the duration divide would ZeroDivisionError past
+                    # the catch tuple (r10 review finding)
                     raise ValueError("unsupported layout")
                 s = np.frombuffer(frames, dtype="<i2").astype(np.float64)
                 vals = (

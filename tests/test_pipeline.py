@@ -742,3 +742,71 @@ def test_ivf_assignment_drift_zero_without_drift_and_positive_with(
     # determinism: same index, same report
     r3 = ivf_assignment_drift(spark, drift_dir).collect()[0]
     assert (r2.n_moved, r2.drift_frac) == (r3.n_moved, r3.drift_frac)
+
+
+def test_multimodal_null_and_corrupt_blob_contract(spark):
+    """NULL payloads and corrupt headers take SENTINEL rows (or zero
+    output rows) in EVERY extractor — the r10 review found the default
+    byte extractor, the frame sampler, a framerate=0 WAV, and a
+    CRLF-separated PPM each killed the Arrow batch or silently
+    corrupted pixels instead."""
+    import hashlib
+    import struct
+
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.multimodal import (
+        AUDIO_FEATURE_SCHEMA,
+        _audio_features,
+        _image_features,
+        IMAGE_FEATURE_SCHEMA,
+        decode_ppm,
+        extract_features,
+        sample_frames,
+    )
+
+    blobs = spark.createDataFrame(
+        [(1, bytearray(b"hello")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    # default byte extractor: NULL -> sentinel row, not TypeError
+    rows = {r.doc_id: r for r in extract_features(blobs).collect()}
+    assert rows[1].n_bytes == 5
+    assert rows[2].n_bytes == -1 and rows[2].digest is None
+    # frame sampler: NULL -> zero frames for that doc
+    frames = sample_frames(blobs, frame_bytes=2, stride=1).collect()
+    assert {r.doc_id for r in frames} == {1}
+    # image extractor: NULL -> (-1,-1) sentinel geometry
+    img = {
+        r.doc_id: r
+        for r in extract_features(
+            blobs, extractor=_image_features, schema=IMAGE_FEATURE_SCHEMA
+        ).collect()
+    }
+    assert img[2].width == -1
+    # audio extractor: a WAV declaring framerate=0 decodes via stdlib
+    # wave but must sentinel, not ZeroDivisionError
+    def wav_rate0():
+        frames = struct.pack("<2h", 100, -100)
+        fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+        data = b"data" + struct.pack("<I", len(frames)) + frames
+        body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    audio = spark.createDataFrame(
+        [(1, bytearray(wav_rate0()))], "doc_id long, payload binary"
+    )
+    arow = extract_features(
+        audio, extractor=_audio_features, schema=AUDIO_FEATURE_SCHEMA
+    ).collect()[0]
+    assert arow.sample_rate == -1  # sentinel, stage survived
+    # CRLF after maxval: both bytes are the separator; the old
+    # single-byte consume returned a one-byte-shifted raster silently
+    raster = bytes(range(12))
+    crlf = b"P6\n2 2\n255\r\n" + raster
+    assert decode_ppm(crlf) == (2, 2, 255, raster)
+    # non-whitespace separator is an ERROR, not silent corruption
+    # (the tokenizer folds the junk into the maxval literal and int()
+    # raises; the explicit isspace guard covers the truncated cases)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255X" + raster)
