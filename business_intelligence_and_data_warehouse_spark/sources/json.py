@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from .csv import CORRUPT_COL
+from .csv import CORRUPT_COL, _reject_pinned_options, append_corrupt_field
 
 
 def read_jsonl(
@@ -29,11 +29,9 @@ def read_jsonl(
     **options: str,
 ) -> DataFrame:
     """Typed JSON-lines scan with a corrupt-record capture column."""
-    full_schema = T.StructType(
-        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
-    )
+    _reject_pinned_options(options, "read_jsonl")
     return (
-        spark.read.schema(full_schema)
+        spark.read.schema(append_corrupt_field(schema))
         .options(
             mode="PERMISSIVE",
             columnNameOfCorruptRecord=CORRUPT_COL,

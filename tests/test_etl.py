@@ -155,3 +155,49 @@ def test_load_table_adapts_events_ts_generations(spark, tmp_path):
         assert df.schema["ts"].simpleString() == "ts:timestamp"
         got[tag] = df.first().ts
     assert got["nanos"] == got["ntz_us"] == got["utc_us"] == when
+
+
+def test_split_corrupt_survives_release_pinned_and_rejects_pinned_options(
+    spark, tmp_path
+):
+    """The quarantine split is a CORRECTNESS materialization: after
+    release_pinned (which every registry query fires at start), the
+    clean/corrupt handles must still return the SAME split — the old
+    ledger-pinned form silently re-admitted the corrupt row on
+    recompute and crashed the corrupt-only consumer (r10 review
+    finding).  And the pinned ingest options error clearly instead of
+    TypeError-ing."""
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.caching import (
+        release_pinned,
+    )
+    from business_intelligence_and_data_warehouse_spark.sources.csv import (
+        read_csv,
+        split_corrupt,
+    )
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "in.csv")
+    with open(path, "w") as fh:
+        fh.write("id,amount\n1,10.5\n2,notanumber\n3,2.0\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    clean, bad = split_corrupt(read_csv(spark, path, schema))
+    assert sorted(r.id for r in clean.select("id").collect()) == [1, 3]
+    assert bad.count() == 1
+    release_pinned()
+    spark.catalog.clearCache()
+    # the split must NOT change and the corrupt-only read must NOT
+    # crash after the ledger released everything
+    assert sorted(r.id for r in clean.select("id").collect()) == [1, 3]
+    assert bad.count() == 1
+
+    with pytest.raises(ValueError, match="pins"):
+        read_csv(spark, path, schema, mode="FAILFAST")
+    with pytest.raises(ValueError, match="pins"):
+        read_csv(spark, path, schema, columnNameOfCorruptRecord="_x")
