@@ -143,10 +143,7 @@ def jaccard_pairs(
     max_df grows. Identical semantics, opposite — and tiny —
     broadcast side.
     """
-    if max_df is not None:
-        freq = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        stop = freq.filter(F.col("df") > max_df).select("s")
-        shingles = shingles.join(F.broadcast(stop), "s", "left_anti")
+    shingles, _stop = _df_capped(shingles, max_df)
     # The capped shingle table feeds the size aggregate AND both sides
     # of the candidate self-join. The self-join sides share one
     # exchange via ReuseExchange, but the sizes aggregate's exchange
@@ -354,9 +351,9 @@ def containment_pairs(
     C(A,B) = |A ∩ B| / min(|A|, |B|) >= threshold — the asymmetric
     near-dup signal symmetric Jaccard misses (a page quoting a whole
     short document scores J = |A|/|B| ≈ small, but C = 1.0), the
-    quote/subset detector of substring-aware curation (staged for a
-    round-7 registry entry; semantics pinned in
-    tests/test_pipeline.py meanwhile).
+    quote/subset detector of substring-aware curation (registered as
+    the oracle-checked `dedup_containment` query; semantics also
+    pinned in tests/test_pipeline.py).
 
     Output: (doc_a, doc_b, n_common, containment, jaccard) with
     doc_a < doc_b — both measures off ONE common-count join so callers
@@ -364,10 +361,7 @@ def containment_pairs(
     as :func:`jaccard_pairs` (the cap bounds the quadratic; the
     measure is exact on the capped vocabulary; integer counts ->
     exact doubles both engines)."""
-    if max_df is not None:
-        freq = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        stop = freq.filter(F.col("df") > max_df).select("s")
-        shingles = shingles.join(F.broadcast(stop), "s", "left_anti")
+    shingles, _stop = _df_capped(shingles, max_df)
     shingles = _maybe_pin(shingles, capped_storage)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
@@ -441,7 +435,19 @@ def simhash(
 def simhash_from_tokens(toks_table: DataFrame, num_bits: int = 32) -> DataFrame:
     """SimHash signatures from a pre-tokenized (doc_id, toks) table —
     the shared-tokenize entry point (:func:`simhash` wraps it for raw
-    documents)."""
+    documents).
+
+    ``num_bits`` is capped at 32: the vote bits read the high bit of
+    each md5 hex nibble through four 32-bit slices, so bits past 32
+    would read PAST the digest — conv('') -> NULL votes -> constant-
+    zero high bits, silently degenerate signatures whose downstream
+    blocking join collapses into hot buckets (r10 review finding:
+    fail loud instead)."""
+    if not 1 <= num_bits <= 32:
+        raise ValueError(
+            f"num_bits must be in [1, 32] (md5-nibble vote bits), "
+            f"got {num_bits}"
+        )
     toks = toks_table.select("doc_id", F.explode("toks").alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     # Stage the digest as a bound column so the num_bits vote
@@ -641,9 +647,17 @@ def multi_signal_dedup(
     right default: at crawl scale the re-derived subtree is
     scan-bound, the case _maybe_pin documents.
     """
+    if max_hamming > 3:
+        # the SimHash stage runs with the default 4 blocks; validate
+        # BEFORE the pins below, or the raise would leak two ledger-
+        # registered persists until the next query (r10 review finding)
+        raise ValueError(
+            "multi_signal_dedup's SimHash stage uses 4 pigeonhole "
+            f"blocks (exact for max_hamming <= 3), got {max_hamming}"
+        )
     toks = _maybe_pin(
         token_table(docs, id_col, text_col).withColumn(
-            "content_hash", F.md5(F.concat_ws(" ", "toks"))
+            "content_hash", _content_hash()
         ),
         tokens_storage,
     )
@@ -831,8 +845,14 @@ def repeated_ngram_report(
         )
         .withColumn(
             "dup_token_share",
-            F.col("covered_tokens").cast("double")
-            / F.col("n_tokens").cast("double"),
+            # same degenerate-row guard as dup_gram_share: a NULL/empty
+            # doc must report 0.0, not NULL/-0.0 (and is_substring_dup
+            # must stay boolean, never NULL)
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("covered_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "is_substring_dup", F.col("dup_token_share") >= F.lit(flag_share)
@@ -987,6 +1007,92 @@ def maximal_dup_spans(
 # exact-duplicate RESOLUTION: keep the best copy, not the first
 # ---------------------------------------------------------------------------
 
+def _content_hash() -> Column:
+    """NULL-safe content hash over the shared token array: NULL text
+    (NULL toks) hashes to NULL — never equal to anything in a join,
+    exactly like fingerprint_md5(NULL) in exact_dedup.  concat_ws
+    treats a NULL array as '' , so the unguarded form hashed NULL-text
+    docs identically to EMPTY docs and the exact tiers disagreed on
+    the same corpus (r10 review finding)."""
+    return F.when(
+        F.col("toks").isNull(), F.lit(None).cast("string")
+    ).otherwise(F.md5(F.concat_ws(" ", "toks")))
+
+
+def _df_capped(
+    shingles: DataFrame, max_df: int | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """(capped shingles, stop set or None) — THE df-cap stop-shingle
+    block (was copy-pasted at four sites; one copy means a cap change
+    cannot drift between the batch, incremental, and indexed paths)."""
+    if max_df is None:
+        return shingles, None
+    freq = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    stop = freq.filter(F.col("df") > max_df).select("s")
+    return shingles.join(F.broadcast(stop), "s", "left_anti"), stop
+
+
+def _best_near_match(
+    sh_new: DataFrame,
+    sh_ex: DataFrame,
+    sizes_new: DataFrame,
+    sizes_ex: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Per-new-doc best near-duplicate: common-shingle count join ->
+    exact-arithmetic Jaccard -> threshold -> one row per doc_id
+    (jaccard desc, match_id asc).  ONE copy shared by incremental_dedup
+    and probe_dedup_index — the registered lifecycle contract is that
+    the indexed path must not change a single verdict, so the scoring
+    pipeline must not be able to drift between them (r10 review
+    finding).  ``sizes_ex`` carries (match_id, n_ex)."""
+    common = (
+        sh_new.alias("a")
+        .join(sh_ex.alias("b"), F.col("a.s") == F.col("b.s"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("match_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        common.join(sizes_new, "doc_id")
+        .join(sizes_ex, "match_id")
+        .select(
+            "doc_id",
+            "match_id",
+            (
+                F.col("c") / (F.col("n_new") + F.col("n_ex") - F.col("c"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = W_.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _verdict_frame(exact: DataFrame, best: DataFrame) -> DataFrame:
+    """exact-tier left join + the three-way verdict projection shared
+    by the incremental and indexed classifiers."""
+    return exact.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("exact_match_id").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("match_id").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("novel"))
+        .alias("verdict"),
+        F.coalesce("exact_match_id", "match_id").alias("match_id"),
+        F.when(F.col("exact_match_id").isNull(), F.col("jaccard")).alias(
+            "jaccard"
+        ),
+    )
+
+
 def keep_best_dedup(
     docs: DataFrame,
     score: Column,
@@ -1002,6 +1108,12 @@ def keep_best_dedup(
     (ties broken by ascending source ``priority``, then id).  Output:
     (content_hash, n_copies, n_sources, kept_id, kept_priority,
     dropped_ids) where dropped_ids is a stable comma-joined list.
+
+    ``n_sources`` counts DISTINCT PRIORITY VALUES among the copies —
+    a true source count only when the caller's source → priority
+    mapping is injective; two sources that map to the same priority
+    tier count once (the registered query derives priority from the
+    source id injectively, so there it IS the source count).
 
     Scale: one shuffle on content_hash (uniform by construction); the
     rank is a window over groups whose size equals the duplicate
@@ -1099,12 +1211,10 @@ def incremental_dedup(
     toks_ex = _maybe_pin(
         token_table(existing_docs, id_col, text_col), tokens_storage
     )
-    new_h = toks_new.select(
-        "doc_id", F.md5(F.concat_ws(" ", "toks")).alias("content_hash")
-    )
+    new_h = toks_new.select("doc_id", _content_hash().alias("content_hash"))
     ex_canon = (
         toks_ex.select(
-            F.md5(F.concat_ws(" ", "toks")).alias("content_hash"),
+            _content_hash().alias("content_hash"),
             F.col("doc_id").alias("_m"),
         )
         .groupBy("content_hash")
@@ -1117,53 +1227,19 @@ def incremental_dedup(
     sh_new = shingles_from_tokens(toks_new, k)
     sh_ex = shingles_from_tokens(toks_ex, k)
     if max_df is not None:
-        freq = sh_ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        stop = freq.filter(F.col("df") > max_df).select("s")
-        sh_ex = sh_ex.join(F.broadcast(stop), "s", "left_anti")
+        # the cap is derived from the CORPUS side only (the batch must
+        # not shift the stop set), then applied to both sides
+        sh_ex, stop = _df_capped(sh_ex, max_df)
         sh_new = sh_new.join(F.broadcast(stop), "s", "left_anti")
     sh_ex = _maybe_pin(sh_ex, capped_storage)
     sizes_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
-    sizes_ex = sh_ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ex"))
-    common = (
-        sh_new.alias("a")
-        .join(sh_ex.alias("b"), F.col("a.s") == F.col("b.s"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("b.doc_id").alias("match_id"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
+    sizes_ex = (
+        sh_ex.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_ex"))
+        .withColumnRenamed("doc_id", "match_id")
     )
-    scored = (
-        common.join(sizes_new, "doc_id")
-        .join(sizes_ex.withColumnRenamed("doc_id", "match_id"), "match_id")
-        .select(
-            "doc_id",
-            "match_id",
-            (
-                F.col("c") / (F.col("n_new") + F.col("n_ex") - F.col("c"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    w = W_.partitionBy("doc_id").orderBy(
-        F.col("jaccard").desc(), F.col("match_id").asc()
-    )
-    best = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    return exact.join(best, "doc_id", "left").select(
-        "doc_id",
-        F.when(F.col("exact_match_id").isNotNull(), F.lit("exact_dup"))
-        .when(F.col("match_id").isNotNull(), F.lit("near_dup"))
-        .otherwise(F.lit("novel"))
-        .alias("verdict"),
-        F.coalesce("exact_match_id", "match_id").alias("match_id"),
-        F.when(F.col("exact_match_id").isNull(), F.col("jaccard")).alias(
-            "jaccard"
-        ),
-    )
+    best = _best_near_match(sh_new, sh_ex, sizes_new, sizes_ex, threshold)
+    return _verdict_frame(exact, best)
 
 
 def build_dedup_index(
@@ -1197,7 +1273,7 @@ def build_dedup_index(
     toks = pin(token_table(docs, id_col, text_col))
     (
         toks.select(
-            F.md5(F.concat_ws(" ", "toks")).alias("content_hash"),
+            _content_hash().alias("content_hash"),
             F.col("doc_id").alias("_m"),
         )
         .groupBy("content_hash")
@@ -1207,10 +1283,8 @@ def build_dedup_index(
     )
     sh = shingles_from_tokens(toks, k)
     if max_df is not None:
-        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        stop = freq.filter(F.col("df") > max_df).select("s")
+        sh, stop = _df_capped(sh, max_df)
         stop.write.mode("overwrite").parquet(index_dir + "/stop")
-        sh = sh.join(F.broadcast(stop), "s", "left_anti")
     else:
         stop_schema = "s string"
         docs.sparkSession.createDataFrame([], stop_schema).write.mode(
@@ -1268,9 +1342,7 @@ def probe_dedup_index(
     stop = spark.read.parquet(index_dir + "/stop")
 
     toks_new = pin(token_table(new_docs, id_col, text_col))
-    new_h = toks_new.select(
-        "doc_id", F.md5(F.concat_ws(" ", "toks")).alias("content_hash")
-    )
+    new_h = toks_new.select("doc_id", _content_hash().alias("content_hash"))
     exact = new_h.join(eh, "content_hash", "left").select(
         "doc_id", "exact_match_id"
     )
@@ -1278,43 +1350,5 @@ def probe_dedup_index(
         F.broadcast(stop), "s", "left_anti"
     )
     sizes_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
-    common = (
-        sh_new.alias("a")
-        .join(shc_ex.alias("b"), F.col("a.s") == F.col("b.s"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("b.doc_id").alias("match_id"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    scored = (
-        common.join(sizes_new, "doc_id")
-        .join(sizes_ex, "match_id")
-        .select(
-            "doc_id",
-            "match_id",
-            (
-                F.col("c") / (F.col("n_new") + F.col("n_ex") - F.col("c"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    w = W_.partitionBy("doc_id").orderBy(
-        F.col("jaccard").desc(), F.col("match_id").asc()
-    )
-    best = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    return exact.join(best, "doc_id", "left").select(
-        "doc_id",
-        F.when(F.col("exact_match_id").isNotNull(), F.lit("exact_dup"))
-        .when(F.col("match_id").isNotNull(), F.lit("near_dup"))
-        .otherwise(F.lit("novel"))
-        .alias("verdict"),
-        F.coalesce("exact_match_id", "match_id").alias("match_id"),
-        F.when(F.col("exact_match_id").isNull(), F.col("jaccard")).alias(
-            "jaccard"
-        ),
-    )
+    best = _best_near_match(sh_new, shc_ex, sizes_new, sizes_ex, threshold)
+    return _verdict_frame(exact, best)

@@ -810,3 +810,44 @@ def test_multimodal_null_and_corrupt_blob_contract(spark):
     # raises; the explicit isspace guard covers the truncated cases)
     with pytest.raises(ValueError):
         decode_ppm(b"P6\n2 2\n255X" + raster)
+
+
+def test_dedup_contract_edges_null_text_and_guards(spark):
+    """r10 review edges: a NULL-text document must NOT classify as an
+    exact duplicate of an empty document (NULL content hash joins
+    nothing — same rule as exact_dedup's NULL fingerprint); SimHash
+    rejects num_bits > 32 loudly instead of emitting silently
+    degenerate signatures; multi_signal_dedup validates max_hamming
+    BEFORE registering any pins."""
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.caching import (
+        _PINNED,
+        release_pinned,
+    )
+    from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+        incremental_dedup,
+        multi_signal_dedup,
+        simhash_near_dups,
+    )
+
+    corpus = _docs(spark, [(1, ""), (2, "real words here")])
+    batch = spark.createDataFrame(
+        [(10, None), (11, "real words here")], "doc_id long, text string"
+    )
+    verdicts = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup(batch, corpus, k=2).collect()
+    }
+    # NULL text: novel (hash NULL), NOT exact_dup of the empty doc 1
+    assert verdicts[10] == "novel"
+    assert verdicts[11] == "exact_dup"
+
+    docs = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    with pytest.raises(ValueError, match="num_bits"):
+        simhash_near_dups(docs, num_bits=64).collect()
+
+    release_pinned()
+    with pytest.raises(ValueError, match="max_hamming"):
+        multi_signal_dedup(docs, max_hamming=4)
+    assert not _PINNED, "validation must run before any pin registers"
