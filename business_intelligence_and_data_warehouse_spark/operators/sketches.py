@@ -58,6 +58,19 @@ def _hexn(h: Column, start: int, n: int) -> Column:
     return v
 
 
+def _drop_null_keys(df: DataFrame, key: Column) -> DataFrame:
+    """Filter NULL keys before hashing — the SQL-aggregate semantics
+    every sketch approximates: COUNT(DISTINCT x) and COUNT(x) ignore
+    NULLs, and ``x IN (set)`` is never TRUE for NULL.  Unfiltered,
+    md5(NULL) poisons every structure (r10 review finding): bloom
+    inserted nothing but probes returned NULL flags (false negatives
+    after a filter), CMS wrote (row, NULL) junk cells and undercounted
+    to 0, HLL grew a bucket=NULL register outside the 2^p space, and
+    NULL quantile priorities sorted FIRST under Spark (LAST in DuckDB),
+    evicting real sample rows and breaking oracle replay."""
+    return df.filter(key.isNotNull())
+
+
 def _with_hash_slices(df: DataFrame, key: Column) -> DataFrame:
     """Stage the double-hashing base ``_ha`` and odd stride ``_hb``
     (two disjoint 20-bit md5 slices) as bound columns; every probe
@@ -121,10 +134,16 @@ def _assert_sketch_params(
         meta = sketch.schema[value_col].metadata
     except (KeyError, TypeError):
         meta = None
-    if meta:
-        got = {k: meta[k] for k in expected if k in meta}
+    # tier 1 applies only when the metadata carries EVERY expected key:
+    # partial/unrelated metadata (a catalog comment, a foreign writer's
+    # keys) previously short-circuited here with got == {} and returned
+    # the sketch UNVALIDATED, skipping the parameter-column tier that
+    # would have caught the mismatch (r10 review finding)
+    if meta and all(k in meta for k in expected):
         mismatched = {
-            k: (v, expected[k]) for k, v in got.items() if v != expected[k]
+            k: (meta[k], expected[k])
+            for k in expected
+            if meta[k] != expected[k]
         }
         if mismatched:
             raise ValueError(
@@ -189,10 +208,21 @@ def sketch_geometry_report(sketch: DataFrame, bounds: dict[str, int]) -> DataFra
     for col in bounds:
         aggs.append(F.min(col).alias(f"min_{col}"))
         aggs.append(F.max(col).alias(f"max_{col}"))
+        # min/max IGNORE NULLs, so a junk NULL-indexed row would pass
+        # the range check unseen and then NULL-poison a structural
+        # probe assert — count them explicitly (r10 review finding)
+        aggs.append(
+            F.count(F.when(F.col(col).isNull(), 1)).alias(f"nulls_{col}")
+        )
     row = sketch.agg(*aggs)
     ok: Column = F.lit(True)
     for col, ub in bounds.items():
-        ok = ok & (F.col(f"min_{col}") >= 0) & (F.col(f"max_{col}") < ub)
+        ok = (
+            ok
+            & (F.col(f"min_{col}") >= 0)
+            & (F.col(f"max_{col}") < ub)
+            & (F.col(f"nulls_{col}") == 0)
+        )
     return row.withColumn("ok", ok)
 
 
@@ -225,7 +255,8 @@ def bloom_build(
     space (partial aggregation does the heavy lifting before the
     exchange).
     """
-    staged = _with_hash_slices(keys.select(F.col(key_col)), F.col(key_col))
+    clean = _drop_null_keys(keys.select(F.col(key_col)), F.col(key_col))
+    staged = _with_hash_slices(clean, F.col(key_col))
     rows = staged.select(
         F.explode(F.array(*[_pos(i, m_bits) for i in range(k)])).alias("pos")
     )
@@ -324,7 +355,8 @@ def cms_build(
     that makes this the bounded-state answer for a 100 TB stream
     where per-key exact counts would be another full-size table).
     """
-    staged = _with_hash_slices(df.select(F.col(key_col)), F.col(key_col))
+    clean = _drop_null_keys(df.select(F.col(key_col)), F.col(key_col))
+    staged = _with_hash_slices(clean, F.col(key_col))
     cells = staged.select(
         F.explode(
             F.array(
@@ -532,7 +564,8 @@ def quantile_sketch_build(
     in every engine, so no integer conversion is needed.
     """
     return (
-        df.select(
+        _drop_null_keys(df, key)
+        .select(
             # carry k with the sketch (same convention as the bloom /
             # cms build metadata): merge and estimate assert against it
             F.md5(key.cast("string")).alias("priority", metadata={"k": k}),
@@ -578,31 +611,11 @@ def quantile_sketch_quantiles(
     the value at rank max(ceil(q * n_sample), 1) of the sample ordered
     by (value, priority).  All arithmetic is IEEE multiply + ceil over
     identical inputs, so estimates replay exactly cross-engine."""
-    # ONE pass over the sketch subtree: rank and n_sample come from
-    # the same window projection (COUNT(*) OVER (), exactly what the
-    # DuckDB oracle does) — a separate count aggregate would embed the
-    # sketch's TakeOrdered scan a second time with no exchange reuse
-    w = W.orderBy("value", "priority")
-    w_all = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = sketch.select(
-        "value",
-        F.row_number().over(w).cast("long").alias("r"),
-        F.count(F.lit(1)).over(w_all).alias("n_sample"),
-    )
-    return (
-        ranked.select(
-            "value", "r", "n_sample",
-            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
-        )
-        .filter(
-            F.col("r")
-            == F.greatest(
-                F.ceil(F.col("q") * F.col("n_sample")).cast("long"),
-                F.lit(1).cast("long"),
-            )
-        )
-        .select("q", "n_sample", F.col("value").alias("est"))
-    )
+    # the grouped form with no group columns IS this computation (one
+    # window pass, same rank formula) — delegate so the ceil-rank /
+    # n_sample logic exists exactly once (the hll_registers ->
+    # hll_registers_grouped pattern)
+    return quantile_sketch_quantiles_grouped(sketch, [], qs)
 
 
 def hll_registers_grouped(
@@ -621,6 +634,7 @@ def hll_registers_grouped(
     group, exactly as the global form."""
     if p % 4 != 0:
         raise ValueError(f"p must be a multiple of 4 (hex digits), got {p}")
+    df = _drop_null_keys(df, F.col(key_col))
     key = F.col(key_col).cast("string")
     h = F.md5(key)
     staged = df.select(
@@ -676,7 +690,7 @@ def quantile_sketch_build_grouped(
     group-sized partitions.  Same key contract as the global form
     (rows sharing a key must carry equal values); the same set-
     identity merge law holds per group."""
-    staged = df.select(
+    staged = _drop_null_keys(df, key).select(
         *group_cols,
         F.md5(key.cast("string")).alias("priority", metadata={"k": k}),
         F.col(value_col).cast("double").alias("value"),
@@ -804,6 +818,37 @@ def hll_merge(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
     u = regs_a.unionByName(regs_b)
     meta_kw = {"metadata": {"p": p_known}} if p_known is not None else {}
     if "p" in u.columns:
+        # GLOBAL p agreement, not just per-colliding-bucket: with one-
+        # sided metadata the eager check passes and mostly-disjoint
+        # occupancy never collides, so a mixed 8/12-bit merge slipped
+        # through stamped with the known side's p (r10 review finding).
+        # The window is over the bounded register union (<= 2^(p+1)
+        # rows), and the known metadata is cross-checked against the
+        # column too.
+        w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        gmin = F.min("p").over(w_all.orderBy(F.lit(1)))
+        gmax = F.max("p").over(w_all.orderBy(F.lit(1)))
+        bad = (gmin != gmax) | (
+            F.lit(False)
+            if p_known is None
+            else (gmin != F.lit(p_known)) | (gmax != F.lit(p_known))
+        )
+        # the assert wraps the p column itself (a dropped helper
+        # column would be pruned away with its assert_true)
+        u = u.withColumn(
+            "p",
+            F.when(
+                F.assert_true(
+                    ~bad,
+                    F.lit(
+                        "hll_merge: register tables carry different p "
+                        "parameter columns (or disagree with the "
+                        "metadata) — different bucket spaces"
+                    ),
+                ).isNull(),
+                F.col("p"),
+            ),
+        )
         agg = u.groupBy("bucket").agg(
             F.max("max_rho").alias("max_rho", **meta_kw),
             F.min("p").alias("_pmin"),
@@ -852,6 +897,12 @@ def hll_set_ops(
     parity), so the oracle hash-matches.  Callers wanting 0.0 instead
     should COALESCE at the use site.
     """
+    from .caching import pin
+
+    # each register table feeds its own estimate AND the merge —
+    # aliased/reshaped plans get no exchange reuse, so unpinned the
+    # corpus-scale register aggregation would run twice per side
+    regs_a, regs_b = pin(regs_a), pin(regs_b)
     ea = hll_estimate(regs_a, p).select(F.col("estimate").alias("est_a"))
     eb = hll_estimate(regs_b, p).select(F.col("estimate").alias("est_b"))
     eu = hll_estimate(hll_merge(regs_a, regs_b), p).select(

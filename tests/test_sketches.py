@@ -424,3 +424,77 @@ def test_sketch_geometry_report_flags_out_of_range(spark):
     assert not bad.ok  # rows 2,3 violate a depth-2 probe
     bad2 = sketch_geometry_report(cms, {"row": 4, "col": 64}).first()
     assert not bad2.ok
+
+
+def test_sketch_null_key_and_partial_metadata_contracts(spark):
+    """r10 review edges: NULL keys are ignored at build (the SQL
+    COUNT/IN semantics the sketches approximate) instead of poisoning
+    the structures; partial/unrelated column metadata falls through to
+    the parameter-column validation tier instead of skipping
+    validation; the geometry report flags NULL-indexed junk rows."""
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.sketches import (
+        _assert_sketch_params,
+        bloom_build,
+        bloom_probe,
+        cms_build,
+        cms_estimate,
+        hll_registers,
+        quantile_sketch_build,
+        sketch_geometry_report,
+    )
+
+    keys = spark.createDataFrame(
+        [("a",), ("b",), (None,), ("a",)], "key string"
+    )
+    # bloom: the NULL key inserts nothing and no junk row exists
+    bloom = bloom_build(keys, m_bits=1 << 10, k=3)
+    assert bloom.filter(F.col("word").isNull()).count() == 0
+    probed = bloom_probe(
+        spark.createDataFrame([("a",), ("zz",)], "key string"),
+        "key", bloom, m_bits=1 << 10, k=3,
+    )
+    flags = {r.key: r.bloom_positive for r in probed.collect()}
+    assert flags["a"] is True  # no false negative
+    # cms: no NULL cells; the real keys keep never-undercount
+    cms = cms_build(keys, "key", depth=3, width=64)
+    assert cms.filter(F.col("col").isNull()).count() == 0
+    est = {
+        r.key: r.est_count
+        for r in cms_estimate(
+            spark.createDataFrame([("a",), ("b",)], "key string"),
+            "key", cms, depth=3, width=64,
+        ).collect()
+    }
+    assert est["a"] >= 2 and est["b"] >= 1
+    # hll: no NULL bucket, register table within the 2^p space
+    regs = hll_registers(keys, "key", p=8)
+    assert regs.filter(F.col("bucket").isNull()).count() == 0
+    # quantile sketch: NULL keys cannot fill the sample
+    vals = spark.createDataFrame(
+        [(None, 1.0), ("k1", 2.0), ("k2", 3.0)], "key string, v double"
+    )
+    qs = quantile_sketch_build(vals, "v", F.col("key"), k=2)
+    assert qs.filter(F.col("priority").isNull()).count() == 0
+    assert qs.count() == 2
+
+    # partial metadata must NOT skip validation: a sketch whose 'bits'
+    # metadata lost the expected keys still fails via the parameter
+    # columns when probed with the wrong geometry
+    stripped = bloom.withMetadata("bits", {"note": "not-the-params"})
+    checked = _assert_sketch_params(
+        stripped, "bits", {"m_bits": 1 << 11, "k": 3},
+        "test (wrong m_bits)",
+    )
+    with pytest.raises(Exception):  # lazy assert_true fires on action
+        checked.collect()
+
+    # geometry report: a NULL-indexed junk row flips ok to false
+    junk = bloom.unionByName(
+        spark.createDataFrame(
+            [(None, 0, 1 << 10, 3)], "word long, bits long, m_bits int, k int"
+        )
+    )
+    rep = sketch_geometry_report(junk, {"word": (1 << 10) // 32}).collect()[0]
+    assert rep.ok is False
