@@ -66,6 +66,11 @@ def pack_sequences(
         # seq_fill/n_tokens are int32 columns; a larger budget would
         # silently wrap the fill counter instead of packing wide
         raise ValueError(f"budget must be in (0, 2^31): {budget}")
+    if not (isinstance(shards, int) and shards >= 1):
+        # shards=0/-4 would silently take the UNSHARDED path (the
+        # unbounded per-task-state case the knob exists to prevent)
+        # and a float would feed fractional buckets into pmod
+        raise ValueError(f"shards must be an integer >= 1: {shards!r}")
     # group/id field types come from the input schema, not hardcoded —
     # an int source key or a string doc id must round-trip unchanged
     schema_fields = [
@@ -84,9 +89,9 @@ def pack_sequences(
         F.coalesce(F.col(tokens_col).cast("int"), F.lit(0)).alias(tokens_col),
     )
     if shards > 1:
-        slim = slim.withColumn(
-            "shard", (F.pmod(F.xxhash64(id_col), F.lit(shards))).cast("int")
-        )
+        from ..functions.hashing import hash_bucket
+
+        slim = slim.withColumn("shard", hash_bucket([id_col], shards))
         keys = [group_col, "shard"]
         schema_fields.insert(1, StructField("shard", IntegerType()))
     schema = StructType(schema_fields)
@@ -94,11 +99,27 @@ def pack_sequences(
     cap = int(budget)
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        # total order: (id, tokens) with a stable sort — with id ties
+        # alone, pandas' unstable quicksort made the visit order (and
+        # therefore every later seq_id) depend on shuffle arrival
+        # (r10 review finding); duplicate (id, tokens) rows are
+        # interchangeable, so this is fully deterministic
+        pdf = pdf.sort_values(
+            [id_col, tokens_col], kind="mergesort"
+        ).reset_index(drop=True)
         seq_ids, fills = [], []
         seq, fill, in_seq = 0, 0, 0
-        for n in pdf[tokens_col].astype("int64"):
-            n = int(n)
+        # .to_numpy().tolist(): plain ints, no per-element numpy boxing
+        # on the operator's one Python-side hot loop
+        for n in pdf[tokens_col].to_numpy().tolist():
+            if n < 0:
+                # a negative count would DECREASE the fill and emit an
+                # overfilled sequence with no error — the one input
+                # class the budget invariant cannot survive silently
+                raise ValueError(
+                    f"negative token count {n} (doc ordering key "
+                    f"{pdf[id_col].iloc[len(seq_ids)]!r})"
+                )
             # non-empty is tracked by DOC count, not fill: a
             # zero-token document still opens a sequence, matching
             # both the docstring contract and the recursive-CTE

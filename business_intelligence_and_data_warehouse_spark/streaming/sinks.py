@@ -294,9 +294,11 @@ class _BucketStore:
 
 
 def _bucket_expr(key_cols: list[str], bucket_count: int):
-    """Stable key-hash bucket assignment — deterministic across
-    batches, restarts, and engines, so a key's bucket never moves."""
-    return F.pmod(F.xxhash64(*key_cols), F.lit(bucket_count)).cast("int")
+    """Stable key-hash bucket assignment — see functions/hashing
+    (the one shared copy of the bucket contract)."""
+    from ..functions.hashing import hash_bucket
+
+    return hash_bucket(key_cols, bucket_count)
 
 
 # Per-batch instrumentation hook (tools/stream_bench.py): when set to a

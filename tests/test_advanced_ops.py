@@ -224,3 +224,49 @@ def test_pack_int_group_and_null_tokens(spark):
     # 100 + 150 > budget: doc 2 opens sequence 1
     assert got[2] == (7, 1, 150)
     assert got[3] == (8, 0, 0)
+
+
+def test_pack_sequences_guards_and_tie_determinism(spark):
+    """r10 review edges: negative token counts fail loud (they would
+    silently overfill a sequence), shards is validated, and colliding
+    ordering keys pack deterministically (total (id, tokens) order)
+    regardless of input arrival order."""
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    neg = spark.createDataFrame(
+        [("s", 1, 180), ("s", 2, -100)], "src string, doc_id int, n int"
+    )
+    with pytest.raises(Exception, match="negative token count"):
+        pack_sequences(
+            neg, budget=200, group_col="src", id_col="doc_id", tokens_col="n"
+        ).collect()
+
+    ok = spark.createDataFrame(
+        [("s", 1, 10)], "src string, doc_id int, n int"
+    )
+    with pytest.raises(ValueError, match="shards"):
+        pack_sequences(
+            ok, budget=200, group_col="src", id_col="doc_id",
+            tokens_col="n", shards=0,
+        )
+
+    # id collision: both arrival orders must produce the same packing
+    rows = [("s", 1, 150), ("s", 1, 100), ("s", 2, 60)]
+    for perm in (rows, rows[::-1]):
+        df = spark.createDataFrame(
+            perm, "src string, doc_id int, n int"
+        ).repartition(3)
+        out = sorted(
+            (r.doc_id, r.n, r.seq_id, r.seq_fill)
+            for r in pack_sequences(
+                df, budget=200, group_col="src", id_col="doc_id",
+                tokens_col="n",
+            ).collect()
+        )
+        # total order visits (1,100),(1,150),(2,60): 150+60 > 200 so
+        # the last doc opens its own sequence
+        assert out == [(1, 100, 0, 100), (1, 150, 1, 150), (2, 60, 2, 60)]
