@@ -55,7 +55,13 @@ def lang_pred_from_hits(hit_cols: dict[str, Column]) -> tuple[Column, Column]:
         chain = branch if chain is None else chain.when(
             hit_cols[lang] == max_hits, F.lit(lang)
         )
-    pred = F.when(max_hits == 0, F.lit("und")).otherwise(chain)
+    # <= 0 with a NULL coalesce, not == 0: NULL text yields NULL (or
+    # legacy -1) hit counts, and the == 0 guard then fell through to
+    # the CASE chain, labelling NULL documents as the first sorted
+    # language instead of 'und' (r10 review finding)
+    pred = F.when(
+        F.coalesce(max_hits, F.lit(0)) <= 0, F.lit("und")
+    ).otherwise(chain)
     return pred, max_hits
 
 

@@ -82,6 +82,14 @@ def flag_stages(
     document itself) are PROJECTED OUT before that window, so the
     exchange carries text + a hash + scalars, not 3x the corpus
     bytes."""
+    if target_lang not in LANG_MARKERS:
+        # lang_pred can only ever be a LANG_MARKERS key or 'und', so an
+        # unsupported/typo'd target silently produced an EMPTY curated
+        # corpus with no error (r10 review finding)
+        raise ValueError(
+            f"target_lang {target_lang!r} is not detectable; supported: "
+            f"{sorted(LANG_MARKERS)}"
+        )
     langs = sorted(LANG_MARKERS)
     toked = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -101,7 +109,14 @@ def flag_stages(
         {lang: F.col(f"hits_{lang}") for lang in langs}
     )
     n = F.greatest(F.size("toks"), F.lit(1))
-    stop_ratio = F.size(F.filter(F.col("toks"), lambda t: t.isin(*EN_STOPWORDS))) * 1.0 / n
+    # the stopword-ratio quality term uses the TARGET language's list:
+    # hardwired EN stopwords deflated quality ~0.1-0.2 for every
+    # non-English target (Portuguese text contains almost no English
+    # stopwords), failing borderline legitimate docs (r10 review
+    # finding).  'en' keeps the richer EN_STOPWORDS list (the oracled
+    # default); other targets use their marker vocabulary.
+    stop_set = EN_STOPWORDS if target_lang == "en" else LANG_MARKERS[target_lang]
+    stop_ratio = F.size(F.filter(F.col("toks"), lambda t: t.isin(*stop_set))) * 1.0 / n
     uniq = F.size(F.array_distinct(F.col("toks"))) * 1.0 / n
     punct = punct_ratio(F.col("text"))
     base = (
@@ -127,7 +142,13 @@ def flag_stages(
     )
     # exact dedup among quality survivors: keep the min surviving
     # doc_id per content hash — one window over the hash shuffle, no
-    # second scan
+    # second scan.  PRECONDITION: doc ids are unique (a double-loaded
+    # id would tie with itself and both rows would pass).  Scale note:
+    # the window partitions on content_h over ALL rows of a hash
+    # (including quality failures), so a corpus with millions of
+    # identical junk documents funnels them into one partition —
+    # boilerplate-strip upstream, or pre-aggregate min-id per hash
+    # among survivors and join back, when that shape appears.
     kept = F.min(F.when(F.col("pass_quality"), F.col("doc_id"))).over(
         W.partitionBy(F.col("content_h"))
     )
@@ -145,6 +166,9 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     survivor_storage: str | None = None,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline; returns (curated, funnel).
 
@@ -172,11 +196,17 @@ def curate_corpus(
         from .caching import pin
 
         survivors = pin(survivors, getattr(StorageLevel, survivor_storage))
+    # LSH geometry travels WITH the threshold: at (b=4, r=2) the
+    # candidate probability is 1-(1-J^r)^b ~= 68% at J=0.5 and only
+    # ~31% at J=0.3 — misses are DETERMINISTIC (fixed md5
+    # permutations), so a caller lowering the threshold must widen
+    # bands/rows too; the knobs are exposed for exactly that
+    # (r10 review finding)
     pairs = minhash_lsh_dedup(
         survivors.select("doc_id", "text"),
-        k=3,
-        bands=4,
-        rows_per_band=2,
+        k=k,
+        bands=bands,
+        rows_per_band=rows_per_band,
         threshold=jaccard_threshold,
     )
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
@@ -188,9 +218,17 @@ def curate_corpus(
     )
     stage_counts = flagged.agg(
         F.count(F.lit(1)).alias("n0"),
-        F.sum(F.col("pass_lang").cast("long")).alias("n1"),
-        F.sum(F.col("pass_quality").cast("long")).alias("n2"),
-        F.sum(F.col("pass_exact").cast("long")).alias("n3"),
+        # coalesce: SUM over an EMPTY corpus is NULL while COUNT is 0,
+        # which broke the (stage, n_docs) count contract on stages 1-3
+        F.coalesce(
+            F.sum(F.col("pass_lang").cast("long")), F.lit(0)
+        ).alias("n1"),
+        F.coalesce(
+            F.sum(F.col("pass_quality").cast("long")), F.lit(0)
+        ).alias("n2"),
+        F.coalesce(
+            F.sum(F.col("pass_exact").cast("long")), F.lit(0)
+        ).alias("n3"),
     )
     final_count = curated.agg(F.count(F.lit(1)).alias("n4"))
     # two 1-row aggregates -> scalar cross join (broadcast, no shuffle)

@@ -62,3 +62,43 @@ def test_curate_keeps_min_id_and_funnel_adds_up(spark):
     # funnel is monotone non-increasing in stage order
     ordered = [stages[s] for s in sorted(stages)]
     assert ordered == sorted(ordered, reverse=True)
+
+
+def test_curation_edge_contracts(spark):
+    """r10 review edges: NULL text predicts 'und' (not the first
+    sorted language); an unsupported target_lang fails fast instead of
+    silently curating nothing; an empty corpus reports 0 (not NULL)
+    at every funnel stage; non-English targets score stopwords in
+    their own language."""
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.curation import (
+        curate_corpus,
+        flag_stages,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the of and to a in is it you that " * 4)],
+        "doc_id long, text string",
+    )
+    flags = {r.doc_id: r for r in flag_stages(docs).collect()}
+    assert flags[1].lang_pred == "und"
+    assert flags[2].lang_pred == "en"
+
+    with pytest.raises(ValueError, match="target_lang"):
+        curate_corpus(docs, target_lang="it")
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    _curated, funnel = curate_corpus(empty)
+    counts = {r.stage: r.n_docs for r in funnel.collect()}
+    assert all(v == 0 for v in counts.values()), counts
+
+    # Portuguese text must not be quality-penalized by EN stopwords:
+    # same structure, target-language stopwords present
+    pt = spark.createDataFrame(
+        [(1, "de a o que e do da em um para com uma os no " * 4)],
+        "doc_id long, text string",
+    )
+    q_en_target = flag_stages(pt, target_lang="en").collect()[0].quality
+    q_pt_target = flag_stages(pt, target_lang="pt").collect()[0].quality
+    assert q_pt_target > q_en_target
