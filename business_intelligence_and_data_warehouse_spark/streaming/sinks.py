@@ -1057,6 +1057,16 @@ def run_ann_ingest_stream(
     operators.similarity.compact_ivf_index (the vid-level dedup
     compact; regression-tested in tests/test_pipeline.py)
     or rebuild the index after changing batching knobs.
+
+    MIGRATION (pre-r10 indexes): the label format changed in r10 from
+    12-hex ``xxhash64(id)`` to 16-hex ``xxhash64(id, vector)``-plus-
+    count.  A checkpointed stream resumed against an index written
+    under the OLD format computes a new-format label on redelivery of
+    an already-applied batch and APPENDS duplicate vids instead of
+    overwriting the old partitions.  Before resuming such a stream,
+    either rebuild the index or run compact_ivf_index once (it is
+    idempotent and keeps the latest row per vid, so running it after
+    the first resumed batch also heals the duplicates).
     This sink is
     the one streaming write in the engine whose state is
     APPEND-STRUCTURED: an inverted file grows by whole cells-worth of

@@ -241,12 +241,12 @@ def test_compact_ivf_index_dedups_rebatched_redelivery(spark, tmp_path):
     vids land twice — here vid 3 is redelivered under a new label with
     a CHANGED vector, so its two copies sit in different cells.
     compact_ivf_index must leave exactly one row per vid — the
-    LATEST-WRITTEN load wins, recovered from file mtimes, because
-    content-digest labels carry no delivery-order meaning (the
-    redelivered label here is lexicographically SMALLER than the
-    first delivery's, so a label-order pick would keep the stale
-    vector) — keep the cvid partition layout probes prune on, and be
-    idempotent."""
+    LATEST-DELIVERED load wins, by the explicit append sequence
+    (loads.json), because content-digest labels carry no
+    delivery-order meaning (the redelivered label here is
+    lexicographically SMALLER than the first delivery's, so a
+    label-order pick would keep the stale vector) — keep the cvid
+    partition layout probes prune on, and be idempotent."""
     from business_intelligence_and_data_warehouse_spark.operators.similarity import (
         build_ivf_index,
         compact_ivf_index,
@@ -301,6 +301,83 @@ def test_compact_ivf_index_dedups_rebatched_redelivery(spark, tmp_path):
     # idempotent: a second compaction is a no-op on row counts
     b2, a2 = compact_ivf_index(spark, index_dir)
     assert (b2, a2) == (12, 12)
+
+
+def test_compact_ivf_index_orders_by_append_sequence_not_mtime(
+    spark, tmp_path
+):
+    """r10 advisor finding: delivery order was recovered from parquet
+    file mtimes, which any copy/restore path that drops mtimes (rsync
+    without -t, tar/object-store round trips) silently reorders —
+    flipping the per-vid compaction winner toward a stale vector.
+    Mangle the mtimes here (the FIRST load's files made newest on
+    disk): compaction must still keep the LATER-APPENDED vector,
+    because the explicit append sequence (loads.json) outranks mtime.
+    Deleting loads.json (a pre-r11 index) falls back to mtime order
+    and keeps the mangled winner — the documented legacy behavior."""
+    import os
+    import time as _time
+
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_append,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.02 * i, 0.0]) for i in range(6, 9)]
+        + [(i, [0.02 * (i - 9), 1.0, 0.0]) for i in range(9, 12)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def mangle_first_load_newest(index_dir: str) -> None:
+        future = _time.time() + 3600
+        for dirpath, _dirs, files in os.walk(index_dir + "/cells"):
+            if os.path.basename(dirpath) == "src=first":
+                for f in files:
+                    os.utime(os.path.join(dirpath, f), (future, future))
+
+    def build_with_conflict(index_dir: str) -> None:
+        build_ivf_index(base, index_dir, centroid_stride=2)
+        ivf_index_append(
+            spark,
+            index_dir,
+            spark.createDataFrame(
+                [(3, [1.0, 0.06, 0.0])], "vec_id long, embedding array<float>"
+            ),
+            src="first",
+        )
+        ivf_index_append(
+            spark,
+            index_dir,
+            spark.createDataFrame(
+                [(3, [0.0, 1.0, 0.0])], "vec_id long, embedding array<float>"
+            ),
+            src="second",
+        )
+        mangle_first_load_newest(index_dir)
+
+    # sequence present: the later APPEND wins despite older-on-disk
+    idx = str(tmp_path / "seq")
+    build_with_conflict(idx)
+    before, after = compact_ivf_index(spark, idx)
+    assert (before, after) == (8, 7)
+    kept = spark.read.parquet(idx + "/cells").filter("vid = 3").collect()
+    assert len(kept) == 1 and abs(kept[0].vec[1]) > abs(kept[0].vec[0])
+    # ...and the sequence file is re-based for future appends
+    import json
+
+    with open(idx + "/loads.json", encoding="utf-8") as fh:
+        assert json.load(fh) == {"base": 0}
+
+    # legacy index (no loads.json): mtime fallback keeps the mangled
+    # "newest" load — exactly the pre-r11 behavior, still deterministic
+    idx2 = str(tmp_path / "legacy")
+    build_with_conflict(idx2)
+    os.remove(idx2 + "/loads.json")
+    compact_ivf_index(spark, idx2)
+    kept2 = spark.read.parquet(idx2 + "/cells").filter("vid = 3").collect()
+    assert len(kept2) == 1 and abs(kept2[0].vec[0]) > abs(kept2[0].vec[1])
 
 
 def test_lsh_key_bits_integer_sizing():
@@ -810,6 +887,18 @@ def test_multimodal_null_and_corrupt_blob_contract(spark):
     # raises; the explicit isspace guard covers the truncated cases)
     with pytest.raises(ValueError):
         decode_ppm(b"P6\n2 2\n255X" + raster)
+    # r10 advisor finding: a bare-\r writer whose raster genuinely
+    # starts with 0x0A is also a valid P6 — the CRLF consume must not
+    # eat the first pixel byte.  The two readings differ by one byte,
+    # so the exact raster-length check arbitrates: here only the
+    # single-byte separator yields a complete raster.
+    raster_0a = bytes([0x0A]) + bytes(range(11))
+    bare_cr = b"P6\n2 2\n255\r" + raster_0a
+    assert decode_ppm(bare_cr) == (2, 2, 255, raster_0a)
+    # and a CRLF writer of the SAME raster still decodes correctly
+    # (payload is one byte longer, so the \n is part of the separator)
+    crlf_0a = b"P6\n2 2\n255\r\n" + raster_0a
+    assert decode_ppm(crlf_0a) == (2, 2, 255, raster_0a)
 
 
 def test_dedup_contract_edges_null_text_and_guards(spark):

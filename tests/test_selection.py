@@ -421,6 +421,66 @@ def test_pq_codes_are_nearest_codebook_entries(spark):
     assert {r.neighbor_id for r in out} == {0, 2, 3}
 
 
+def test_artifact_memo_keys_are_content_aware(spark):
+    """r10 advisor finding / verdict item 3: the artifact-memo keys
+    were (applicationId, tag, params) only — a same-tag call against a
+    DIFFERENT corpus (filtered, or rewritten in place under the same
+    ids) silently served stale codes/centroids for the rest of the
+    process.  The key now folds in a bit_xor(xxhash64(id, vec))
+    content fingerprint, so an in-place embedding rewrite under the
+    SAME tag and SAME ids must re-encode/retrain, not replay."""
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        pq_topk,
+        train_ivf_centroids,
+        trained_centroids_cached,
+    )
+
+    rows_a = [
+        (i, [float((i * 3 + j * 5) % 11) for j in range(8)])
+        for i in range(12)
+    ]
+    # the "rewritten corpus": same ids, different embedding values
+    rows_b = [
+        (i, [float((i * 7 + j * 2) % 13) for j in range(8)])
+        for i in range(12)
+    ]
+    va, vb = _vecs(spark, rows_a), _vecs(spark, rows_b)
+    tag = "memo-staleness-regression"
+
+    # populate the PQ codes memo with corpus A under the tag ...
+    pq_topk(
+        va, va.filter(F.col("vec_id") == 0), k=5, dim=8,
+        num_subspaces=2, centroid_stride=1, codes_tag=tag,
+    ).collect()
+    # ... then query corpus B under the SAME tag: results must equal
+    # the un-memoized (tag-free) encode of B, not A's stale codes
+    probe_b = vb.filter(F.col("vec_id") == 0)
+    got = sorted(
+        (r.neighbor_id, r.approx_dist)
+        for r in pq_topk(
+            vb, probe_b, k=5, dim=8, num_subspaces=2,
+            centroid_stride=1, codes_tag=tag,
+        ).collect()
+    )
+    want = sorted(
+        (r.neighbor_id, r.approx_dist)
+        for r in pq_topk(
+            vb, probe_b, k=5, dim=8, num_subspaces=2, centroid_stride=1,
+        ).collect()
+    )
+    assert got == want
+
+    # same contract for the trained-centroid memo
+    ca = trained_centroids_cached(va, tag=tag, iters=1)
+    cb = trained_centroids_cached(vb, tag=tag, iters=1)
+    fresh_b = train_ivf_centroids(vb, iters=1)
+    as_set = lambda df: {  # noqa: E731
+        (r.vid, tuple(r.vec)) for r in df.collect()
+    }
+    assert as_set(cb) == as_set(fresh_b)
+    assert as_set(ca) != as_set(cb)
+
+
 def test_pq_rejects_indivisible_dim(spark):
     from business_intelligence_and_data_warehouse_spark.operators.similarity import (
         pq_topk,
