@@ -922,7 +922,12 @@ def ivf_topk_trained(
     costs a large cell fraction HERE, while clustered production
     embeddings concentrate neighbors in few cells and need far
     smaller fractions.  The knob is the contract; the curve is the
-    evidence."""
+    evidence.  Multi-decade proof (SCALE.md round-11 nprobe study,
+    tools/nprobe_recall_study.py): on the uniform ramp corpus the
+    ~0.7 fraction stays necessary to N=60k (recall at frac 0.35 never
+    exceeds 0.87), while on a 256-cluster corpus the SAME engine holds
+    recall 0.93+ with a FIXED nprobe=8 as N grows 30x — candidates
+    O(sqrt N), the production scale path."""
     from .caching import pin
 
     n = vectors.count()

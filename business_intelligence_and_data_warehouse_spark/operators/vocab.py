@@ -301,6 +301,15 @@ def bpe_train(
         work = work.withColumn(
             "w", F.replace(F.col("w"), F.lit(a + b), F.lit(new))
         )
+        if rank % 64 == 0:
+            # truncate lineage: each merge stacks one `replace` onto
+            # the plan, and past a few hundred ranks analysis time per
+            # iteration (and eventually the driver's plan tree) blows
+            # up — the standard iterative-algorithm checkpoint.  The
+            # table is vocabulary-sized, so materializing it is cheap
+            # (this is what makes the r11 distributed-depth equality
+            # pin vs bpe_train_local runnable at 3k+ ranks).
+            work = work.localCheckpoint(eager=True)
     return merges, work
 
 

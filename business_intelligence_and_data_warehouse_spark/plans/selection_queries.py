@@ -721,7 +721,16 @@ def sim_ann_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the recall-targeted ceil(0.7·√N) probe budget, and the
     bounded 256-entry codebook — every knob sized so no pass exceeds
     O(N^1.5).  The scaling-probe stride-cell sim_ann_ivfpq stays
-    registered for the ramp and oracle-history comparability."""
+    registered for the ramp and oracle-history comparability.
+
+    Ramp-exponent note (r11): with the 0.7·√N budget this query's ADC
+    candidate width is ~0.7·N per probe, so its fixed-panel exponent
+    tends toward 1.0 BY CONSTRUCTION on the uniform ramp corpus —
+    measured as inherent to that corpus at the 0.9+ recall bar, not a
+    plan defect (SCALE.md round-11 nprobe study: uniform data needs
+    the ~0.7 cell fraction at every N; clustered data holds recall
+    0.93+ at FIXED nprobe=8, candidates O(√N) — the production
+    setting on real embeddings)."""
     import math
 
     from ..operators.similarity import ivf_pq_topk

@@ -488,6 +488,64 @@ def test_bpe_local_trainer_matches_distributed(spark):
     )
 
 
+def test_bpe_distributed_equals_local_at_ramp_depth(spark):
+    """VERDICT r10 item 2: the oracle ladder validates BPE training to
+    sf0.01 exhaustion (~89 merges); ranks beyond that rested on
+    shallow property tests.  This pin trains BOTH trainers to full
+    vocabulary exhaustion on a ramp corpus (x100: 3,273 merges) and
+    asserts the merge lists are identical rank-by-rank — same pairs,
+    same symbols, same counts — plus identical final encodings.
+
+    Ramp-marked: needs the multi-GB `.scaleramp` corpora and ~10 min
+    of distributed per-merge jobs, so it only runs when
+    SPARK_GRAFT_RAMP_TESTS=1 (dir/budget overridable via
+    SPARK_GRAFT_BPE_RAMP_DIR / _BUDGET).  The measured run is recorded
+    in SCALE.md (round-11 BPE depth-equality row)."""
+    import os
+    import time
+
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        bpe_train,
+        bpe_train_local,
+        word_frequencies,
+    )
+
+    if not os.environ.get("SPARK_GRAFT_RAMP_TESTS"):
+        pytest.skip("ramp-scale pin; set SPARK_GRAFT_RAMP_TESTS=1 to run")
+    ramp = os.environ.get(
+        "SPARK_GRAFT_BPE_RAMP_DIR", "/root/repo/.scaleramp/x100"
+    )
+    if not os.path.isdir(ramp):
+        pytest.skip(f"ramp corpus missing: {ramp} (tools/scale_ramp.py gen)")
+    budget = int(os.environ.get("SPARK_GRAFT_BPE_RAMP_BUDGET", "32000"))
+    docs = spark.read.parquet(os.path.join(ramp, "documents.parquet"))
+    wf = word_frequencies(docs)
+
+    t0 = time.perf_counter()
+    loc_merges, loc_words = bpe_train_local(wf, budget, symbol_offset=6350)
+    t_loc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dist_merges, dist_words = bpe_train(wf, budget, symbol_offset=6350)
+    t_dist = time.perf_counter() - t0
+
+    depth = len(loc_merges)
+    assert depth >= 1000, f"corpus exhausted at {depth} < 1000 ranks"
+    # rank-by-rank: first divergence (if any) reported precisely
+    for r_loc, r_dist in zip(loc_merges, dist_merges):
+        assert r_loc == r_dist, f"diverged at rank {r_loc[0]}: {r_loc} != {r_dist}"
+    assert len(dist_merges) == depth
+    assert (
+        {r.w0: r.w for r in loc_words.collect()}
+        == {r.w0: r.w for r in dist_words.collect()}
+    )
+    print(
+        f"BPE depth-equality: {depth} ranks identical "
+        f"(local {t_loc:.1f}s, distributed {t_dist:.1f}s)"
+    )
+
+
 def test_bpe_supplementary_symbols_cross_engine(spark):
     """Symbol allocation straddling the BMP -> plane-15 boundary
     (offset 6,398: ranks 1-2 take the last BMP PUA codepoints, ranks
