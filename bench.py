@@ -148,6 +148,11 @@ HEADLINE = [
     # 10-bit-key sim_ann_lsh above is the measured-quadratic ramp
     # subject it replaces in production)
     "sim_ann_lsh_sized",
+    # r11: the full FAISS serving shape — ADC shortlist, exact rerank
+    # of 3k candidates; shares the memoized family encode, so its
+    # timing isolates the rerank stage's marginal cost over
+    # sim_ann_ivfpq_fixed
+    "sim_ann_ivfpq_rerank",
 ]
 
 

@@ -171,6 +171,44 @@ def cosine_pairs(
     )
 
 
+def clustered_corpus(
+    ids: DataFrame,
+    dim: int = 16,
+    centers: int = 32,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic CLUSTERED embedding corpus derived arithmetically
+    from an id column — the structure real text/image embeddings have
+    (neighbors concentrate in few directions), as opposed to the
+    testdata's uniform-sphere vectors, which are the IVF worst case
+    (SCALE.md round-11 nprobe study: uniform 64-dim data needs a ~0.7
+    cell fraction for recall ≥0.9 at every N; clustered data holds
+    0.93+ at a FIXED nprobe).
+
+    Closed form so a SQL oracle regenerates it bit-identically (the
+    hyperplane-family discipline — integer arithmetic through the
+    prime 1013, one exact double division at the end, no RNG state):
+
+    * center(vid)   = (vid·2654435761) % 1013 % centers
+    * ccomp(c, pos) = ((c·40503 + pos·69069 + 17) % 1013) − 506
+    * ncomp(vid, pos) = ((vid·97 + pos·31 + 7) % 151) − 75
+    * component     = (ccomp·7 + ncomp·30) / 1000.0  (exact: int → double)
+
+    The center term spans ±3.5 per coordinate with the noise term at
+    ±2.25 (64% of the center scale — substantial): clusters stay
+    clusters because identity, not tightness, is what separates them
+    in cosine space.  Returns (id_col, embedding array<double>); double,
+    not float, because the oracle's regenerated values must match to
+    the bit and a float round-trip would not."""
+    c = (F.col(id_col) * F.lit(2654435761)) % 1013 % centers
+    comps = []
+    for pos in range(dim):
+        ccomp = (c * 40503 + pos * 69069 + 17) % 1013 - 506
+        ncomp = (F.col(id_col) * 97 + pos * 31 + 7) % 151 - 75
+        comps.append((ccomp * 7 + ncomp * 30).cast("double") / F.lit(1000.0))
+    return ids.select(F.col(id_col), F.array(*comps).alias("embedding"))
+
+
 def cosine_for_pairs(
     pairs: DataFrame,
     vectors: DataFrame,

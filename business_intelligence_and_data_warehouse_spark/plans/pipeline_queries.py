@@ -1066,11 +1066,19 @@ c{i + 1} AS (
 )"""
 
 
-def _o_ivf_trained_cand(probe_pred: str, corpus_pred: str = "TRUE") -> str:
+def _o_ivf_trained_cand(
+    probe_pred: str,
+    corpus_pred: str = "TRUE",
+    nprobe_sql: str = "(SELECT nprobe FROM par)",
+) -> str:
     """CTE chain replaying the trained quantizer end-to-end — ≈√N
     strided seeds, _IVF_ITERS Lloyd rounds, final assignment, probe
     cells sized ceil(_NPROBE_FRAC·√N), candidate pairs. ``el``/``nrm``
     must be in scope (the shared _O_ELEMENTS prologue).
+
+    ``nprobe_sql`` overrides the size-derived probe budget with a SQL
+    expression (e.g. a fixed literal for the clustered-corpus serving
+    form, where a constant nprobe holds recall — SCALE.md r11 study).
 
     ``corpus_pred`` (over ``vid``) restricts the TRAINING corpus —
     seeds, Lloyd assignments, mean updates, and the N that sizes
@@ -1126,7 +1134,7 @@ assign AS (
 pcells AS (
   SELECT vid AS qid, cvid FROM fcos WHERE {probe_pred}
   QUALIFY row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cvid)
-    <= (SELECT nprobe FROM par)
+    <= {nprobe_sql}
 ),
 cand AS (
   SELECT DISTINCT p.qid, a.vid AS cid
@@ -1423,6 +1431,144 @@ def sim_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     ).select(exact.query_id, exact.neighbor_id, "_hit_id")
     return joined.agg(
+        F.countDistinct("query_id").alias("n_probes"),
+        F.lit(_IVF_K).cast("int").alias("k"),
+        F.count("_hit_id").alias("n_hits"),
+        F.count(F.lit(1)).alias("n_expected"),
+        (F.count("_hit_id") * F.lit(1.0) / F.count(F.lit(1))).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+# deterministic clustered corpus (operators/similarity.clustered_corpus
+# — integer arithmetic through prime 1013, one exact double division),
+# regenerated bit-identically by the oracle from the embeddings ids
+_CLUSTERED_DIM, _CLUSTERED_CENTERS, _CLUSTERED_NPROBE = 16, 32, 8
+
+_O_CLUSTERED_EL = f"""
+ids AS (SELECT vec_id AS vid FROM embeddings),
+poss AS (SELECT range AS pos FROM range({_CLUSTERED_DIM})),
+el AS (
+  SELECT vid, pos,
+         CAST((((((vid * 2654435761) % 1013) % {_CLUSTERED_CENTERS})
+                 * 40503 + pos * 69069 + 17) % 1013 - 506) * 7
+              + (((vid * 97 + pos * 31 + 7) % 151) - 75) * 30 AS DOUBLE)
+           / 1000.0e0 AS val
+  FROM ids, poss
+),
+nrm AS (
+  SELECT vid,
+         sqrt(CAST(SUM(CAST(FLOOR(val * val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+           AS norm
+  FROM el GROUP BY 1
+)
+"""
+
+
+@query_fn(
+    "sim_ann_clustered_recall",
+    oracle=f"""
+WITH {_O_CLUSTERED_EL.strip()},
+pel AS (SELECT * FROM el WHERE {_O_PANEL_PRED}),
+bdots AS (
+  SELECT p.vid AS qid, c.vid AS cid,
+         CAST(SUM(CAST(FLOOR(p.val * c.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM pel p JOIN el c ON p.pos = c.pos
+  GROUP BY 1, 2
+),
+bcos AS (
+  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+  FROM bdots
+  JOIN nrm nq ON nq.vid = qid
+  JOIN nrm nc ON nc.vid = cid
+  WHERE qid != cid
+),
+bt AS (
+  SELECT qid, cid FROM bcos
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+    <= {_IVF_K}
+),
+{_o_ivf_trained_cand(_O_PANEL_PRED, nprobe_sql=str(_CLUSTERED_NPROBE)).strip()},
+vdots AS (
+  SELECT cand.qid, cand.cid,
+         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM cand
+  JOIN el a ON a.vid = cand.qid
+  JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
+  GROUP BY 1, 2
+),
+vcos AS (
+  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+  FROM vdots
+  JOIN nrm nq ON nq.vid = qid
+  JOIN nrm nc ON nc.vid = cid
+),
+it AS (
+  SELECT qid, cid FROM vcos
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+    <= {_IVF_K}
+)
+SELECT CAST((SELECT COUNT(*) FROM ids) AS BIGINT) AS n_vectors,
+       CAST(FLOOR(SQRT(CAST((SELECT COUNT(*) FROM ids) AS DOUBLE)))
+            AS BIGINT) AS n_cells,
+       CAST({_CLUSTERED_NPROBE} AS INTEGER) AS nprobe,
+       CAST(COUNT(DISTINCT bt.qid) AS BIGINT) AS n_probes,
+       CAST({_IVF_K} AS INTEGER) AS k,
+       CAST(COUNT(it.cid) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS BIGINT) AS n_expected,
+       COUNT(it.cid) * 1.0e0 / COUNT(*) AS recall_at_k
+FROM bt LEFT JOIN it ON it.qid = bt.qid AND it.cid = bt.cid
+""",
+)
+def sim_ann_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r11 nprobe study's clustered-data claim as an ORACLE-GATED
+    registry entry: on a deterministic 32-cluster corpus (derived
+    arithmetically from the embeddings ids —
+    operators/similarity.clustered_corpus), the trained √N-cell IVF
+    holds high recall@10 at a FIXED nprobe=8
+    regardless of corpus size, so candidates/probe is O(√N) — the
+    production serving shape on real (structured) embeddings, vs the
+    uniform testdata corpus where honest recall needs a ~0.7 cell
+    fraction (see sim_ann_recall_trained and SCALE.md round 11).
+
+    The oracle regenerates the corpus bit-identically (integer
+    arithmetic + one exact double division), replays Lloyd training,
+    fixed-panel probing at the constant budget, and the brute-force
+    baseline, then hash-checks the recall summary — recall itself is
+    driver-verified, not just tool-measured."""
+    import math
+
+    from ..operators.similarity import (
+        brute_force_topk,
+        clustered_corpus,
+        ivf_topk_trained,
+    )
+
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    emb = clustered_corpus(
+        ids, dim=_CLUSTERED_DIM, centers=_CLUSTERED_CENTERS
+    )
+    n = table_count(spark, sf_dir, "embeddings")
+    probes = emb.filter(_panel_filter())
+    exact = brute_force_topk(emb, probes, k=_IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk_trained(
+        emb, probes, k=_IVF_K, iters=_IVF_ITERS, nprobe=_CLUSTERED_NPROBE
+    ).select("query_id", F.col("neighbor_id").alias("_hit_id"))
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx._hit_id),
+        "left",
+    ).select(exact.query_id, exact.neighbor_id, "_hit_id")
+    return joined.agg(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.lit(math.floor(math.sqrt(n))).cast("long").alias("n_cells"),
+        F.lit(_CLUSTERED_NPROBE).cast("int").alias("nprobe"),
         F.countDistinct("query_id").alias("n_probes"),
         F.lit(_IVF_K).cast("int").alias("k"),
         F.count("_hit_id").alias("n_hits"),

@@ -754,6 +754,119 @@ def sim_ann_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# ADC shortlist width for the rerank stage: 3·k — the FAISS-practice
+# ratio (shortlist a few × k by table lookups, then pay exact math on
+# that bounded set only)
+_PQ_RERANK = 3 * _PQ_K
+
+
+@query_fn(
+    "sim_ann_ivfpq_rerank",
+    oracle=f"""
+WITH {_O_ELEMENTS},
+{_O_CBPAR.strip()},
+{_O_CPAR.strip()},
+{_o_ivf_cand(
+    _O_PANEL_PRED,
+    "(SELECT cstride FROM cpar)",
+    "(SELECT nprobe FROM cpar)",
+).strip()},
+{_o_pq_codes(_O_PQ_PANEL_PRED).strip()},
+ax AS (
+  SELECT c.qid, c.cid AS vid,
+         CAST(SUM(dd) AS DOUBLE) / 1e6 AS approx_dist
+  FROM cand c
+  JOIN codes ON codes.vid = c.cid
+  JOIN dt ON dt.qid = c.qid AND dt.j = codes.j AND dt.code = codes.code
+  GROUP BY 1, 2
+),
+sl AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY approx_dist, vid) AS rnk
+    FROM ax
+  ) WHERE rnk <= {_PQ_RERANK}
+),
+rdots AS (
+  SELECT sl.qid, sl.vid AS cid,
+         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM sl
+  JOIN el a ON a.vid = sl.qid
+  JOIN el b ON b.vid = sl.vid AND b.pos = a.pos
+  GROUP BY 1, 2
+),
+rcos AS (
+  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+  FROM rdots
+  JOIN nrm nq ON nq.vid = qid
+  JOIN nrm nc ON nc.vid = cid
+)
+SELECT qid AS query_id, cid AS neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, cid)
+            AS INTEGER) AS rank,
+       cosine
+FROM rcos
+QUALIFY rank <= {_PQ_K}
+ORDER BY query_id, rank
+""",
+)
+def sim_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with EXACT RERANK — the full FAISS production serving
+    shape the other ANN docstrings reference: ADC table lookups
+    shortlist 3·k candidates per probe (cheap, approximate, metric-
+    mixed), then exact snapped-cosine reranks ONLY the shortlist
+    (operators/similarity.cosine_for_pairs — O(probes · 3k · dim),
+    independent of corpus size).  The rerank repairs both ADC
+    quantization error and the cosine-vs-L2 metric mix on
+    unnormalized vectors, at a cost that stays constant as the corpus
+    grows — the reason every production IVFADC deployment reranks.
+
+    Shares the memoized PQ family encode (codes_tag) and the fixed
+    50-probe panel, so the battery timing isolates the rerank stage's
+    marginal cost over sim_ann_ivfpq_fixed."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine_for_pairs, ivf_pq_topk
+    from .pipeline_queries import _trained_nprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = table_count(spark, sf_dir, "embeddings")
+    k0 = max(1, math.floor(math.sqrt(n)))
+    probes = emb.filter(_panel_filter())
+    shortlist = ivf_pq_topk(
+        emb,
+        probes,
+        k=_PQ_RERANK,
+        dim=64,
+        num_subspaces=_PQ_M,
+        centroid_stride=max(1, math.floor(n / k0)),
+        nprobe=_trained_nprobe(n),
+        codebook_size=_PQ_CB,
+        n=n,
+        codes_tag=sf_dir,
+    ).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("cid")
+    )
+    reranked = cosine_for_pairs(shortlist, emb)
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _PQ_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal audio: REAL WAV decode with a closed-form oracle
 # ---------------------------------------------------------------------------

@@ -481,6 +481,25 @@ def test_artifact_memo_keys_are_content_aware(spark):
     assert as_set(ca) != as_set(cb)
 
 
+def test_clustered_corpus_ivf_perfect_recall_at_fixed_nprobe(spark, sf_dir):
+    """The r11 clustered-data serving claim as a sharp invariant: on
+    the deterministic 32-cluster corpus, trained-IVF@nprobe=8 recall
+    is exactly 1.0 at every SF — same-cluster points dominate cosine
+    top-10 and the probe's own cluster cells are always among its 8
+    nearest, even at 64% relative noise (structure, not tightness, is
+    what makes cells skippable; the uniform corpus needs a ~0.7 cell
+    fraction for 0.9 — sim_ann_recall_trained).  A future IVF change
+    that breaks assignment/probing subtly shows up here as < 1.0."""
+    from business_intelligence_and_data_warehouse_spark.plans.queries import (
+        QUERIES,
+    )
+
+    row = QUERIES["sim_ann_clustered_recall"](spark, sf_dir).collect()[0]
+    assert row.nprobe == 8
+    assert row.n_expected == row.n_probes * row.k
+    assert row.recall_at_k == 1.0
+
+
 def test_pq_rejects_indivisible_dim(spark):
     from business_intelligence_and_data_warehouse_spark.operators.similarity import (
         pq_topk,
