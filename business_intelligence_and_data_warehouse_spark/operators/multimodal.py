@@ -115,13 +115,20 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
         # byte while all length checks still passed (r10 review
         # finding) — corrupt means and digests with no exception.
         # BUT a bare-\r writer whose raster genuinely starts with 0x0A
-        # is also a valid P6 (r10 advisor finding): treat \r\n as
-        # two-byte only when the single-byte reading does NOT already
-        # yield an exactly complete raster — the two interpretations
-        # differ in payload length by one byte, so at most one fits
-        # exactly and the length check arbitrates.
-        if len(payload) - pos != need:
-            pos += 1
+        # is also a valid P6 (r10 advisor finding).  The two readings
+        # differ by one byte, so the length check arbitrates — EXCEPT
+        # when the single-byte reading fits exactly: that payload is
+        # byte-identical to a one-byte-TRUNCATED CRLF file, and no
+        # decoder can tell them apart.  Picking either silently
+        # corrupts the other (the r11 review caught the truncated-CRLF
+        # side), so the ambiguous case raises into the callers'
+        # corrupt-blob sentinel path instead of guessing.
+        if len(payload) - pos == need:
+            raise ValueError(
+                "ambiguous PPM separator: bare-\\r raster starting 0x0A "
+                "is indistinguishable from a truncated CRLF raster"
+            )
+        pos += 1
     raster = payload[pos : pos + need]
     if len(raster) != need:
         raise ValueError("truncated PPM raster")

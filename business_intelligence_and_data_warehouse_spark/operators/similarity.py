@@ -1054,6 +1054,15 @@ def build_ivf_index(
     _record_load(index_dir, "base", reset=True)
 
 
+def _is_driver_local(path: str) -> bool:
+    """Scheme-qualified paths (hdfs://, s3a://...) are written by Spark
+    but invisible to the driver's local filesystem APIs — the same
+    test compact_parquet applies before os.rename."""
+    import re
+
+    return not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path)
+
+
 def _load_seq_path(index_dir: str) -> str:
     return index_dir.rstrip("/") + "/loads.json"
 
@@ -1084,10 +1093,19 @@ def _record_load(index_dir: str, label: str, reset: bool = False) -> None:
     silently reorders — flipping compaction winners toward stale
     vectors (r10 advisor finding).  A redelivered stable label keeps
     its original sequence: the dynamic partition overwrite rewrites
-    the same bytes, so its position in delivery order must not move."""
+    the same bytes, so its position in delivery order must not move.
+
+    Scheme-qualified index paths (a cluster's hdfs://, s3a://) are
+    SKIPPED — the sequence file is driver-local I/O, and failing here
+    after the cells write landed would abort an otherwise-successful
+    append (r11 review finding).  Such indexes order compaction by the
+    mtime fallback, the pre-r11 behavior; on object stores the real
+    answer is a table format's own log."""
     import json
     import os
 
+    if not _is_driver_local(index_dir):
+        return
     seqs = {} if reset else _read_load_seq(index_dir)
     if label in seqs:
         return
@@ -1107,6 +1125,7 @@ def trained_centroids_cached(
     n: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fingerprint: tuple | None = None,
 ) -> DataFrame:
     """:func:`train_ivf_centroids` behind the per-process parquet memo
     (same mechanism as ``_PQ_CODES_MEMO``): the first caller in a
@@ -1118,13 +1137,17 @@ def trained_centroids_cached(
     ``tag`` names the TRAINING corpus (e.g. ``f"{sf_dir}|full"`` vs
     ``f"{sf_dir}|mod3"`` for the incremental split); the key also
     folds in the corpus content fingerprint, so a same-tag call with
-    different data retrains instead of serving stale centroids."""
+    different data retrains instead of serving stale centroids
+    (``fingerprint`` lets a caller that also builds the index pass the
+    one it already computed — one corpus scan per query, not two)."""
     spark = vectors.sparkSession
+    if fingerprint is None:
+        fingerprint = _corpus_fingerprint(vectors, id_col, vec_col)
     key = (
         "ivf_cents",
         spark.sparkContext.applicationId,
         tag,
-        _corpus_fingerprint(vectors, id_col, vec_col),
+        fingerprint,
         iters,
         id_col,
         vec_col,
@@ -1149,6 +1172,7 @@ def build_ivf_index_cached(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids_key: str = "iters2",
+    fingerprint: tuple | None = None,
 ) -> str:
     """:func:`build_ivf_index` behind the per-process memo.  The first
     caller builds the cell-partitioned index once; later same-tag
@@ -1164,14 +1188,17 @@ def build_ivf_index_cached(
     cannot see the centroid DataFrame's contents, and two same-tag
     callers with differently-trained centroids must not share an
     index (cell assignment depends on the centroid set)."""
+    import os
     import shutil
 
     spark = vectors.sparkSession
+    if fingerprint is None:
+        fingerprint = _corpus_fingerprint(vectors, id_col, vec_col)
     key = (
         "ivf_index",
         spark.sparkContext.applicationId,
         tag,
-        _corpus_fingerprint(vectors, id_col, vec_col),
+        fingerprint,
         centroids_key,
         id_col,
         vec_col,
@@ -1186,7 +1213,14 @@ def build_ivf_index_cached(
         _PQ_CODES_MEMO[key] = base
     if index_dir is None:
         return base
-    shutil.copytree(base, index_dir, dirs_exist_ok=True)
+    # FRESH copy semantics: a previously-mutated index_dir (appended
+    # loads from an earlier lifecycle run) must not bleed into the new
+    # copy — dirs_exist_ok alone MERGES, leaving stale src=<label>
+    # partitions beside a reset loads.json, which would flip later
+    # compaction winners toward stale base rows (r11 review finding)
+    if os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+    shutil.copytree(base, index_dir)
     return index_dir
 
 

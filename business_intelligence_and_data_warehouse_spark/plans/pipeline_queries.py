@@ -508,6 +508,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_BITS, _ANN_BANDS, _ANN_MIN_COS = 40, 4, 0.4
 _HP_PARAMS = [hyperplane_params(b) for b in range(_ANN_BITS)]
+# exact snapped-cosine verify of a ``cand`` (qid, cid) CTE — vdots +
+# vcos, the one fragment every IVF-family oracle shares.  Factored
+# (r11 review) so a change to the snapping contract lands in exactly
+# one place; ``el``/``nrm`` must be in scope.
+_O_VERIFY_PAIR = """vdots AS (
+  SELECT cand.qid, cand.cid,
+         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM cand
+  JOIN el a ON a.vid = cand.qid
+  JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
+  GROUP BY 1, 2
+),
+vcos AS (
+  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
+  FROM vdots
+  JOIN nrm nq ON nq.vid = qid
+  JOIN nrm nc ON nc.vid = cid
+)"""
+
+
 _HSUMS = ",\n  ".join(
     f"SUM(CAST(FLOOR(val * 1e6) AS BIGINT) * ((({c} + pos * {st}) % 1013 % 19) - 9)) AS h{b}"
     for b, (c, st) in enumerate(_HP_PARAMS)
@@ -950,21 +971,7 @@ cand AS (
   FROM pcells p JOIN assign a ON a.cvid = p.cvid
   WHERE a.vid != p.qid
 ),
-vdots AS (
-  SELECT cand.qid, cand.cid,
-         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
-           AS dot
-  FROM cand
-  JOIN el a ON a.vid = cand.qid
-  JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
-  GROUP BY 1, 2
-),
-vcos AS (
-  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
-  FROM vdots
-  JOIN nrm nq ON nq.vid = qid
-  JOIN nrm nc ON nc.vid = cid
-),
+{_O_VERIFY_PAIR},
 it AS (
   SELECT qid, cid FROM vcos
   QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
@@ -1147,21 +1154,7 @@ cand AS (
 # exact-cosine verify + per-probe rank over a ``cand`` CTE — shared
 # tail of every IVF-family oracle
 _O_IVF_VERIFY_TAIL = f"""
-vdots AS (
-  SELECT cand.qid, cand.cid,
-         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
-           AS dot
-  FROM cand
-  JOIN el a ON a.vid = cand.qid
-  JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
-  GROUP BY 1, 2
-),
-vcos AS (
-  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
-  FROM vdots
-  JOIN nrm nq ON nq.vid = qid
-  JOIN nrm nc ON nc.vid = cid
-)
+{_O_VERIFY_PAIR}
 SELECT qid AS query_id, cid AS neighbor_id,
        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
             AS INTEGER) AS rank,
@@ -1240,6 +1233,7 @@ def sim_ann_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch against a growing corpus instead of conflating the two
     (the scaling-probe forms stay registered for the scale ramp)."""
     from ..operators.similarity import (
+        _corpus_fingerprint,
         build_ivf_index_cached,
         ivf_probe_index,
         trained_centroids_cached,
@@ -1249,12 +1243,15 @@ def sim_ann_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table_count(spark, sf_dir, "embeddings")
     # train-once/build-once via the per-process artifact memo (the PQ
     # pattern, SCALE.md r10): deterministic training, so reuse is
-    # hash-identical; probes are READ-ONLY so they hit the shared dir
+    # hash-identical; probes are READ-ONLY so they hit the shared dir.
+    # One fingerprint scan covers both memo lookups (r11 review).
+    fp = _corpus_fingerprint(emb, "vec_id", "embedding")
     cents = trained_centroids_cached(
-        emb, f"{sf_dir}|full", iters=_IVF_ITERS, n=n
+        emb, f"{sf_dir}|full", iters=_IVF_ITERS, n=n, fingerprint=fp
     )
     index_dir = build_ivf_index_cached(
-        emb, f"{sf_dir}|full", cents, centroids_key=f"iters{_IVF_ITERS}"
+        emb, f"{sf_dir}|full", cents, centroids_key=f"iters{_IVF_ITERS}",
+        fingerprint=fp,
     )
     probes = emb.filter(_panel_filter())
     return ivf_probe_index(
@@ -1278,6 +1275,7 @@ def sim_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     training on the initial corpus only and assignment over ALL
     vectors — exactly the lifecycle's visible semantics."""
     from ..operators.similarity import (
+        _corpus_fingerprint,
         build_ivf_index_cached,
         ivf_index_append,
         ivf_probe_index,
@@ -1292,13 +1290,15 @@ def sim_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared with stream_ann_ingest (same training split): centroids
     # and the base index come from the per-process memo; the append
     # MUTATES, so it gets a fresh byte-identical copy of the base
+    fp = _corpus_fingerprint(initial, "vec_id", "embedding")
     cents = trained_centroids_cached(
-        initial, f"{sf_dir}|mod3", iters=_IVF_ITERS, n=n
+        initial, f"{sf_dir}|mod3", iters=_IVF_ITERS, n=n, fingerprint=fp
     )
     index_dir = build_ivf_index_cached(
         initial, f"{sf_dir}|mod3", cents,
         index_dir=_fresh_result_dir("ivf_append_index"),
         centroids_key=f"iters{_IVF_ITERS}",
+        fingerprint=fp,
     )
     ivf_index_append(spark, index_dir, late)
     probes = emb.filter(_panel_filter())
@@ -1319,6 +1319,7 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is deterministic, so the final index — and therefore
     the probe result — hash-matches the batch append oracle exactly."""
     from ..operators.similarity import (
+        _corpus_fingerprint,
         build_ivf_index_cached,
         ivf_probe_index,
         trained_centroids_cached,
@@ -1332,13 +1333,15 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = initial.count()
     # shared with sim_ann_ivf_append (same training split); the stream
     # sink MUTATES the index, so copy the memoized base
+    fp = _corpus_fingerprint(initial, "vec_id", "embedding")
     cents = trained_centroids_cached(
-        initial, f"{sf_dir}|mod3", iters=_IVF_ITERS, n=n
+        initial, f"{sf_dir}|mod3", iters=_IVF_ITERS, n=n, fingerprint=fp
     )
     index_dir = build_ivf_index_cached(
         initial, f"{sf_dir}|mod3", cents,
         index_dir=_fresh_result_dir("ann_ingest_index"),
         centroids_key=f"iters{_IVF_ITERS}",
+        fingerprint=fp,
     )
     src_dir = _fresh_result_dir("ann_ingest_src")
     late.repartition(3).write.mode("overwrite").parquet(src_dir)
@@ -1379,21 +1382,7 @@ bt AS (
     <= {_IVF_K}
 ),
 {_o_ivf_trained_cand(_O_PROBE_PRED).strip()},
-vdots AS (
-  SELECT cand.qid, cand.cid,
-         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
-           AS dot
-  FROM cand
-  JOIN el a ON a.vid = cand.qid
-  JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
-  GROUP BY 1, 2
-),
-vcos AS (
-  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
-  FROM vdots
-  JOIN nrm nq ON nq.vid = qid
-  JOIN nrm nc ON nc.vid = cid
-),
+{_O_VERIFY_PAIR},
 it AS (
   SELECT qid, cid FROM vcos
   QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
@@ -1491,21 +1480,7 @@ bt AS (
     <= {_IVF_K}
 ),
 {_o_ivf_trained_cand(_O_PANEL_PRED, nprobe_sql=str(_CLUSTERED_NPROBE)).strip()},
-vdots AS (
-  SELECT cand.qid, cand.cid,
-         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
-           AS dot
-  FROM cand
-  JOIN el a ON a.vid = cand.qid
-  JOIN el b ON b.vid = cand.cid AND b.pos = a.pos
-  GROUP BY 1, 2
-),
-vcos AS (
-  SELECT qid, cid, dot / NULLIF(nq.norm * nc.norm, 0.0) AS cosine
-  FROM vdots
-  JOIN nrm nq ON nq.vid = qid
-  JOIN nrm nc ON nc.vid = cid
-),
+{_O_VERIFY_PAIR},
 it AS (
   SELECT qid, cid FROM vcos
   QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)

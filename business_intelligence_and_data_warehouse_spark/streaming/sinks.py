@@ -1097,11 +1097,10 @@ def run_ann_ingest_stream(
         # (cell, label) partitions).  Full 64-bit digest: the label is
         # only a partition directory name, and the extra 4 hex chars
         # square the cross-batch collision margin.
-        digest = batch_df.agg(
-            F.expr(f"bit_xor(xxhash64({id_col}, {vec_col}))").alias("x"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        label = f"{(digest['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{digest['n']}"
+        from ..operators.similarity import _corpus_fingerprint
+
+        n_rows, xdigest = _corpus_fingerprint(batch_df, id_col, vec_col)
+        label = f"{xdigest:016x}-{n_rows}"
         ivf_index_append(
             spark,
             index_dir,

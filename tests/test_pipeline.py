@@ -887,16 +887,19 @@ def test_multimodal_null_and_corrupt_blob_contract(spark):
     # raises; the explicit isspace guard covers the truncated cases)
     with pytest.raises(ValueError):
         decode_ppm(b"P6\n2 2\n255X" + raster)
-    # r10 advisor finding: a bare-\r writer whose raster genuinely
-    # starts with 0x0A is also a valid P6 — the CRLF consume must not
-    # eat the first pixel byte.  The two readings differ by one byte,
-    # so the exact raster-length check arbitrates: here only the
-    # single-byte separator yields a complete raster.
+    # r10 advisor + r11 review: a bare-\r separator followed by a
+    # raster starting 0x0A is byte-identical to a one-byte-TRUNCATED
+    # CRLF file — silently picking either reading corrupts the other
+    # (the pre-r11 consume shifted the bare-\r raster; the r11
+    # exact-fit heuristic un-detected the truncated CRLF).  The
+    # ambiguous case must raise into the corrupt-blob sentinel path.
     raster_0a = bytes([0x0A]) + bytes(range(11))
-    bare_cr = b"P6\n2 2\n255\r" + raster_0a
-    assert decode_ppm(bare_cr) == (2, 2, 255, raster_0a)
-    # and a CRLF writer of the SAME raster still decodes correctly
-    # (payload is one byte longer, so the \n is part of the separator)
+    with pytest.raises(ValueError, match="ambiguous"):
+        decode_ppm(b"P6\n2 2\n255\r" + raster_0a)  # valid bare-\r ...
+    with pytest.raises(ValueError, match="ambiguous"):
+        decode_ppm((b"P6\n2 2\n255\r\n" + raster)[:-1])  # ... == short CRLF
+    # an UNambiguous CRLF writer of the 0x0A-leading raster decodes
+    # (payload one byte longer: the \n is provably part of the separator)
     crlf_0a = b"P6\n2 2\n255\r\n" + raster_0a
     assert decode_ppm(crlf_0a) == (2, 2, 255, raster_0a)
 

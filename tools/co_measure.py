@@ -131,6 +131,7 @@ def main() -> None:
         "tree_a": args.tree_a,
         "tree_b": args.tree_b,
         "sf_dir": args.sf_dir,
+        "sf_dir_b": sf_dirs[args.tree_b],
         "passes": args.passes,
         "runs": args.runs,
         "rows": rows,

@@ -26,6 +26,10 @@ def main() -> None:
         sys.argv[3],
         int(sys.argv[4]),
     )
+    # absolute BEFORE chdir: a relative sys.path entry re-resolves
+    # against the new cwd and can silently import another tree's (or a
+    # site-packages) copy of the package (r11 review finding)
+    tree = os.path.abspath(tree)
     sys.path.insert(0, tree)
     os.chdir(tree)
     from business_intelligence_and_data_warehouse_spark.plans.queries import (  # noqa: PLC0415

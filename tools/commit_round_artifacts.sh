@@ -7,11 +7,14 @@ set -e
 cd "$(dirname "$0")/.."
 N=${1:-$(ls BENCH_r*.json 2>/dev/null | sed 's/[^0-9]*//g' | sort -n | tail -1)}
 [ -n "$N" ] || { echo "no BENCH_r*.json found"; exit 1; }
+FILES=""
 for f in "BENCH_r${N}.json" "CORRECTNESS_r${N}.json" "BENCH_DETAIL_r${N}.json"; do
-    [ -f "$f" ] && git add "$f"
+    [ -f "$f" ] && git add "$f" && FILES="$FILES $f"
 done
-if git diff --cached --quiet; then
+# gate AND commit on the artifact paths only: unrelated staged work
+# must never be swept into the artifacts commit (r11 review finding)
+if [ -z "$FILES" ] || git diff --cached --quiet -- $FILES; then
     echo "round ${N}: artifacts already committed"
 else
-    git commit -m "round ${N}: commit bench/correctness artifacts"
+    git commit -m "round ${N}: commit bench/correctness artifacts" -- $FILES
 fi
