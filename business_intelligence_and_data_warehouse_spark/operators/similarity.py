@@ -171,6 +171,110 @@ def cosine_pairs(
     )
 
 
+def mmr_select(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Greedy maximal-marginal-relevance selection: pick ``k`` vectors
+    maximizing ``lam·rel − (1−lam)·max_sim_to_selected``, where ``rel``
+    is snapped cosine to ``query_vec`` — the standard diverse-subset
+    primitive (Carbonell & Goldstein '98) a training-data pipeline
+    uses for few-shot/eval-set construction and coreset-style pruning
+    (``lam→0`` degenerates to farthest-point / k-center selection).
+
+    Returns (rank, id_col, relevance, max_sim_selected, mmr_score) —
+    one row per pick, in selection order.
+
+    Scale shape (100 TB): greedy MMR is INHERENTLY sequential — each
+    pick changes the next scores — so, like the BPE trainer, the loop
+    has k synchronization points.  What this implementation moves per
+    step is one MAP-SIDE corpus pass (dots against ≤k LITERAL selected
+    vectors via `zip_with`/`aggregate`, a running `greatest`, no
+    shuffle at all) plus a top-1 reduce; driver state is k rows.  Cost
+    is O(k · corpus · dim) total with embarrassing parallelism — the
+    same passes-over-data shape as k-center coreset selection in any
+    engine.
+
+    Determinism / oracle parity: relevance and pair similarities use
+    the snapped dot (`FLOOR(x·y·1e6)` summed exact); the selected-set
+    max is a max over identical doubles (order-independent); ties
+    break (score DESC, id ASC).  ``lam`` should be a dyadic rational
+    (0.5, 0.25, 0.75) so ``1 − lam`` is exact in every engine — the
+    registry query uses 0.5.  The query vector's norm is computed
+    driver-side with the IDENTICAL float ops (floor/sum/sqrt), so the
+    literal matches the engines' own arithmetic to the bit."""
+    import math
+
+    from .caching import pin
+
+    spark = vectors.sparkSession
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qnorm = math.sqrt(
+        sum(math.floor(float(x) * float(x) * 1e6) for x in query_vec) / 1e6
+    )
+    base = _normed(vectors, id_col, vec_col)
+    if exclude_ids:
+        base = base.filter(~F.col("vid").isin(exclude_ids))
+    base = pin(
+        base.withColumn(
+            "rel", _cosine(dot_dec(F.col("vec"), qlit), F.lit(qnorm), F.col("norm"))
+        )
+    )
+    selected: list[dict] = []
+    for rank in range(1, k + 1):
+        cand = base
+        if selected:
+            cand = cand.filter(
+                ~F.col("vid").isin([s["vid"] for s in selected])
+            )
+            sims = [
+                _cosine(
+                    dot_dec(
+                        F.col("vec"),
+                        F.array(*[F.lit(float(x)) for x in s["vec"]]),
+                    ),
+                    F.lit(s["norm"]),
+                    F.col("norm"),
+                )
+                for s in selected
+            ]
+            maxsim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        else:
+            maxsim = F.lit(0.0)
+        scored = cand.withColumn("maxsim", maxsim).withColumn(
+            "score",
+            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim"),
+        )
+        top = scored.orderBy(F.desc("score"), F.col("vid")).limit(1).collect()
+        if not top:
+            break
+        r = top[0]
+        selected.append(
+            {
+                "rank": rank,
+                "vid": int(r["vid"]),
+                "vec": list(r["vec"]),
+                "norm": float(r["norm"]),
+                "rel": float(r["rel"]),
+                "maxsim": float(r["maxsim"]),
+                "score": float(r["score"]),
+            }
+        )
+    return spark.createDataFrame(
+        [
+            (s["rank"], s["vid"], s["rel"], s["maxsim"], s["score"])
+            for s in selected
+        ],
+        f"rank int, {id_col} long, relevance double, "
+        "max_sim_selected double, mmr_score double",
+    )
+
+
 def clustered_corpus(
     ids: DataFrame,
     dim: int = 16,

@@ -1168,3 +1168,105 @@ def corpus_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_token_quota(d, cap_tokens=_QUOTA_CAP).select(
         "doc_id", "source", "n_tokens", "cum_tokens"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity selection (r11): greedy maximal marginal relevance
+# ---------------------------------------------------------------------------
+
+_MMR_K = 10
+
+
+def _o_mmr_level(t: int) -> str:
+    """One greedy MMR step as CTEs: dots of every candidate against
+    the cumulative selected set, per-candidate max similarity, argmax
+    of 0.5·rel − 0.5·maxsim (ties → smaller vid), selected-set union —
+    the same materialized-ladder idiom as the BPE and Lloyd oracles."""
+    return f"""
+d{t} AS MATERIALIZED (
+  SELECT b.vid AS cid, a.vid AS sid,
+         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS dot
+  FROM el a JOIN el b ON b.pos = a.pos AND b.vid != 0
+  WHERE a.vid IN (SELECT vid FROM selu{t - 1})
+  GROUP BY 1, 2
+),
+mx{t} AS MATERIALIZED (
+  SELECT d.cid AS vid,
+         MAX(d.dot / NULLIF(ns.norm * nc.norm, 0.0)) AS maxsim
+  FROM d{t} d
+  JOIN nrm ns ON ns.vid = d.sid
+  JOIN nrm nc ON nc.vid = d.cid
+  GROUP BY 1
+),
+s{t} AS MATERIALIZED (
+  SELECT r.vid, r.rel, m.maxsim,
+         0.5e0 * r.rel - 0.5e0 * m.maxsim AS score, {t} AS rnk
+  FROM relt r JOIN mx{t} m ON m.vid = r.vid
+  WHERE r.vid NOT IN (SELECT vid FROM selu{t - 1})
+  QUALIFY row_number() OVER (ORDER BY score DESC, r.vid) = 1
+),
+selu{t} AS MATERIALIZED (SELECT vid FROM selu{t - 1} UNION ALL SELECT vid FROM s{t})"""
+
+
+# local MATERIALIZED twin of _O_ELEMENTS: the greedy ladder references
+# el/nrm/selu at every level, and DuckDB's default CTE inlining is
+# exponential in reference count (the BPE-ladder lesson) — without
+# MATERIALIZED the sf0.001 run exhausts file handles re-opening the
+# parquet per inlined reference
+_O_MMR_ELEMENTS = _O_ELEMENTS.strip().replace(
+    "el AS (", "el AS MATERIALIZED (", 1
+).replace("nrm AS (", "nrm AS MATERIALIZED (", 1)
+
+_O_MMR = f"""
+WITH {_O_MMR_ELEMENTS},
+q AS MATERIALIZED (SELECT pos, val FROM el WHERE vid = 0),
+qn AS (
+  SELECT sqrt(CAST(SUM(CAST(FLOOR(val * val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+    AS norm
+  FROM q
+),
+relt AS MATERIALIZED (
+  SELECT c.vid,
+         (CAST(SUM(CAST(FLOOR(q.val * c.val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+           / NULLIF((SELECT norm FROM qn) * n.norm, 0.0) AS rel
+  FROM q JOIN el c ON c.pos = q.pos AND c.vid != 0
+  JOIN nrm n ON n.vid = c.vid
+  GROUP BY c.vid, n.norm
+),
+s1 AS MATERIALIZED (
+  SELECT vid, rel, 0.0e0 AS maxsim,
+         0.5e0 * rel - 0.5e0 * 0.0e0 AS score, 1 AS rnk
+  FROM relt
+  QUALIFY row_number() OVER
+    (ORDER BY 0.5e0 * rel - 0.5e0 * 0.0e0 DESC, vid) = 1
+),
+selu1 AS MATERIALIZED (SELECT vid FROM s1),
+{",".join(_o_mmr_level(t).strip() for t in range(2, _MMR_K + 1))}
+SELECT CAST(rnk AS INTEGER) AS rank, CAST(vid AS BIGINT) AS vec_id,
+       rel AS relevance, maxsim AS max_sim_selected, score AS mmr_score
+FROM ({" UNION ALL ".join(f"SELECT * FROM s{t}" for t in range(1, _MMR_K + 1))})
+ORDER BY rank
+"""
+
+
+@query_fn("mmr_diverse_select", oracle=_O_MMR)
+def mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal-marginal-relevance selection of 10 vectors
+    against the vec_id-0 query embedding at λ=0.5
+    (operators/similarity.mmr_select) — the diverse-subset primitive
+    for few-shot/eval-set construction and coreset-style pruning.
+    The oracle replays all ten greedy steps as a materialized CTE
+    ladder (per-step candidate×selected snapped-cosine max, argmax
+    with (score DESC, vid) ties) — decision-by-decision, like the BPE
+    and Lloyd ladders, so the sequential greedy itself is
+    hash-verified, not just the final set."""
+    from ..operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    )
+    return mmr_select(
+        emb, qvec, k=_MMR_K, lam=0.5, exclude_ids=[0]
+    ).orderBy("rank")

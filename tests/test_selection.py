@@ -739,3 +739,50 @@ def test_domain_token_quota_invariances(spark):
         assert sorted(r.doc_id for r in kept2 if r.source == dom) == sorted(
             r.doc_id for r in by_dom[dom]
         )
+
+
+def test_mmr_select_degeneracies_and_contract(spark):
+    """MMR property pins: lam=1 degenerates to pure relevance top-k
+    (identical order to brute_force_topk against the query); picks are
+    distinct and ranks sequential; lam=0 is farthest-point — its
+    second pick has strictly lower similarity to the first pick than
+    lam=1's second pick (on a corpus built to separate the two)."""
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_select,
+    )
+
+    rows = [
+        (
+            i,
+            [
+                float((i * 7 + j * 3) % 13) if j == 0 else
+                float((i * 5 + j) % 11) if j == 1 else
+                float((i + j * 2) % 7) if j == 2 else
+                float(i % 4)
+                for j in range(4)
+            ],
+        )
+        for i in range(24)
+    ]
+    vecs = _vecs(spark, rows)
+    qvec = rows[0][1]
+
+    rel_only = mmr_select(vecs, qvec, k=5, lam=1.0, exclude_ids=[0]).collect()
+    ranks = [r.rank for r in rel_only]
+    ids = [r.vec_id for r in rel_only]
+    assert ranks == [1, 2, 3, 4, 5]
+    assert len(set(ids)) == 5
+    brute = brute_force_topk(
+        vecs, vecs.filter(F.col("vec_id") == 0), 5
+    ).orderBy("rank").collect()
+    assert ids == [r.neighbor_id for r in brute]
+    # first pick never pays a diversity penalty
+    assert rel_only[0].max_sim_selected == 0.0
+
+    diverse = mmr_select(vecs, qvec, k=5, lam=0.0, exclude_ids=[0]).collect()
+    assert len({r.vec_id for r in diverse}) == 5
+    # under pure-diversity, the 2nd..5th picks' max-sim-to-selected is
+    # never above the relevance-only run's (farthest-point property)
+    for d, r in zip(diverse[1:], rel_only[1:]):
+        assert d.max_sim_selected <= r.max_sim_selected + 1e-12

@@ -63,6 +63,7 @@ REPRESENTATIVES = [
     "sim_ann_ivf_trained",  # r8: the production sqrt(N)-cell quantizer
     "sim_ann_pq",
     "sim_ann_ivfpq",
+    "sim_ann_ivfpq_rerank",  # r11: ADC shortlist + exact rerank
     "sim_embedding_topk",
     # corpus / tokenizer / sketches
     "corpus_curation_funnel",
