@@ -502,10 +502,11 @@ def _corpus_fingerprint(df: DataFrame, id_col: str, vec_col: str) -> tuple:
     agg scan of (id, vec) per memo call — O(corpus) with a tiny
     constant, vs the O(corpus × params) build the memo avoids; at the
     x1000 ramp corpus (~2M × 64 floats) the scan is sub-second."""
-    row = df.agg(
+    fp_agg = df.agg(
         F.expr(f"bit_xor(xxhash64({id_col}, {vec_col}))").alias("x"),
         F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
+    )
+    row = fp_agg.collect()[0]
     return (row["n"], (row["x"] or 0) & 0xFFFFFFFFFFFFFFFF)
 
 

@@ -476,6 +476,17 @@ def test_no_collect_in_query_code_paths():
         # most bucket_count rows (a small constant), the same class as
         # the ANN sink's one-row digest
         ("streaming/sinks.py", 'batch.select("_bucket").distinct()'),
+        # bounded: greedy MMR's per-step top-1 pick — the selection's
+        # inherent sync point (k one-row reduces, like the BPE
+        # trainer's per-merge pick); driver state is k rows
+        (
+            "operators/similarity.py",
+            'scored.orderBy(F.desc("score"), F.col("vid")).limit(1).collect()',
+        ),
+        # bounded: the artifact-memo corpus fingerprint — ONE agg row
+        # (count + bit_xor digest), the content-address every memo key
+        # and ingest load label folds in
+        ("operators/similarity.py", "row = fp_agg.collect()[0]"),
     }
     offenders = []
     for path in sorted(pkg.rglob("*.py")):
