@@ -943,3 +943,63 @@ def test_dedup_contract_edges_null_text_and_guards(spark):
     with pytest.raises(ValueError, match="max_hamming"):
         multi_signal_dedup(docs, max_hamming=4)
     assert not _PINNED, "validation must run before any pin registers"
+
+
+def test_ivf_cached_copy_is_fresh_and_seq_guard_skips_remote(spark, tmp_path):
+    """Two r11 review fixes pinned:
+
+    * build_ivf_index_cached(index_dir=...) must return a FRESH copy —
+      a previously-mutated target (appended loads from an earlier
+      lifecycle run) must not keep stale src partitions beside the
+      copied base's loads.json, or compaction ranks them below base
+      and resurrects stale vectors.
+    * _record_load is a no-op for scheme-qualified index paths:
+      failing driver-local I/O AFTER the distributed cells write
+      landed would abort an otherwise-successful append (such indexes
+      use the documented mtime fallback)."""
+    import os
+
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        _record_load,
+        build_ivf_index_cached,
+        ivf_index_append,
+        trained_centroids_cached,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.02 * i, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = trained_centroids_cached(vecs, tag="fresh-copy-test", iters=1)
+    target = str(tmp_path / "idx")
+    build_ivf_index_cached(
+        vecs, "fresh-copy-test", cents, index_dir=target,
+        centroids_key="iters1",
+    )
+    ivf_index_append(
+        spark,
+        target,
+        spark.createDataFrame(
+            [(100, [0.5, 0.5, 0.0])], "vec_id long, embedding array<float>"
+        ),
+        src="stale-load",
+    )
+    assert any(
+        "src=stale-load" in d for d, _, _ in os.walk(target + "/cells")
+    )
+    # re-copy over the mutated dir: the stale load must be GONE
+    build_ivf_index_cached(
+        vecs, "fresh-copy-test", cents, index_dir=target,
+        centroids_key="iters1",
+    )
+    assert not any(
+        "src=stale-load" in d for d, _, _ in os.walk(target + "/cells")
+    )
+    import json
+
+    with open(target + "/loads.json", encoding="utf-8") as fh:
+        assert json.load(fh) == {"base": 0}
+
+    # scheme-qualified paths: recording is a silent no-op, not a crash
+    _record_load("s3a://bucket/some/index", "label-1")
+    _record_load("hdfs://nn:8020/idx", "label-2", reset=True)
