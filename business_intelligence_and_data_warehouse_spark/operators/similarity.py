@@ -206,18 +206,24 @@ def mmr_select(
     break (score DESC, id ASC).  ``lam`` should be a dyadic rational
     (0.5, 0.25, 0.75) so ``1 − lam`` is exact in every engine — the
     registry query uses 0.5.  The query vector's norm is computed
-    driver-side with the IDENTICAL float ops (floor/sum/sqrt), so the
-    literal matches the engines' own arithmetic to the bit."""
-    import math
-
+    driver-side with the IDENTICAL float ops (floor/sum/DOT_SCALE/
+    sqrt), so the literal matches the engines' own arithmetic to the
+    bit.  Zero-norm candidates are EXCLUDED (cosine is undefined for
+    them — without the filter a NULL score crashed the pick loop, r11
+    review finding; the oracle applies the same ``norm > 0`` filter);
+    a zero-norm QUERY vector raises up front."""
     from .caching import pin
 
     spark = vectors.sparkSession
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     qnorm = math.sqrt(
-        sum(math.floor(float(x) * float(x) * 1e6) for x in query_vec) / 1e6
+        sum(
+            math.floor(float(x) * float(x) * DOT_SCALE) for x in query_vec
+        ) / DOT_SCALE
     )
-    base = _normed(vectors, id_col, vec_col)
+    if qnorm == 0.0:
+        raise ValueError("mmr_select: query vector has zero norm")
+    base = _normed(vectors, id_col, vec_col).filter(F.col("norm") > 0)
     if exclude_ids:
         base = base.filter(~F.col("vid").isin(exclude_ids))
     base = pin(

@@ -1217,6 +1217,11 @@ selu{t} AS MATERIALIZED (SELECT vid FROM selu{t - 1} UNION ALL SELECT vid FROM s
 _O_MMR_ELEMENTS = _O_ELEMENTS.strip().replace(
     "el AS (", "el AS MATERIALIZED (", 1
 ).replace("nrm AS (", "nrm AS MATERIALIZED (", 1)
+# fail HERE if _O_ELEMENTS was reformatted and the surgery no-opped —
+# the alternative is a distant DuckDB file-handle exhaustion (r11
+# review finding)
+assert "el AS MATERIALIZED (" in _O_MMR_ELEMENTS
+assert "nrm AS MATERIALIZED (" in _O_MMR_ELEMENTS
 
 _O_MMR = f"""
 WITH {_O_MMR_ELEMENTS},
@@ -1232,6 +1237,7 @@ relt AS MATERIALIZED (
            / NULLIF((SELECT norm FROM qn) * n.norm, 0.0) AS rel
   FROM q JOIN el c ON c.pos = q.pos AND c.vid != 0
   JOIN nrm n ON n.vid = c.vid
+  WHERE n.norm > 0
   GROUP BY c.vid, n.norm
 ),
 s1 AS MATERIALIZED (
@@ -1264,9 +1270,13 @@ def mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import mmr_select
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = list(
-        emb.filter(F.col("vec_id") == 0).head()["embedding"]
-    )
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    if qrow is None:
+        raise ValueError(
+            "mmr_diverse_select: query anchor vec_id=0 missing from "
+            f"{sf_dir}/embeddings.parquet"
+        )
+    qvec = list(qrow["embedding"])
     return mmr_select(
         emb, qvec, k=_MMR_K, lam=0.5, exclude_ids=[0]
     ).orderBy("rank")

@@ -362,6 +362,11 @@ _EXECUTES_AT_BUILD = {
     "ml_churn_rf",
     "ml_kmeans_embeddings",
     "ml_churn_roc_points",
+    # greedy MMR runs its k top-1 picks at plan-build time (like the
+    # ML entries); the returned plan is a local relation, so a gate on
+    # it would inspect the wrong plan — per-step plan health is pinned
+    # by the dedicated property tests in tests/test_selection.py
+    "mmr_diverse_select",
 }
 
 

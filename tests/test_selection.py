@@ -786,3 +786,15 @@ def test_mmr_select_degeneracies_and_contract(spark):
     # never above the relevance-only run's (farthest-point property)
     for d, r in zip(diverse[1:], rel_only[1:]):
         assert d.max_sim_selected <= r.max_sim_selected + 1e-12
+
+    # r11 review repro: a zero-norm candidate must be EXCLUDED (its
+    # cosine is undefined; the NULL score crashed the pick loop), and
+    # a zero-norm query raises up front instead of NULLing every rel
+    withzero = _vecs(
+        spark,
+        [(1, [0.9, 0.1]), (2, [0.1, 0.9]), (3, [0.0, 0.0])],
+    )
+    picks = mmr_select(withzero, [1.0, 0.0], k=3, lam=0.5).collect()
+    assert [r.vec_id for r in picks] == [1, 2]  # vid 3 excluded, loop ends
+    with pytest.raises(ValueError, match="zero norm"):
+        mmr_select(withzero, [0.0, 0.0], k=2)
