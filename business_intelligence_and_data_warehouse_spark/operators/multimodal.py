@@ -115,20 +115,29 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
         # byte while all length checks still passed (r10 review
         # finding) — corrupt means and digests with no exception.
         # BUT a bare-\r writer whose raster genuinely starts with 0x0A
-        # is also a valid P6 (r10 advisor finding).  The two readings
-        # differ by one byte, so the length check arbitrates — EXCEPT
-        # when the single-byte reading fits exactly: that payload is
-        # byte-identical to a one-byte-TRUNCATED CRLF file, and no
-        # decoder can tell them apart.  Picking either silently
-        # corrupts the other (the r11 review caught the truncated-CRLF
-        # side), so the ambiguous case raises into the callers'
-        # corrupt-blob sentinel path instead of guessing.
-        if len(payload) - pos == need:
+        # is also a valid P6 (r10 advisor finding).  Only the length
+        # check can arbitrate, and it can arbitrate ONLY when exactly
+        # one reading fits exactly — so in the \r\n case trailing
+        # bytes are rejected (elsewhere they stay tolerated):
+        # * extra == need+1: CRLF reading fits exactly, the bare-\r
+        #   reading would leave a stray trailing byte -> CRLF;
+        # * extra == need: bare-\r fits exactly, but the payload is
+        #   byte-identical to a one-byte-TRUNCATED CRLF file -> raise
+        #   (r11 review caught this twin);
+        # * extra > need+1: BOTH readings are length-plausible under
+        #   trailing tolerance and one of them is silently one byte
+        #   shifted -> raise (r11 advisor finding);
+        # * extra < need: neither fits -> fall through to the
+        #   truncated-raster error.
+        extra = len(payload) - pos  # bytes available to the bare-\r reading
+        if extra == need + 1:
+            pos += 1
+        elif extra >= need:
             raise ValueError(
-                "ambiguous PPM separator: bare-\\r raster starting 0x0A "
-                "is indistinguishable from a truncated CRLF raster"
+                "ambiguous PPM separator: with a \\r\\n pair both the "
+                "bare-\\r and CRLF raster readings are length-plausible "
+                "(truncated-CRLF twin or trailing bytes)"
             )
-        pos += 1
     raster = payload[pos : pos + need]
     if len(raster) != need:
         raise ValueError("truncated PPM raster")

@@ -1219,9 +1219,16 @@ _O_MMR_ELEMENTS = _O_ELEMENTS.strip().replace(
 ).replace("nrm AS (", "nrm AS MATERIALIZED (", 1)
 # fail HERE if _O_ELEMENTS was reformatted and the surgery no-opped —
 # the alternative is a distant DuckDB file-handle exhaustion (r11
-# review finding)
-assert "el AS MATERIALIZED (" in _O_MMR_ELEMENTS
-assert "nrm AS MATERIALIZED (" in _O_MMR_ELEMENTS
+# review finding).  Explicit raise, not assert: python -O strips
+# asserts, which is exactly the configuration where the distant
+# failure would silently return (r11 advisor finding).
+for _marker in ("el AS MATERIALIZED (", "nrm AS MATERIALIZED ("):
+    if _marker not in _O_MMR_ELEMENTS:
+        raise RuntimeError(
+            f"MMR oracle CTE surgery no-opped: {_marker!r} not found — "
+            "_O_ELEMENTS was reformatted; fix the replace() targets in "
+            "_O_MMR_ELEMENTS or the DuckDB run will exhaust file handles"
+        )
 
 _O_MMR = f"""
 WITH {_O_MMR_ELEMENTS},

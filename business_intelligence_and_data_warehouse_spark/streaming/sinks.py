@@ -1058,15 +1058,23 @@ def run_ann_ingest_stream(
     compact; regression-tested in tests/test_pipeline.py)
     or rebuild the index after changing batching knobs.
 
-    MIGRATION (pre-r10 indexes): the label format changed in r10 from
-    12-hex ``xxhash64(id)`` to 16-hex ``xxhash64(id, vector)``-plus-
-    count.  A checkpointed stream resumed against an index written
-    under the OLD format computes a new-format label on redelivery of
+    MIGRATION (ENFORCED since r12): the label format has changed
+    twice — r10 moved 12-hex ``xxhash64(id)`` to 16-hex
+    ``xxhash64(id, vector)``-plus-count, and r12 strengthened the
+    digest fold (xor combined with a multiplied additive fold, so
+    even-multiplicity duplicate rows cannot cancel) under a ``v2-``
+    label prefix.  A stream started against an index written under
+    ANY earlier formula computes a different label on redelivery of
     an already-applied batch and APPENDS duplicate vids instead of
-    overwriting the old partitions.  Before resuming such a stream,
-    either rebuild the index or run compact_ivf_index once (it is
-    idempotent and keeps the latest row per vid, so running it after
-    the first resumed batch also heals the duplicates).
+    overwriting the old partitions — and this holds for fresh
+    checkpoints too (the replay-over-same-source convergence property
+    depends on reproducing the stored labels).  Until r12 a docstring
+    warned; now :func:`operators.similarity.assert_ingest_label_compat`
+    runs at stream start and REFUSES any index carrying labels that
+    are neither ``base`` nor current-format, naming the offenders.
+    The fix it prescribes — compact_ivf_index — is idempotent,
+    rebases every load into ``src=base``, heals any duplicates
+    already appended, and clears the check.
     This sink is
     the one streaming write in the engine whose state is
     APPEND-STRUCTURED: an inverted file grows by whole cells-worth of
@@ -1080,27 +1088,35 @@ def run_ann_ingest_stream(
     (sources/warehouse.py) is the maintenance pass, and rebuilding
     the index retrains + re-bases in one shot.
     """
-    from ..operators.similarity import ivf_index_append
+    from ..operators.similarity import (
+        assert_ingest_label_compat,
+        ivf_index_append,
+    )
+
+    # refuse up front rather than duplicate on redelivery (see
+    # MIGRATION above) — fresh checkpoint or resumed alike
+    assert_ingest_label_compat(index_dir)
 
     checkpoint_dir = os.path.join(index_dir, "_ingest_checkpoint")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        # content-addressed load label: order-independent xor of the
-        # batch's id hashes + row count.  One tiny agg action per
-        # batch (the batch is about to be fully scanned for the write
-        # anyway); xor cannot overflow and is commutative, so the
-        # digest is independent of partitioning and row order.
-        # The hash folds BOTH the id and the vector values in, so a
+        # content-addressed load label: commutative digest of the
+        # batch's (id, vector) hashes + row count — independent of
+        # partitioning and row order, one tiny agg action per batch
+        # (the batch is about to be fully scanned for the write
+        # anyway).  The r12 digest combines the xor fold with a
+        # multiplied additive fold so even-multiplicity duplicate
+        # rows cannot cancel (see _corpus_fingerprint); the v2-
+        # prefix is what assert_ingest_label_compat keys on.  The
+        # hash folds BOTH the id and the vector values in, so a
         # redelivered batch with the same ids but changed embeddings
         # gets a new label (changed vectors can land in different
         # cells; reusing the old label would leave stale rows in other
-        # (cell, label) partitions).  Full 64-bit digest: the label is
-        # only a partition directory name, and the extra 4 hex chars
-        # square the cross-batch collision margin.
+        # (cell, label) partitions).
         from ..operators.similarity import _corpus_fingerprint
 
         n_rows, xdigest = _corpus_fingerprint(batch_df, id_col, vec_col)
-        label = f"{xdigest:016x}-{n_rows}"
+        label = f"v2-{xdigest:016x}-{n_rows}"
         ivf_index_append(
             spark,
             index_dir,

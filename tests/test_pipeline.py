@@ -380,6 +380,170 @@ def test_compact_ivf_index_orders_by_append_sequence_not_mtime(
     assert len(kept2) == 1 and abs(kept2[0].vec[0]) > abs(kept2[0].vec[1])
 
 
+def test_compact_ivf_index_mixed_loads_json_falls_back_to_mtime(
+    spark, tmp_path
+):
+    """r11 advisor finding: a NON-empty loads.json missing some
+    on-disk label (torn copy/restore) used to pin the unlisted label
+    at sequence -1 — a NEWER unlisted append lost to every recorded
+    label.  Mixed state must now warn and fall back to full-mtime
+    ordering for the whole index, which gets this case right."""
+    import json
+    import os
+    import time as _time
+
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_append,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.02 * i, 0.0]) for i in range(6, 9)]
+        + [(i, [0.02 * (i - 9), 1.0, 0.0]) for i in range(9, 12)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "torn")
+    build_ivf_index(base, idx, centroid_stride=2)
+    ivf_index_append(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(3, [1.0, 0.06, 0.0])], "vec_id long, embedding array<float>"
+        ),
+        src="first",
+    )
+    _time.sleep(0.05)  # make the second load measurably newer on disk
+    ivf_index_append(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(3, [0.0, 1.0, 0.0])], "vec_id long, embedding array<float>"
+        ),
+        src="second",
+    )
+    # torn restore: drop the NEWER append's label from the sequence
+    with open(idx + "/loads.json", encoding="utf-8") as fh:
+        seqs = json.load(fh)
+    del seqs["second"]
+    with open(idx + "/loads.json", "w", encoding="utf-8") as fh:
+        json.dump(seqs, fh)
+    # without the fallback, "second" ranks at seq -1 and the STALE
+    # "first" vector would win; mtime fallback keeps the newer one
+    with pytest.warns(UserWarning, match="out of step"):
+        compact_ivf_index(spark, idx)
+    kept = spark.read.parquet(idx + "/cells").filter("vid = 3").collect()
+    assert len(kept) == 1 and abs(kept[0].vec[1]) > abs(kept[0].vec[0])
+    # post-compaction state is consistent again: no mixed-state warning
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        compact_ivf_index(spark, idx)
+    assert not any("out of step" in str(w.message) for w in caught)
+
+
+def test_corpus_fingerprint_duplicate_rows_cannot_cancel(spark):
+    """r11 advisor finding: the xor-only content digest was
+    self-canceling — any (id, vec) row with even multiplicity XORed
+    to zero, so equal-count corpora differing only in duplicated rows
+    collided and the artifact memo served stale state.  The r12
+    digest combines the xor fold with a multiplied additive fold."""
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        _corpus_fingerprint,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    fp = lambda df: _corpus_fingerprint(df, "vec_id", "embedding")  # noqa: E731
+
+    # equal counts, every row even-multiplicity: xor folds BOTH to 0
+    a = mk([(1, [1.0, 2.0]), (1, [1.0, 2.0]), (2, [3.0, 4.0]), (2, [3.0, 4.0])])
+    b = mk([(5, [9.0, 8.0]), (5, [9.0, 8.0]), (6, [7.0, 6.0]), (6, [7.0, 6.0])])
+    fa, fb = fp(a), fp(b)
+    assert fa != fb
+    assert fa[1] != 0 and fb[1] != 0
+    # singleton corpora: naive xor^sum would digest EVERY 1-row corpus
+    # to h^h = 0 — the multiplier breaks the correlation
+    s1, s2 = fp(mk([(1, [1.0, 2.0])])), fp(mk([(2, [5.0, 6.0])]))
+    assert s1[1] != 0 and s2[1] != 0 and s1 != s2
+    # commutative: partitioning / row order never changes the digest
+    a_rep = mk(
+        [(2, [3.0, 4.0]), (1, [1.0, 2.0]), (2, [3.0, 4.0]), (1, [1.0, 2.0])]
+    ).repartition(7)
+    assert fp(a_rep) == fa
+    # multiplicity is visible: one copy vs two copies differ
+    one = mk([(1, [1.0, 2.0]), (2, [3.0, 4.0])])
+    assert fp(one) != fa
+
+
+def test_ann_ingest_refuses_legacy_label_formats(spark, tmp_path):
+    """r11 verdict item 5: resuming/starting a content-addressed
+    ingest stream over an index whose labels the current digest
+    formula cannot reproduce (pre-r10 12-hex, r10/r11 xor-only
+    16-hex, batch-mode uuid labels) appends duplicate vids on
+    redelivery.  Until r12 only a docstring warned; now the sink
+    refuses at stream start, and compaction (which rebases every
+    load into src=base) clears the check."""
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        assert_ingest_label_compat,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_append,
+    )
+    from business_intelligence_and_data_warehouse_spark.streaming.sinks import (
+        run_ann_ingest_stream,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.02 * i, 0.0]) for i in range(6)]
+        + [(i, [0.02 * (i - 6), 1.0, 0.0]) for i in range(6, 12)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "legacyfmt")
+    build_ivf_index(vecs.filter("vec_id >= 6"), idx, centroid_stride=2)
+    # a fresh build carries only src=base: the guard passes
+    assert_ingest_label_compat(idx)
+
+    # a pre-r10-style 12-hex label (indistinguishable from a batch
+    # uuid label): the stream must refuse, naming the offender
+    ivf_index_append(
+        spark, idx, vecs.filter("vec_id < 3"), src="deadbeefcafe"
+    )
+    with pytest.raises(RuntimeError, match="deadbeefcafe"):
+        run_ann_ingest_stream(None, spark, idx)  # raises before _drive
+    # the prescribed fix heals it: compaction rebases to src=base
+    compact_ivf_index(spark, idx)
+    assert_ingest_label_compat(idx)
+    # current-format labels pass
+    ivf_index_append(
+        spark,
+        idx,
+        vecs.filter("vec_id >= 3 and vec_id < 6"),
+        src="v2-00000000deadbeef-3",
+    )
+    assert_ingest_label_compat(idx)
+    # ...and an r10/r11 xor-only 16-hex label (no v2- prefix) is
+    # caught even though its shape matches the old stream's output
+    ivf_index_append(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(20, [0.5, 0.5, 0.0])], "vec_id long, embedding array<float>"
+        ),
+        src="00000000feedface-1",
+    )
+    with pytest.raises(RuntimeError, match="feedface"):
+        assert_ingest_label_compat(idx)
+
+
 def test_lsh_key_bits_integer_sizing():
     """w = smallest width with 2^w >= N/8, clamped to the segment —
     exact integer twin of the oracle's LENGTH(BIN(N-1)) formula."""
@@ -902,6 +1066,19 @@ def test_multimodal_null_and_corrupt_blob_contract(spark):
     # (payload one byte longer: the \n is provably part of the separator)
     crlf_0a = b"P6\n2 2\n255\r\n" + raster_0a
     assert decode_ppm(crlf_0a) == (2, 2, 255, raster_0a)
+    # r11 advisor: TRAILING bytes re-opened the ambiguity — a bare-\r
+    # 0x0A-leading raster with any trailing junk was length-plausible
+    # under the CRLF reading too and silently decoded one byte
+    # shifted.  In the \r\n case trailing bytes are now rejected, so
+    # both forms raise instead of guessing...
+    with pytest.raises(ValueError, match="ambiguous"):
+        decode_ppm(b"P6\n2 2\n255\r" + raster_0a + b"XY")
+    with pytest.raises(ValueError, match="ambiguous"):
+        decode_ppm(crlf_0a + b"XY")
+    # ...while unambiguous separators keep tolerating trailing bytes
+    assert decode_ppm(b"P6\n2 2\n255\n" + raster + b"XY") == (
+        2, 2, 255, raster,
+    )
 
 
 def test_dedup_contract_edges_null_text_and_guards(spark):
