@@ -1075,6 +1075,7 @@ def ivf_topk_trained(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe_frac: float | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k with the TRAINED √N-cell quantizer
     (:func:`train_ivf_centroids`) — the production one-shot form.
@@ -1100,10 +1101,15 @@ def ivf_topk_trained(
     ~0.7 fraction stays necessary to N=60k (recall at frac 0.35 never
     exceeds 0.87), while on a 256-cluster corpus the SAME engine holds
     recall 0.93+ with a FIXED nprobe=8 as N grows 30x — candidates
-    O(sqrt N), the production scale path."""
+    O(sqrt N), the production scale path.
+
+    ``n`` short-circuits the corpus count when the caller already
+    knows it (a memoized ``table_count`` or a fingerprint row count) —
+    one fewer count job per invocation, same value by contract."""
     from .caching import pin
 
-    n = vectors.count()
+    if n is None:
+        n = vectors.count()
     if nprobe_frac is not None:
         nprobe = math.ceil(nprobe_frac * max(1, math.floor(math.sqrt(n))))
     assert nprobe is not None
@@ -1436,19 +1442,30 @@ def ivf_probe_index(
         "vid", "qid"
     )
     cells = spark.read.parquet(index_dir + "/cells")
+    # candidates CARRY the cell id: the verify join below keys on
+    # (cvid, cid), so the WIDE cells scan (the one reading the vector
+    # payload) partition-prunes to the probed cells exactly like the
+    # narrow candidate scan — before r12 it joined on cid alone and
+    # read every cell's vectors (full-index IO per probe batch at
+    # 100 TB; the narrow scan pruned, the heavy one did not).  A vid
+    # lives in exactly one cell (disjoint-id append contract), so the
+    # (qid, cvid, cid) distinct collapses the same pairs as before.
     candidates = (
         probe_cells.join(cells.select("cvid", "vid"), "cvid")
         .filter(F.col("vid") != F.col("qid"))
-        .select("qid", F.col("vid").alias("cid"))
+        .select("qid", "cvid", F.col("vid").alias("cid"))
         .distinct()
     )
     q = _as_prefix(probes_n, "q").select("qid", "qvec", "qnorm")
-    c = _as_prefix(
-        cells.select("vid", "vec", "norm"), "c"
-    ).select("cid", "cvec", "cnorm")
+    c = cells.select(
+        "cvid",
+        F.col("vid").alias("cid"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
     pairs = (
         candidates.join(q, "qid")
-        .join(c, "cid")
+        .join(c, ["cvid", "cid"])
         .select(
             "qid",
             "cid",

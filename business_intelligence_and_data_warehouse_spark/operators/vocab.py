@@ -261,13 +261,16 @@ def bpe_train(
     already-pinned word table, raising ``ValueError`` with an
     offending sample.
 
-    Budget note: each merge is one pair-count aggregate + a one-row
-    collect, so this distributed loop suits MODEST budgets (tens to
-    low hundreds of merges) or word tables too large to collect; for
-    production-scale budgets (32k+) use :func:`bpe_train_local`, which
-    collects the vocabulary-sized word table once and runs the
-    incremental-pair-count trainer driver-side — identical decisions,
-    property-pinned equal.
+    Budget note: sync rounds are BATCHED (r12) — each round is one
+    pair-count aggregate + one bounded top-K collect, and applies every
+    top pair that provably cannot be reordered by the earlier merges in
+    the batch (non-interacting symbols, counts strictly above the first
+    interacting pair — see the in-loop proof), so the number of
+    cluster-wide sync points drops from ``n_merges`` to roughly
+    ``n_merges / batch-width``.  Decisions are EXACTLY the sequential
+    trainer's (property-pinned against the pure-Python trainer and
+    :func:`bpe_train_local`).  For word tables small enough to collect,
+    :func:`bpe_train_local` remains the cheapest production path.
     """
     from .caching import pin
 
@@ -287,29 +290,73 @@ def bpe_train(
             f"symbol alphabet); pre-strip them: {bad!r}"
         )
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        top = (
+    rank = 1
+    # r12 optimization: BATCHED merge rounds.  The sequential loop paid
+    # one pair-count aggregate + one-row collect PER MERGE — 0.16-0.20s
+    # of pure sync per merge at x300 (SCALE.md), ~85 min of sync alone
+    # for a 32k-merge train in the regime where this fallback is the
+    # only option.  Each sync round now collects the top `scan`+1 pairs
+    # once and applies the maximal SAFELY-SEQUENTIAL prefix:
+    #
+    #   * walk the (count desc, a, b) order, accumulating pairs that
+    #     share no symbol with any earlier accepted pair; stop at the
+    #     first interacting pair (count = c_stop);
+    #   * keep only accepted pairs with count STRICTLY > c_stop and
+    #     > the (scan+1)-th count (the bound on everything unscanned).
+    #
+    # Rank-identity proof: merging (x, y) -> XY changes the count of a
+    # pair (a, b) only if {a, b} ∩ {x, y} ≠ ∅ (XY is a fresh private-
+    # use symbol, never equal to a or b, so adjacencies of untouched
+    # symbols are preserved verbatim), and every pair CREATED by the
+    # merge — (w, XY) or (XY, z) — has count ≤ the old count of the
+    # interacting pair (w, x) / (y, z) it replaces, hence ≤ c_stop.
+    # So at each sequential step inside the batch the true trainer's
+    # candidate set is {remaining batch pairs, counts > c_stop} ∪
+    # {changed/new/unscanned pairs, counts ≤ c_stop}: it picks exactly
+    # the batch pairs, in exactly this (count desc, a, b) order.
+    # Equality is pinned against the pure-Python sequential trainer in
+    # tests/test_tokenizer_prep.py and against bpe_train_local.
+    scan = max(16, min(1024, 2 * n_merges))
+    while rank <= n_merges:
+        rows = (
             bpe_pair_counts(work)
             .orderBy(F.desc("pair_count"), "a", "b")
-            .limit(1).collect()
+            .limit(scan + 1).collect()
         )
-        if not top:  # every word is a single symbol; nothing to merge
+        if not rows:  # every word is a single symbol; nothing to merge
             break
-        a, b, cnt = top[0].a, top[0].b, int(top[0].pair_count)
-        new = bpe_new_symbol(rank, symbol_offset)
-        merges.append((rank, a, b, new, cnt))
-        work = work.withColumn(
-            "w", F.replace(F.col("w"), F.lit(a + b), F.lit(new))
-        )
-        if rank % 64 == 0:
-            # truncate lineage: each merge stacks one `replace` onto
-            # the plan, and past a few hundred ranks analysis time per
-            # iteration (and eventually the driver's plan tree) blows
-            # up — the standard iterative-algorithm checkpoint.  The
-            # table is vocabulary-sized, so materializing it is cheap
-            # (this is what makes the r11 distributed-depth equality
-            # pin vs bpe_train_local runnable at 3k+ ranks).
-            work = work.localCheckpoint(eager=True)
+        c_unseen = int(rows[scan].pair_count) if len(rows) > scan else -1
+        accepted: list[tuple[str, str, int]] = []
+        touched: set[str] = set()
+        c_stop = c_unseen
+        for r in rows[:scan]:
+            if r.a in touched or r.b in touched:
+                c_stop = max(c_stop, int(r.pair_count))
+                break
+            accepted.append((r.a, r.b, int(r.pair_count)))
+            touched.add(r.a)
+            touched.add(r.b)
+        safe = [t for t in accepted if t[2] > c_stop]
+        if not safe:
+            # the top pair always equals the sequential pick
+            safe = [(rows[0].a, rows[0].b, int(rows[0].pair_count))]
+        for a, b, cnt in safe[: n_merges - rank + 1]:
+            new = bpe_new_symbol(rank, symbol_offset)
+            merges.append((rank, a, b, new, cnt))
+            work = work.withColumn(
+                "w", F.replace(F.col("w"), F.lit(a + b), F.lit(new))
+            )
+            if rank % 64 == 0:
+                # truncate lineage: each merge stacks one `replace`
+                # onto the plan, and past a few hundred ranks analysis
+                # time per iteration (and eventually the driver's plan
+                # tree) blows up — the standard iterative-algorithm
+                # checkpoint.  The table is vocabulary-sized, so
+                # materializing it is cheap (this is what makes the
+                # r11 distributed-depth equality pin vs
+                # bpe_train_local runnable at 3k+ ranks).
+                work = work.localCheckpoint(eager=True)
+            rank += 1
     return merges, work
 
 

@@ -1220,7 +1220,8 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
     return ivf_topk_trained(
-        emb, probes, k=_IVF_K, iters=_IVF_ITERS, nprobe_frac=_NPROBE_FRAC
+        emb, probes, k=_IVF_K, iters=_IVF_ITERS, nprobe_frac=_NPROBE_FRAC,
+        n=table_count(spark, sf_dir, "embeddings"),
     ).orderBy("query_id", "rank")
 
 
@@ -1240,12 +1241,14 @@ def sim_ann_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = table_count(spark, sf_dir, "embeddings")
     # train-once/build-once via the per-process artifact memo (the PQ
     # pattern, SCALE.md r10): deterministic training, so reuse is
     # hash-identical; probes are READ-ONLY so they hit the shared dir.
-    # One fingerprint scan covers both memo lookups (r11 review).
+    # One fingerprint scan covers both memo lookups (r11 review) AND
+    # the corpus count — its row count IS the table count, so the
+    # separate count job is gone (r12 optimization).
     fp = _corpus_fingerprint(emb, "vec_id", "embedding")
+    n = fp[0]
     cents = trained_centroids_cached(
         emb, f"{sf_dir}|full", iters=_IVF_ITERS, n=n, fingerprint=fp
     )
@@ -1286,11 +1289,13 @@ def sim_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     initial = emb.filter(F.col("vec_id") % 3 != 0)
     late = emb.filter(F.col("vec_id") % 3 == 0)
-    n = initial.count()
     # shared with stream_ann_ingest (same training split): centroids
     # and the base index come from the per-process memo; the append
-    # MUTATES, so it gets a fresh byte-identical copy of the base
+    # MUTATES, so it gets a fresh byte-identical copy of the base.
+    # The fingerprint's row count IS the split count — no separate
+    # count job (r12 optimization).
     fp = _corpus_fingerprint(initial, "vec_id", "embedding")
+    n = fp[0]
     cents = trained_centroids_cached(
         initial, f"{sf_dir}|mod3", iters=_IVF_ITERS, n=n, fingerprint=fp
     )
@@ -1330,10 +1335,12 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     initial = emb.filter(F.col("vec_id") % 3 != 0)
     late = emb.filter(F.col("vec_id") % 3 == 0)
-    n = initial.count()
     # shared with sim_ann_ivf_append (same training split); the stream
-    # sink MUTATES the index, so copy the memoized base
+    # sink MUTATES the index, so copy the memoized base.  The
+    # fingerprint's row count IS the split count — no separate count
+    # job (r12 optimization).
     fp = _corpus_fingerprint(initial, "vec_id", "embedding")
+    n = fp[0]
     cents = trained_centroids_cached(
         initial, f"{sf_dir}|mod3", iters=_IVF_ITERS, n=n, fingerprint=fp
     )
@@ -1411,7 +1418,8 @@ def sim_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     approx = ivf_topk_trained(
-        emb, probes, k=_IVF_K, iters=_IVF_ITERS, nprobe_frac=_NPROBE_FRAC
+        emb, probes, k=_IVF_K, iters=_IVF_ITERS, nprobe_frac=_NPROBE_FRAC,
+        n=table_count(spark, sf_dir, "embeddings"),
     ).select("query_id", F.col("neighbor_id").alias("_hit_id"))
     joined = exact.join(
         approx,
@@ -1532,7 +1540,8 @@ def sim_ann_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     approx = ivf_topk_trained(
-        emb, probes, k=_IVF_K, iters=_IVF_ITERS, nprobe=_CLUSTERED_NPROBE
+        emb, probes, k=_IVF_K, iters=_IVF_ITERS, nprobe=_CLUSTERED_NPROBE,
+        n=n,
     ).select("query_id", F.col("neighbor_id").alias("_hit_id"))
     joined = exact.join(
         approx,

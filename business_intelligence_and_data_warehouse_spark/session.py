@@ -31,6 +31,14 @@ def shuffle_partitions_for(
     know their scale (bench harness, scale-ramp audit) pass the
     result as ``get_spark(shuffle_partitions=...)``; on a real cluster
     the same formula applies with the cluster-wide core count.
+
+    r12 A/B (kept at 16): dropping the floor to max(8, cpus//4) looked
+    right from the single-exchange micro-benchmark (one 100k-row
+    exchange: 8/16/64 partitions = 0.09/0.21/0.46 s) but co-measured
+    a 3-4% geomean LOSS across a 24-query battery subset (worst
+    dedup_simhash 1.26x) — the medium shuffles lose task parallelism
+    faster than the small exchanges save file fan-out.  The floor
+    stays 16; the data-sized ``need`` term owns every real volume.
     """
     need = -(-max(data_bytes, 1) // target_partition_bytes)  # ceil div
     return max(max(16, cpus // 2), min(need, 8 * cpus))
@@ -99,6 +107,8 @@ def get_spark(
         # real cluster this must scale with the data: set
         # SPARK_GRAFT_SHUFFLE_PARTITIONS to ~2-3x the executor-core
         # count (thousands at 100 TB) and let AQE coalesce down.
+        # (r12 A/B: floor 8 co-measured 3-4% slower battery-wide —
+        # see shuffle_partitions_for; 16 stays.)
         shuffle_partitions = int(
             os.environ.get(
                 "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(16, cpus // 2))
@@ -111,6 +121,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE (r12, measured negative): preferSortMergeJoin=false +
+        # adaptive.maxShuffledHashJoinLocalMapThreshold (the guide §9
+        # "allow shuffled hash join" pair) co-measured ~6% SLOWER
+        # geomean on the SMJ-carrying battery subset at sf0.1
+        # (tools/co_measure.py, 3 interleaved passes vs the r12 base
+        # tree; worst sim_ann_ivfpq 1.51x) — at local shuffle sizes the
+        # sorts SHJ avoids are cheaper than its per-partition hash-map
+        # builds.  Left at Spark defaults; on a real cluster with
+        # 100 MB+ post-shuffle partitions the trade reverses and the
+        # pair belongs in the submit-time conf, not baked here.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # NOTE: on this VM, large JVM heaps (>=8g) cause page-fault/GC

@@ -463,9 +463,10 @@ def test_no_collect_in_query_code_paths():
         ("streaming/sinks.py", ").collect()[0]"),
         # bounded: the dedup index's ONE-ROW build-params record
         ("operators/dedup.py", 'parquet(index_dir + "/meta").collect()'),
-        # bounded: the BPE trainer's one-row-per-iteration merge pick
-        # (the trainer's inherent sync point; vocabulary-sized agg)
-        ("operators/vocab.py", ".limit(1).collect()"),
+        # bounded: the BPE trainer's per-sync-round merge pick — at
+        # most scan+1 <= 1025 tiny rows (r12 batched trainer; was the
+        # one-row-per-merge pick, the trainer's inherent sync point)
+        ("operators/vocab.py", ".limit(scan + 1).collect()"),
         # bounded: the driver-side BPE trainer's vocabulary-sized
         # (word-type, freq) working set — the single-node trainer
         # shape every production BPE implementation uses
