@@ -540,6 +540,91 @@ def _corpus_fingerprint(df: DataFrame, id_col: str, vec_col: str) -> tuple:
     return (row["n"], digest)
 
 
+# bound on the driver-side codebook copy for the vectorized encode
+# path (the production codebook is ~256 entries; 4096 leaves headroom
+# for test geometries while keeping the copy a few MB at any dim)
+_ENCODE_CB_CAP = 4096
+
+
+def _pq_encode_batched(
+    vectors: DataFrame,
+    cb_rows,
+    num_subspaces: int,
+    subdim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vid, j, code) corpus encode as ONE ``mapInArrow`` pass: each
+    task holds the (bounded) codebook as numpy arrays and computes all
+    ``num_subspaces`` snapped-L2 argmins per vector in vectorized
+    chunks — the same ``FLOOR((x-y)^2 * 1e6)`` int64 sums and
+    smaller-code tie-break as the broadcast-join form, with N rows
+    crossing the Python boundary instead of N·m·K.
+
+    Parity notes: float32 -> float64 widening is exact on both paths
+    (Spark's Row collect widens FloatType the same way numpy's astype
+    does); codebook rows are sorted by code ascending so numpy's
+    first-minimum argmin IS the ``min(struct(d, code))`` tie-break."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    m = num_subspaces
+    ordered = sorted(cb_rows, key=lambda r: r["code"])
+    code_ids = _np.array([r["code"] for r in ordered], dtype=_np.int64)
+    cbm = _np.array([list(r["v"]) for r in ordered], dtype=_np.float64)
+
+    src = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+
+    def encode(batches):
+        cb_sub = [
+            _np.ascontiguousarray(cbm[:, j * subdim:(j + 1) * subdim])
+            for j in range(m)
+        ]
+        for batch in batches:
+            vids = batch.column("vid").to_numpy(zero_copy_only=False)
+            n_rows = len(vids)
+            if n_rows == 0:
+                continue
+            # flatten() honors list offsets (embedding cells are
+            # non-null fixed-dim by contract), so the reshape is safe
+            x = (
+                batch.column("vec")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n_rows, -1)
+                .astype(_np.float64)
+            )
+            out_codes = _np.empty((n_rows, m), dtype=_np.int64)
+            # chunk rows so the (rows, K, subdim) temp stays ~tens of MB
+            step = max(1, (8 << 20) // max(1, len(code_ids) * subdim * 8))
+            for lo in range(0, n_rows, step):
+                hi = min(n_rows, lo + step)
+                for j in range(m):
+                    d = (
+                        x[lo:hi, None, j * subdim:(j + 1) * subdim]
+                        - cb_sub[j][None, :, :]
+                    )
+                    dist = (
+                        _np.floor(d * d * DOT_SCALE)
+                        .astype(_np.int64)
+                        .sum(axis=2)
+                    )
+                    out_codes[lo:hi, j] = code_ids[dist.argmin(axis=1)]
+            yield _pa.record_batch(
+                {
+                    "vid": _np.repeat(vids, m),
+                    "j": _np.tile(
+                        _np.arange(m, dtype=_np.int32), n_rows
+                    ),
+                    "code": out_codes.reshape(-1),
+                }
+            )
+
+    return src.mapInArrow(encode, "vid long, j int, code long")
+
+
 def _pq_codes(
     vectors: DataFrame,
     probes: DataFrame,
@@ -572,43 +657,59 @@ def _pq_codes(
             f"dim {dim} not divisible by num_subspaces {num_subspaces}"
         )
     subdim = dim // num_subspaces
-    sub = _subspace_rows(vectors, num_subspaces, subdim, id_col, vec_col)
-    cb = (
-        vectors.filter(F.col(id_col) % codebook_stride == 0)
-        .select(F.col(id_col).alias("code"), F.col(vec_col).alias("v"))
-        .select(
-            "code",
-            F.inline(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            F.slice(
-                                F.col("v"), j * subdim + 1, subdim
-                            ).alias("csub"),
-                        )
-                        for j in range(num_subspaces)
-                    ]
-                )
-            ),
-        )
+    cb_src = vectors.filter(F.col(id_col) % codebook_stride == 0).select(
+        F.col(id_col).alias("code"), F.col(vec_col).alias("v")
     )
-    # encode: nearest code per (vector, subspace); min(struct) gives a
-    # deterministic argmin with the tie broken on the smaller code
-    codes = (
-        sub.join(F.broadcast(cb), "j")
-        .select(
-            "vid",
-            "j",
-            F.struct(
-                l2_dec_batch(F.col("sub"), F.col("csub")).alias("d"),
-                F.col("code").alias("code"),
-            ).alias("dc"),
-        )
-        .groupBy("vid", "j")
-        .agg(F.min("dc").alias("best"))
-        .select("vid", "j", F.col("best.code").alias("code"))
+    cb = cb_src.select(
+        "code",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(
+                            F.col("v"), j * subdim + 1, subdim
+                        ).alias("csub"),
+                    )
+                    for j in range(num_subspaces)
+                ]
+            )
+        ),
     )
+    # encode: nearest code per (vector, subspace), tie -> smaller code.
+    # r12: when the codebook is bounded (the production ~256-entry
+    # sizing; take() caps the driver copy), the whole per-vector argmin
+    # runs as ONE vectorized numpy pass per Arrow batch — N corpus rows
+    # cross the Python boundary instead of the N·m·K joined rows the
+    # broadcast-join + min(struct) form shipped through l2_dec_batch
+    # (guide §4.2: batch work into native code; §2.3: don't materialize
+    # a fan-out you immediately aggregate away).  Identical snapped
+    # arithmetic, identical tie-break (codes sorted ascending, argmin
+    # returns the first minimum) — hash-pinned by the PQ oracles.  An
+    # over-cap codebook (the legacy fixed-stride ramp form, N/stride
+    # entries) falls back to the join path rather than collecting an
+    # unbounded table.
+    cb_rows = cb_src.take(_ENCODE_CB_CAP + 1)
+    if len(cb_rows) <= _ENCODE_CB_CAP:
+        codes = _pq_encode_batched(
+            vectors, cb_rows, num_subspaces, subdim, id_col, vec_col
+        )
+    else:
+        sub = _subspace_rows(vectors, num_subspaces, subdim, id_col, vec_col)
+        codes = (
+            sub.join(F.broadcast(cb), "j")
+            .select(
+                "vid",
+                "j",
+                F.struct(
+                    l2_dec_batch(F.col("sub"), F.col("csub")).alias("d"),
+                    F.col("code").alias("code"),
+                ).alias("dc"),
+            )
+            .groupBy("vid", "j")
+            .agg(F.min("dc").alias("best"))
+            .select("vid", "j", F.col("best.code").alias("code"))
+        )
     if codes_tag is not None:
         # serve the corpus encode from the per-process parquet memo:
         # first caller in a session materializes it, the rest of the
