@@ -938,6 +938,29 @@ def _nearest_centroids(
             F.col("cnorm"),
         ).alias("cosine"),
     )
+    if n == 1:
+        # the corpus-sized case (training assign, index build, append):
+        # a partial-aggregated argmax shuffles ONE row per (mapper,
+        # vid) instead of sorting the full N·cells scored table in a
+        # window (guide §2.3 — aggregate before the shuffle).  Ordering
+        # is the window's exactly: max(struct(cosine, -cvid)) picks
+        # highest cosine, tie -> smaller cvid (bigger negation); a
+        # NULL cosine field sorts below every non-null struct, the
+        # DESC-NULLS-LAST the window form had.  -0.0 cannot occur (a
+        # zero snapped dot divides to +0.0), so the double ordering is
+        # unambiguous.
+        return (
+            scored.groupBy("vid")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cosine").alias("cos"),
+                        (-F.col("cvid")).alias("neg"),
+                    )
+                ).alias("best")
+            )
+            .select("vid", (-F.col("best.neg")).alias("cvid"))
+        )
     w = W.partitionBy("vid").orderBy(F.desc("cosine"), F.col("cvid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
