@@ -690,7 +690,11 @@ def _pq_codes(
     # entries) falls back to the join path rather than collecting an
     # unbounded table.
     cb_rows = cb_src.take(_ENCODE_CB_CAP + 1)
-    if len(cb_rows) <= _ENCODE_CB_CAP:
+    # len == 0 (empty corpus, or no id % stride == 0 rows) must take the
+    # join path: the batched encoder builds a (K, dim) matrix and a
+    # zero-row one is 1-D, so the subspace slice would raise in-task —
+    # the join form returns the same empty (vid, j, code) table instead
+    if 0 < len(cb_rows) <= _ENCODE_CB_CAP:
         codes = _pq_encode_batched(
             vectors, cb_rows, num_subspaces, subdim, id_col, vec_col
         )

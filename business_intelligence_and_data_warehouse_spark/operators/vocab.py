@@ -300,16 +300,26 @@ def bpe_train(
     #
     #   * walk the (count desc, a, b) order, accumulating pairs that
     #     share no symbol with any earlier accepted pair; stop at the
-    #     first interacting pair (count = c_stop);
+    #     first interacting pair OR the first SELF-pair (a == b)
+    #     (count = c_stop);
     #   * keep only accepted pairs with count STRICTLY > c_stop and
     #     > the (scan+1)-th count (the bound on everything unscanned).
     #
-    # Rank-identity proof: merging (x, y) -> XY changes the count of a
-    # pair (a, b) only if {a, b} ∩ {x, y} ≠ ∅ (XY is a fresh private-
-    # use symbol, never equal to a or b, so adjacencies of untouched
-    # symbols are preserved verbatim), and every pair CREATED by the
-    # merge — (w, XY) or (XY, z) — has count ≤ the old count of the
-    # interacting pair (w, x) / (y, z) it replaces, hence ≤ c_stop.
+    # Rank-identity proof: merging (x, y) with x ≠ y -> XY changes the
+    # count of a pair (a, b) only if {a, b} ∩ {x, y} ≠ ∅ (XY is a fresh
+    # private-use symbol, never equal to a or b, so adjacencies of
+    # untouched symbols are preserved verbatim), and every pair CREATED
+    # by the merge — (w, XY) or (XY, z) — has count ≤ the old count of
+    # the interacting pair (w, x) / (y, z) it replaces, hence ≤ c_stop.
+    # A SELF-pair (x, x) breaks that bound: over a symbol run of ≥ 3
+    # ("xxx" -> "Zx") the created pairs (Z, x) / (Z, Z) replace
+    # occurrences of the accepted pair ITSELF, so their counts derive
+    # from its count (> c_stop) and can outrank remaining batch pairs
+    # (r12 advisor repro: {'xxx':100,'pq':60} — sequential picks (Z,x)
+    # at rank 2, the unguarded batch picked (p,q)).  A self-pair
+    # therefore TERMINATES the batch like an interacting pair; when it
+    # is the top row, the rows[0] fallback reproduces the exact
+    # sequential pick (one merge, then a fresh recount).
     # So at each sequential step inside the batch the true trainer's
     # candidate set is {remaining batch pairs, counts > c_stop} ∪
     # {changed/new/unscanned pairs, counts ≤ c_stop}: it picks exactly
@@ -330,7 +340,7 @@ def bpe_train(
         touched: set[str] = set()
         c_stop = c_unseen
         for r in rows[:scan]:
-            if r.a in touched or r.b in touched:
+            if r.a == r.b or r.a in touched or r.b in touched:
                 c_stop = max(c_stop, int(r.pair_count))
                 break
             accepted.append((r.a, r.b, int(r.pair_count)))

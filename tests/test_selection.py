@@ -395,6 +395,27 @@ def test_pq_full_codebook_recovers_exact_l2_ranking(spark):
     assert got == [(d, i) for d, i in exact]
 
 
+def test_pq_empty_codebook_returns_empty_not_crash(spark):
+    """r12 advisor (low): a stride that selects NO codebook rows (no
+    id % stride == 0) must route to the join path and yield an empty
+    result — the batched encoder would build a 1-D zero-row codebook
+    matrix and raise IndexError in every task."""
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    rows = [
+        (i, [float((i * 3 + j * 5) % 11) for j in range(8)])
+        for i in range(1, 6)  # ids 1..5: none divisible by stride 100
+    ]
+    vecs = _vecs(spark, rows)
+    probes = vecs.filter(F.col("vec_id") == 1)
+    out = pq_topk(
+        vecs, probes, k=3, dim=8, num_subspaces=2, centroid_stride=100
+    ).collect()
+    assert out == []
+
+
 def test_pq_codes_are_nearest_codebook_entries(spark):
     # coarse codebook: vectors cluster tightly around two codebook
     # entries; ADC must rank the same-cluster neighbor first

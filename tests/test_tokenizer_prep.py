@@ -488,6 +488,36 @@ def test_bpe_local_trainer_matches_distributed(spark):
     )
 
 
+def test_bpe_batched_trainer_self_pair_terminates_batch(spark):
+    """r12 advisor (high): a SELF-pair merge (x,x)->Z over a symbol run
+    of >= 3 creates pairs (Z,x)/(Z,Z) whose counts derive from the
+    accepted pair's OWN count (> c_stop), so they can outrank remaining
+    batch pairs — the batch walk must terminate at a self-pair instead
+    of accepting past it.  Repro corpora: {'xxx':100,'pq':60} diverged
+    at rank 2 (sequential (Z,x,100) vs the unguarded batch's (p,q,60));
+    'xxxx' exercises the created (Z,Z) pair."""
+    from business_intelligence_and_data_warehouse_spark.operators.vocab import (
+        bpe_train,
+        bpe_train_local,
+    )
+
+    for freqs, n in [
+        ({"xxx": 100, "pq": 60}, 2),
+        ({"xxxx": 50, "ab": 30, "cd": 20}, 3),
+        ({"aaab": 40, "bb": 35, "cd": 30}, 4),
+    ]:
+        wf = spark.createDataFrame(
+            list(freqs.items()), "w string, freq bigint"
+        )
+        dist_merges, dist_words = bpe_train(wf, n)
+        loc_merges, loc_words = bpe_train_local(wf, n)
+        assert dist_merges == loc_merges, freqs
+        assert (
+            {r.w0: r.w for r in dist_words.collect()}
+            == {r.w0: r.w for r in loc_words.collect()}
+        ), freqs
+
+
 def test_bpe_distributed_equals_local_at_ramp_depth(spark):
     """VERDICT r10 item 2: the oracle ladder validates BPE training to
     sf0.01 exhaustion (~89 merges); ranks beyond that rested on
