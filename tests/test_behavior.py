@@ -166,3 +166,22 @@ def test_bench_detail_artifact_written(tmp_path, monkeypatch):
     assert detail["round"] == 4
     assert detail["n_failed"] == 1 and detail["n_queries"] == 2
     assert detail["sf"] == 0.1
+
+    # r13 (VERDICT r12 item 3): a non-default-core run must NOT claim
+    # the canonical round file (the driver's 8-core r12 scaling run
+    # overwrote BENCH_DETAIL_r13.json) — it carries a _c{cpus} suffix
+    bench._write_detail(timings, 1.5, "/root/testdata/sf0.1", cpus=8)
+    c8 = json.loads((tmp_path / "BENCH_DETAIL_r04_c8.json").read_text())
+    assert c8["cpus"] == 8 and c8["queries"] == timings
+    # the machine's full core count IS the default run -> no suffix
+    bench._write_detail(
+        timings, 1.5, "/root/testdata/sf0.1", cpus=bench.os.cpu_count()
+    )
+    assert json.loads(
+        (tmp_path / "BENCH_DETAIL_r04.json").read_text()
+    )["cpus"] == bench.os.cpu_count()
+    # explicit tag pins the artifact name outright (sanitized)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_TAG", "r99 base/A")
+    bench._write_detail(timings, 1.5, "/root/testdata/sf0.1")
+    assert (tmp_path / "BENCH_DETAIL_r99_base_A.json").exists()
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_TAG")
