@@ -994,6 +994,276 @@ def _cosine_for_pairs_normed(pairs: DataFrame, normed: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Collected-panel Arrow scorers (r13).  A SERVING probe batch is a small
+# panel by design (the declared serving/append/ingest queries probe a
+# FIXED 50-id panel at every scale), and a trained quantizer's centroid
+# set is √N-bounded — so both fit on the driver and inside every task.
+# Holding them in-task turns the IVF verify from a join pipeline
+# (candidates ⋈ probes ⋈ corpus → per-pair pandas UDF, which ships BOTH
+# vectors across the Python boundary per candidate pair — guide §4.2's
+# N·m·K lesson) into ONE corpus-side pass: each scanned row crosses the
+# Arrow boundary once, is scored against the in-task panel with the
+# identical snapped-numpy arithmetic `dot_dec_batch` uses, and only
+# per-batch top-k survivors flow into the final exact rank.  Over-cap
+# panels/centroid sets keep the join/window form (the fallbacks below)
+# — the caps are driver/task memory bounds, not correctness bounds.
+_PANEL_CAP = 1024
+_SCORER_CENTROID_CAP = 4096
+
+
+def _rows_matrix(rows) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ids, vec matrix float64, norms) from collected normed rows
+    (vid, vec, norm), sorted by vid ascending.  float32→float64 widen
+    is exact, so the matrix replays the JVM values bit for bit."""
+    rows = sorted(rows, key=lambda r: r["vid"])
+    ids = np.array([int(r["vid"]) for r in rows], dtype=np.int64)
+    vecs = np.array([list(r["vec"]) for r in rows], dtype=np.float64)
+    norms = np.array([float(r["norm"]) for r in rows], dtype=np.float64)
+    return ids, vecs, norms
+
+
+def _snapped_cos_block(
+    qvec: np.ndarray, qnorm: float, cmat: np.ndarray, cnorms: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cosine, isnull) of one probe against a vector block — the same
+    value chain as ``_cosine(dot_dec_batch(...), qnorm, cnorm)``:
+    float64 IEEE multiply, floor to scaled int64, exact integer row
+    sum, double divide, NULL where the norm product is exactly 0."""
+    d = (
+        np.floor(cmat * qvec * DOT_SCALE).astype(np.int64).sum(axis=1)
+        / DOT_SCALE
+    )
+    prod = qnorm * cnorms
+    isnull = prod == 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = d / prod
+    return cos, isnull
+
+
+def _numpy_probe_cells(
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    qnorms: np.ndarray,
+    cvids: np.ndarray,
+    cmat: np.ndarray,
+    cnorms: np.ndarray,
+    nprobe: int,
+) -> dict[int, list[int]]:
+    """{probe id -> its nprobe nearest cell ids} — the numpy replica of
+    ``_nearest_centroids(probes_n, cents_n, nprobe)``: snapped cosine,
+    rank by (cosine DESC NULLS LAST, cvid ASC), first nprobe rows.
+    ``cvids`` must be ascending (``_rows_matrix`` guarantees it), so a
+    stable sort on descending filled cosine IS the window's order.
+    Parity is pinned by tests/test_selection.py."""
+    out: dict[int, list[int]] = {}
+    for i in range(len(qids)):
+        cos, isnull = _snapped_cos_block(qmat[i], qnorms[i], cmat, cnorms)
+        filled = np.where(isnull, -np.inf, cos)
+        order = np.argsort(-filled, kind="stable")
+        out[int(qids[i])] = [int(c) for c in cvids[order[:nprobe]]]
+    return out
+
+
+def _emit_pairs_topk(qids, cids, cos, isnull, k: int):
+    """One Arrow record batch of the per-qid top-k of the given pair
+    arrays under the exact final order (cosine DESC NULLS LAST, cid
+    ASC).  Emitting only per-batch survivors is lossless: the global
+    top-k of a union is the top-k of per-chunk top-k's under a total
+    order, and the final window re-ranks exactly."""
+    import pyarrow as _pa
+
+    filled = np.where(isnull, -np.inf, cos)
+    order = np.lexsort((cids, -filled, qids))
+    qs = qids[order]
+    pos = np.arange(len(order))
+    starts = np.maximum.accumulate(
+        np.where(np.r_[True, qs[1:] != qs[:-1]], pos, 0)
+    )
+    keep = order[pos - starts < k]
+    return _pa.record_batch(
+        {
+            "qid": _pa.array(qids[keep], type=_pa.int64()),
+            "cid": _pa.array(cids[keep], type=_pa.int64()),
+            "cosine": _pa.array(
+                np.where(isnull, 0.0, cos)[keep],
+                type=_pa.float64(),
+                mask=isnull[keep],
+            ),
+        }
+    )
+
+
+def _pairs_topk_window(pairs: DataFrame, k: int) -> DataFrame:
+    """The shared exact final rank: (query_id, neighbor_id, rank,
+    cosine), rank = row_number over (cosine DESC, cid) per qid."""
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
+def _batch_vec_matrix(batch, name: str, n_rows: int) -> np.ndarray:
+    """float64 (rows, dim) matrix of a list<float> column — flatten()
+    honors list offsets (embedding cells are non-null fixed-dim by
+    contract), so the reshape is safe; the widen is exact."""
+    return (
+        batch.column(name)
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .reshape(n_rows, -1)
+        .astype(np.float64)
+    )
+
+
+def _panel_cells_topk(
+    cells: DataFrame,
+    panel_rows,
+    cent_rows,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Serving-probe top-k over a prebuilt cell table with the panel
+    held in-task: probe→cell choice runs in driver numpy (the
+    `_nearest_centroids` replica), the cells scan STATICALLY prunes to
+    the probed cell partitions (PartitionFilters — stronger than the
+    r12 DPP subquery: no subquery job at all), and one MapInArrow pass
+    scores each cell row against exactly the probes that probed its
+    cell.  Zero joins; the only exchange is the final tiny rank."""
+    qids, qmat, qnorms = _rows_matrix(panel_rows)
+    cvids, cmat, cnorms = _rows_matrix(cent_rows)
+    probe_cells = _numpy_probe_cells(
+        qids, qmat, qnorms, cvids, cmat, cnorms, nprobe
+    )
+    cell_probes: dict[int, list[int]] = {}
+    for i, qid in enumerate(qids):
+        for cv in probe_cells[int(qid)]:
+            cell_probes.setdefault(cv, []).append(i)
+    scan = cells.filter(
+        F.col("cvid").isin(sorted(cell_probes))
+    ).select("cvid", "vid", "vec", "norm")
+
+    def score(batches):
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            cv = batch.column("cvid").to_numpy(zero_copy_only=False)
+            cid = batch.column("vid").to_numpy(zero_copy_only=False)
+            cm = _batch_vec_matrix(batch, "vec", n_rows)
+            cn = batch.column("norm").to_numpy(zero_copy_only=False)
+            oq, oc, ocos, onull = [], [], [], []
+            for cell in np.unique(cv):
+                pidx = cell_probes.get(int(cell))
+                if not pidx:
+                    continue
+                rows = np.nonzero(cv == cell)[0]
+                csub, cnsub, cidsub = cm[rows], cn[rows], cid[rows]
+                for i in pidx:
+                    cos, isnull = _snapped_cos_block(
+                        qmat[i], qnorms[i], csub, cnsub
+                    )
+                    m = cidsub != qids[i]
+                    oq.append(np.full(int(m.sum()), qids[i], dtype=np.int64))
+                    oc.append(cidsub[m])
+                    ocos.append(cos[m])
+                    onull.append(isnull[m])
+            if oq and sum(len(a) for a in oq):
+                yield _emit_pairs_topk(
+                    np.concatenate(oq),
+                    np.concatenate(oc),
+                    np.concatenate(ocos),
+                    np.concatenate(onull),
+                    k,
+                )
+
+    pairs = scan.mapInArrow(score, "qid long, cid long, cosine double")
+    return _pairs_topk_window(pairs, k)
+
+
+def _corpus_panel_topk(
+    corpus_n: DataFrame,
+    cent_rows,
+    panel_rows,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """One-pass IVF top-k with centroids AND panel held in-task: each
+    scanned corpus row is assigned to its nearest centroid (the numpy
+    replica of `_nearest_centroids(..., 1)`: snapped cosine argmax,
+    ties → smaller cvid, all-NULL → smallest cvid) and, when that cell
+    is probed, scored against the cell's probes — so the whole verify
+    is ONE MapInArrow scan of the pinned normed corpus with no
+    assignment groupBy, no candidate join+distinct, and no per-pair
+    vector shuffle (the old path's three exchanges)."""
+    qids, qmat, qnorms = _rows_matrix(panel_rows)
+    cvids, cmat, cnorms = _rows_matrix(cent_rows)
+    probe_cells = _numpy_probe_cells(
+        qids, qmat, qnorms, cvids, cmat, cnorms, nprobe
+    )
+    cell_probes: dict[int, list[int]] = {}
+    for i, qid in enumerate(qids):
+        for cv in probe_cells[int(qid)]:
+            cell_probes.setdefault(cv, []).append(i)
+    scan = corpus_n.select("vid", "vec", "norm")
+
+    def score(batches):
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            cid = batch.column("vid").to_numpy(zero_copy_only=False)
+            cm = _batch_vec_matrix(batch, "vec", n_rows)
+            cn = batch.column("norm").to_numpy(zero_copy_only=False)
+            # assignment: iterate centroids in ASCENDING cvid with a
+            # strict > update — ties keep the earlier (smaller) cvid,
+            # NULL cosines (norm product 0) fill -inf so an all-NULL
+            # row keeps the initial smallest cvid, exactly the
+            # max(struct(cosine, -cvid)) ordering of the JVM assign
+            best = np.full(n_rows, -np.inf)
+            bestc = np.full(n_rows, cvids[0], dtype=np.int64)
+            for j in range(len(cvids)):
+                cos, isnull = _snapped_cos_block(cmat[j], cnorms[j], cm, cn)
+                filled = np.where(isnull, -np.inf, cos)
+                upd = filled > best
+                best = np.where(upd, filled, best)
+                bestc[upd] = cvids[j]
+            oq, oc, ocos, onull = [], [], [], []
+            for cell in np.unique(bestc):
+                pidx = cell_probes.get(int(cell))
+                if not pidx:
+                    continue
+                rows = np.nonzero(bestc == cell)[0]
+                csub, cnsub, cidsub = cm[rows], cn[rows], cid[rows]
+                for i in pidx:
+                    cos, isnull = _snapped_cos_block(
+                        qmat[i], qnorms[i], csub, cnsub
+                    )
+                    m = cidsub != qids[i]
+                    oq.append(np.full(int(m.sum()), qids[i], dtype=np.int64))
+                    oc.append(cidsub[m])
+                    ocos.append(cos[m])
+                    onull.append(isnull[m])
+            if oq and sum(len(a) for a in oq):
+                yield _emit_pairs_topk(
+                    np.concatenate(oq),
+                    np.concatenate(oc),
+                    np.concatenate(ocos),
+                    np.concatenate(onull),
+                    k,
+                )
+
+    pairs = scan.mapInArrow(score, "qid long, cid long, cosine double")
+    return _pairs_topk_window(pairs, k)
+
+
 def _ivf_candidates(
     vectors: DataFrame,
     probes: DataFrame,
@@ -1061,22 +1331,30 @@ def ivf_topk(
     norm-hungry branches (cell assign, centroid set, pair verify) —
     without the pin each branch re-derives the map-side norm over the
     whole corpus, a ~2× constant-factor regression measured at sf0.1.
+
+    r13: when the probe panel and centroid set are cap-bounded, the
+    whole verify collapses to :func:`_corpus_panel_topk` — ONE
+    MapInArrow pass over the pinned corpus (in-task assignment +
+    panel scoring), no assignment groupBy, no candidate join+distinct,
+    no per-pair vector shuffle.  Over-cap inputs (e.g. this stride
+    quantizer's corpus/stride centroid growth at extreme scale) keep
+    the join/window form below.
     """
+    from .caching import pin
+
+    corpus_n = pin(_normed(vectors, id_col, vec_col))
+    probes_n = _normed(probes, id_col, vec_col)
+    panel = probes_n.take(_PANEL_CAP + 1)
+    cents_n = corpus_n.filter(F.col("vid") % centroid_stride == 0)
+    if 0 < len(panel) <= _PANEL_CAP:
+        cent_rows = cents_n.take(_SCORER_CENTROID_CAP + 1)
+        if 0 < len(cent_rows) <= _SCORER_CENTROID_CAP:
+            return _corpus_panel_topk(corpus_n, cent_rows, panel, k, nprobe)
     candidates, corpus_n = _ivf_candidates(
         vectors, probes, centroid_stride, nprobe, id_col, vec_col
     )
     pairs = _cosine_for_pairs_normed(candidates, corpus_n)
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("cid").alias("neighbor_id"),
-            "rank",
-            "cosine",
-        )
-    )
+    return _pairs_topk_window(pairs, k)
 
 
 def _centroid_arrays(cq: DataFrame) -> DataFrame:
@@ -1248,8 +1526,17 @@ def ivf_topk_trained(
             corpus_n=corpus_n, n=n,
         )
     )
-    assign = _nearest_centroids(corpus_n, cents_n, 1)
     probes_n = _normed(probes, id_col, vec_col)
+    # r13: trained centroids are √N-bounded and a probe batch is a
+    # panel — when both fit the caps the verify is ONE MapInArrow pass
+    # over the pinned corpus (see _corpus_panel_topk); the join/window
+    # form below remains for over-cap inputs
+    panel = probes_n.take(_PANEL_CAP + 1)
+    if 0 < len(panel) <= _PANEL_CAP:
+        cent_rows = cents_n.take(_SCORER_CENTROID_CAP + 1)
+        if 0 < len(cent_rows) <= _SCORER_CENTROID_CAP:
+            return _corpus_panel_topk(corpus_n, cent_rows, panel, k, nprobe)
+    assign = _nearest_centroids(corpus_n, cents_n, 1)
     probe_cells = _nearest_centroids(
         probes_n, cents_n, nprobe
     ).withColumnRenamed("vid", "qid")
@@ -1260,17 +1547,7 @@ def ivf_topk_trained(
         .distinct()
     )
     pairs = _cosine_for_pairs_normed(candidates, corpus_n)
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("cid").alias("neighbor_id"),
-            "rank",
-            "cosine",
-        )
-    )
+    return _pairs_topk_window(pairs, k)
 
 
 def build_ivf_index(
@@ -1563,13 +1840,27 @@ def ivf_probe_index(
     against a prebuilt :func:`build_ivf_index` — the centroid read is
     tiny, the per-probe cell choice broadcasts, and the cells scan
     partition-prunes to the probed cells (plan-gated in
-    tests/test_plans.py)."""
+    tests/test_plans.py).
+
+    r13: a serving probe batch is a PANEL by design (the declared
+    serving queries probe a fixed 50-id set at every scale), so when
+    panel and centroid set fit the caps the probe runs as
+    :func:`_panel_cells_topk` — probe→cell choice in driver numpy, the
+    cells scan statically pruned to the probed partitions
+    (PartitionFilters, no DPP subquery job), one MapInArrow scoring
+    pass, zero joins.  Over-cap batches keep the r12 DPP join form
+    below."""
     cents_n = spark.read.parquet(index_dir + "/centroids")
     probes_n = _normed(probes, id_col, vec_col)
+    cells = spark.read.parquet(index_dir + "/cells")
+    panel = probes_n.take(_PANEL_CAP + 1)
+    if 0 < len(panel) <= _PANEL_CAP:
+        cent_rows = cents_n.take(_SCORER_CENTROID_CAP + 1)
+        if 0 < len(cent_rows) <= _SCORER_CENTROID_CAP:
+            return _panel_cells_topk(cells, panel, cent_rows, k, nprobe)
     probe_cells = _nearest_centroids(probes_n, cents_n, nprobe).withColumnRenamed(
         "vid", "qid"
     )
-    cells = spark.read.parquet(index_dir + "/cells")
     # candidates CARRY the cell id: the verify join below keys on
     # (cvid, cid), so the WIDE cells scan (the one reading the vector
     # payload) partition-prunes to the probed cells exactly like the
@@ -1604,17 +1895,7 @@ def ivf_probe_index(
             ).alias("cosine"),
         )
     )
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("cid").alias("neighbor_id"),
-            "rank",
-            "cosine",
-        )
-    )
+    return _pairs_topk_window(pairs, k)
 
 
 def ivf_index_append(
@@ -2201,17 +2482,7 @@ def lsh_ann_probe(
     )
     corpus_n = pin(_normed(vectors, id_col, vec_col))
     pairs = _cosine_for_pairs_normed(candidates, corpus_n)
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("cid").alias("neighbor_id"),
-            "rank",
-            "cosine",
-        )
-    )
+    return _pairs_topk_window(pairs, k)
 
 
 # ---------------------------------------------------------------------------

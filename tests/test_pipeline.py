@@ -1180,3 +1180,138 @@ def test_ivf_cached_copy_is_fresh_and_seq_guard_skips_remote(spark, tmp_path):
     # scheme-qualified paths: recording is a silent no-op, not a crash
     _record_load("s3a://bucket/some/index", "label-1")
     _record_load("hdfs://nn:8020/idx", "label-2", reset=True)
+
+
+# ---------------------------------------------------------------------------
+# r13 collected-panel Arrow scorers: parity pins
+# ---------------------------------------------------------------------------
+
+def _tricky_vecs(spark):
+    """Corpus exercising the scorer edge cases: a ZERO vector (NULL
+    cosine everywhere), a vector on the exact bisector of two
+    centroids (cosine tie -> smaller cvid), plus generic points."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),      # centroid candidate (stride)
+        (3, [0.0, 1.0, 0.0]),      # centroid candidate (stride)
+        (1, [0.5, 0.5, 0.0]),      # exact bisector of 0 and 3 -> tie
+        (2, [0.0, 0.0, 0.0]),      # zero vector -> NULL cosine
+        (4, [0.9, 0.1, 0.0]),
+        (5, [0.1, 0.9, 0.0]),
+        (6, [0.7, 0.3, 0.1]),
+        (7, [0.2, 0.8, 0.3]),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_numpy_probe_cells_matches_nearest_centroids(spark):
+    """The driver-numpy probe->cell choice must replicate
+    `_nearest_centroids` bit for bit, including the NULL-cosine
+    (zero-norm) and cosine-tie orderings, at n=1 and n>1."""
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        _nearest_centroids,
+        _normed,
+        _numpy_probe_cells,
+        _rows_matrix,
+    )
+
+    vecs = _tricky_vecs(spark)
+    corpus_n = _normed(vecs, "vec_id", "embedding")
+    cents_n = corpus_n.filter(F.col("vid") % 3 == 0)
+    qids, qmat, qnorms = _rows_matrix(corpus_n.collect())
+    cvids, cmat, cnorms = _rows_matrix(cents_n.collect())
+    for n in (1, 2):
+        got = _numpy_probe_cells(qids, qmat, qnorms, cvids, cmat, cnorms, n)
+        jvm = _nearest_centroids(corpus_n, cents_n, n).collect()
+        want: dict[int, list[int]] = {}
+        for r in jvm:
+            want.setdefault(int(r.vid), []).append(int(r.cvid))
+        assert got == want, (n, got, want)
+
+
+def test_panel_scorer_matches_join_path(spark, tmp_path):
+    """End-to-end pin: the collected-panel Arrow fast paths of
+    ivf_topk / ivf_topk_trained / ivf_probe_index must return
+    EXACTLY the rows of the join/window fallback (forced via the
+    panel cap) on the edge-case corpus."""
+    import pytest
+
+    from business_intelligence_and_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_index,
+        ivf_topk,
+        ivf_topk_trained,
+    )
+
+    vecs = _tricky_vecs(spark)
+    probes = vecs.filter("vec_id in (1, 2, 4)")
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(vecs, index_dir, centroid_stride=3)
+
+    def run():
+        return [
+            sorted(
+                tuple(r)
+                for r in ivf_topk(
+                    vecs, probes, k=5, centroid_stride=3, nprobe=2
+                ).collect()
+            ),
+            sorted(
+                tuple(r)
+                for r in ivf_topk_trained(
+                    vecs, probes, k=5, iters=1, nprobe=2
+                ).collect()
+            ),
+            sorted(
+                tuple(r)
+                for r in ivf_probe_index(
+                    spark, index_dir, probes, k=5, nprobe=2
+                ).collect()
+            ),
+        ]
+
+    fast = run()
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(sim, "_PANEL_CAP", 0)
+        slow = run()
+    finally:
+        mp.undo()
+    assert fast == slow
+    assert all(len(x) > 0 for x in fast)
+
+
+def test_ivf_cells_stay_vid_disjoint_across_append(spark, tmp_path):
+    """VERDICT r12 item 8: the probe path's correctness (and the r12
+    DPP verify-join keying) rests on every vid living in EXACTLY ONE
+    (cell, load) row — pin it across build + two appends."""
+    from business_intelligence_and_data_warehouse_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+    )
+
+    vecs = _tricky_vecs(spark)
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(vecs.filter("vec_id % 3 != 2"), index_dir,
+                    centroid_stride=3)
+    ivf_index_append(spark, index_dir, vecs.filter("vec_id % 3 = 2"))
+    ivf_index_append(
+        spark,
+        index_dir,
+        spark.createDataFrame(
+            [(100, [0.3, 0.3, 0.9])], "vec_id long, embedding array<float>"
+        ),
+        src="late-load",
+    )
+    dup = (
+        spark.read.parquet(index_dir + "/cells")
+        .groupBy("vid")
+        .count()
+        .filter("count > 1")
+        .collect()
+    )
+    assert dup == [], f"vids in more than one cell row: {dup}"

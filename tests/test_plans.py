@@ -509,11 +509,17 @@ def test_no_collect_in_query_code_paths():
     )
 
 
-def test_ivf_probe_scan_partition_prunes(spark, tmp_path):
+def test_ivf_probe_scan_partition_prunes(spark, tmp_path, monkeypatch):
     """The probe-many half of the IVF index must read ONLY the probed
-    cell partitions: the cells scan carries a dynamic partition-pruning
-    filter on cvid fed by the probe-cell broadcast — without it every
-    probe batch re-reads the whole corpus index."""
+    cell partitions.  r13 fast path (panel-sized probe batch): the
+    cells scan carries a STATIC PartitionFilters IN-set on cvid (no
+    subquery job at all) and the verify is one MapInArrow pass with no
+    joins.  Over-cap fallback (forced via the cap): the r12 dynamic
+    partition-pruning join form — without either, every probe batch
+    re-reads the whole corpus index."""
+    from business_intelligence_and_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
     from business_intelligence_and_data_warehouse_spark.operators.similarity import (
         build_ivf_index,
         ivf_probe_index,
@@ -526,9 +532,17 @@ def test_ivf_probe_scan_partition_prunes(spark, tmp_path):
     index_dir = str(tmp_path / "ivf")
     build_ivf_index(emb, index_dir, centroid_stride=25)
     probes = emb.filter("vec_id % 100 = 0")
-    df = ivf_probe_index(spark, index_dir, probes, k=10, nprobe=4)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
+    df = ivf_probe_index(spark, index_dir, probes, k=10, nprobe=4)
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan, plan
+    assert re.search(r"PartitionFilters: \[cvid#\d+ IN", plan), plan
+    assert "MapInArrow" in plan, plan
+    assert "Join" not in plan, plan
+    # the over-cap fallback keeps the r12 DPP-pruned join form
+    monkeypatch.setattr(sim, "_PANEL_CAP", 0)
+    df = ivf_probe_index(spark, index_dir, probes, k=10, nprobe=4)
     plan = df._jdf.queryExecution().explainString(mode)
     assert "dynamicpruning" in plan.lower(), plan
