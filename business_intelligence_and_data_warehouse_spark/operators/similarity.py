@@ -1094,6 +1094,116 @@ def _emit_pairs_topk(qids, cids, cos, isnull, k: int):
     )
 
 
+def _assign_block(
+    cm: np.ndarray,
+    cn: np.ndarray,
+    cvids: np.ndarray,
+    cmat: np.ndarray,
+    cnorms: np.ndarray,
+) -> np.ndarray:
+    """Nearest-centroid id per row of a corpus block — the numpy
+    replica of ``_nearest_centroids(..., 1)``: iterate centroids in
+    ASCENDING cvid with a strict > update, so ties keep the earlier
+    (smaller) cvid; NULL cosines (norm product 0) fill -inf so an
+    all-NULL row keeps the initial smallest cvid — exactly the
+    ``max(struct(cosine, -cvid))`` ordering of the JVM assign.  Parity
+    is pinned end-to-end in tests/test_pipeline.py."""
+    best = np.full(len(cm), -np.inf)
+    bestc = np.full(len(cm), cvids[0], dtype=np.int64)
+    for j in range(len(cvids)):
+        cos, isnull = _snapped_cos_block(cmat[j], cnorms[j], cm, cn)
+        filled = np.where(isnull, -np.inf, cos)
+        upd = filled > best
+        best = np.where(upd, filled, best)
+        bestc[upd] = cvids[j]
+    return bestc
+
+
+def _assign_cells_arrow(corpus_n: DataFrame, cent_rows) -> DataFrame:
+    """(vid, vec, norm, cvid) — the corpus with its nearest-centroid
+    assignment attached IN-TASK (one MapInArrow pass, no broadcast
+    join, no assignment groupBy, no corpus re-join): the row batch
+    passes through untouched with one appended int64 column."""
+    cvids, cmat, cnorms = _rows_matrix(cent_rows)
+
+    def assign(batches):
+        import pyarrow as _pa
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            cm = _batch_vec_matrix(batch, "vec", n_rows)
+            cn = batch.column("norm").to_numpy(zero_copy_only=False)
+            bestc = _assign_block(cm, cn, cvids, cmat, cnorms)
+            yield batch.append_column(
+                "cvid", _pa.array(bestc, type=_pa.int64())
+            )
+
+    src = corpus_n.select("vid", "vec", "norm")
+    out_type = dict(src.dtypes)["vec"]
+    return src.mapInArrow(
+        assign, f"vid long, vec {out_type}, norm double, cvid long"
+    )
+
+
+def _panel_candidates_arrow(
+    corpus_n: DataFrame,
+    cent_rows,
+    panel_rows,
+    nprobe: int,
+) -> DataFrame:
+    """(qid, cid) IVF candidate pairs in ONE corpus pass: in-task
+    assignment + the in-task probe→cell map.  Replaces the assignment
+    groupBy, the probe-cell window, and the candidates join+distinct
+    (one cell per vid makes the pairs structurally unique; the
+    disjointness contract is pinned in tests/test_pipeline.py)."""
+    qids, qmat, qnorms = _rows_matrix(panel_rows)
+    cvids, cmat, cnorms = _rows_matrix(cent_rows)
+    probe_cells = _numpy_probe_cells(
+        qids, qmat, qnorms, cvids, cmat, cnorms, nprobe
+    )
+    cell_qids: dict[int, np.ndarray] = {}
+    for qid, cells in probe_cells.items():
+        for cv in cells:
+            cell_qids.setdefault(cv, []).append(qid)
+    cell_qids = {c: np.array(q, dtype=np.int64) for c, q in cell_qids.items()}
+
+    def gen(batches):
+        import pyarrow as _pa
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            cid = batch.column("vid").to_numpy(zero_copy_only=False)
+            cm = _batch_vec_matrix(batch, "vec", n_rows)
+            cn = batch.column("norm").to_numpy(zero_copy_only=False)
+            bestc = _assign_block(cm, cn, cvids, cmat, cnorms)
+            oq, oc = [], []
+            for cell in np.unique(bestc):
+                qs = cell_qids.get(int(cell))
+                if qs is None:
+                    continue
+                rows = cid[bestc == cell]
+                pairs_q = np.repeat(qs, len(rows))
+                pairs_c = np.tile(rows, len(qs))
+                m = pairs_q != pairs_c
+                oq.append(pairs_q[m])
+                oc.append(pairs_c[m])
+            if oq and sum(len(a) for a in oq):
+                yield _pa.record_batch(
+                    {
+                        "qid": _pa.array(np.concatenate(oq)),
+                        "cid": _pa.array(np.concatenate(oc)),
+                    }
+                )
+
+    return corpus_n.select("vid", "vec", "norm").mapInArrow(
+        gen, "qid long, cid long"
+    )
+
+
 def _pairs_topk_window(pairs: DataFrame, k: int) -> DataFrame:
     """The shared exact final rank: (query_id, neighbor_id, rank,
     cosine), rank = row_number over (cosine DESC, cid) per qid."""
@@ -1222,19 +1332,7 @@ def _corpus_panel_topk(
             cid = batch.column("vid").to_numpy(zero_copy_only=False)
             cm = _batch_vec_matrix(batch, "vec", n_rows)
             cn = batch.column("norm").to_numpy(zero_copy_only=False)
-            # assignment: iterate centroids in ASCENDING cvid with a
-            # strict > update — ties keep the earlier (smaller) cvid,
-            # NULL cosines (norm product 0) fill -inf so an all-NULL
-            # row keeps the initial smallest cvid, exactly the
-            # max(struct(cosine, -cvid)) ordering of the JVM assign
-            best = np.full(n_rows, -np.inf)
-            bestc = np.full(n_rows, cvids[0], dtype=np.int64)
-            for j in range(len(cvids)):
-                cos, isnull = _snapped_cos_block(cmat[j], cnorms[j], cm, cn)
-                filled = np.where(isnull, -np.inf, cos)
-                upd = filled > best
-                best = np.where(upd, filled, best)
-                bestc[upd] = cvids[j]
+            bestc = _assign_block(cm, cn, cvids, cmat, cnorms)
             oq, oc, ocos, onull = [], [], [], []
             for cell in np.unique(bestc):
                 pidx = cell_probes.get(int(cell))
@@ -1280,13 +1378,26 @@ def _ivf_candidates(
     drift between the two, mirroring the shared `_O_IVF_CAND` oracle
     fragment. The pinned normed corpus is returned for callers whose
     scoring pass needs it (the IVF verify); the pin is ledger-managed
-    like every other."""
+    like every other.
+
+    r13: panel-sized probe batches against cap-bounded centroid sets
+    generate candidates in ONE in-task pass (_panel_candidates_arrow)
+    — no assignment groupBy, no probe-cell window, no join+distinct;
+    over-cap inputs keep the join form."""
     from .caching import pin
 
     corpus_n = pin(_normed(vectors, id_col, vec_col))
     cents_n = corpus_n.filter(F.col("vid") % centroid_stride == 0)
-    assign = _nearest_centroids(corpus_n, cents_n, 1)
     probes_n = _normed(probes, id_col, vec_col)
+    panel = probes_n.take(_PANEL_CAP + 1)
+    if 0 < len(panel) <= _PANEL_CAP:
+        cent_rows = cents_n.take(_SCORER_CENTROID_CAP + 1)
+        if 0 < len(cent_rows) <= _SCORER_CENTROID_CAP:
+            return (
+                _panel_candidates_arrow(corpus_n, cent_rows, panel, nprobe),
+                corpus_n,
+            )
+    assign = _nearest_centroids(corpus_n, cents_n, 1)
     probe_cells = _nearest_centroids(
         probes_n, cents_n, nprobe
     ).withColumnRenamed("vid", "qid")
@@ -1383,6 +1494,76 @@ def _centroid_arrays(cq: DataFrame) -> DataFrame:
     )
 
 
+def _lloyd_update_arrow(corpus_n: DataFrame, cent_rows) -> DataFrame:
+    """One Lloyd update as in-task assignment + PARTIAL per-cell sums
+    (guide §2.3 — aggregate before the exchange): each task assigns its
+    corpus rows to the in-closure centroids (`_assign_block`, the
+    proven `_nearest_centroids` replica), accumulates exact int64
+    component sums + member counts per cell across ALL its batches,
+    and emits one cells×dim partial block — so the shuffle carries
+    tasks×cells×dim tiny rows instead of the old corpus-wide
+    elq⋈assign join (N·dim rows through a vid-keyed exchange).  The
+    final floor(SUM/COUNT) is the byte-identical old expression over
+    byte-identical exact sums."""
+    cvids, cmat, cnorms = _rows_matrix(cent_rows)
+
+    def agg(batches):
+        import pyarrow as _pa
+
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            cm = _batch_vec_matrix(batch, "vec", n_rows)
+            cn = batch.column("norm").to_numpy(zero_copy_only=False)
+            bestc = _assign_block(cm, cn, cvids, cmat, cnorms)
+            # the same floor(val·1e6) quantization the exploded elq
+            # table carried — exact int64 sums are order-independent
+            q = np.floor(cm * DOT_SCALE).astype(np.int64)
+            for cell in np.unique(bestc):
+                rows = bestc == cell
+                c = int(cell)
+                if c in sums:
+                    sums[c] += q[rows].sum(axis=0)
+                    counts[c] += int(rows.sum())
+                else:
+                    sums[c] = q[rows].sum(axis=0)
+                    counts[c] = int(rows.sum())
+        if sums:
+            cells = sorted(sums)
+            dim = len(sums[cells[0]])
+            yield _pa.record_batch(
+                {
+                    "cvid": np.repeat(
+                        np.array(cells, dtype=np.int64), dim
+                    ),
+                    "pos": np.tile(
+                        np.arange(1, dim + 1, dtype=np.int32), len(cells)
+                    ),
+                    "psum": np.concatenate([sums[c] for c in cells]),
+                    "pcnt": np.repeat(
+                        np.array(
+                            [counts[c] for c in cells], dtype=np.int64
+                        ),
+                        dim,
+                    ),
+                }
+            )
+
+    partials = corpus_n.select("vid", "vec", "norm").mapInArrow(
+        agg, "cvid long, pos int, psum long, pcnt long"
+    )
+    return partials.groupBy("cvid", "pos").agg(
+        F.floor(
+            F.sum("psum").cast("double") / F.sum("pcnt").cast("double")
+        )
+        .cast("long")
+        .alias("cq")
+    )
+
+
 def train_ivf_centroids(
     vectors: DataFrame,
     iters: int = 2,
@@ -1436,6 +1617,47 @@ def train_ivf_centroids(
     stride = max(1, math.floor(n / k0))
     if corpus_n is None:
         corpus_n = pin(_normed(vectors, id_col, vec_col))
+    seed_ids = (
+        corpus_n.select("vid")
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("vid")))
+        .filter((F.col("rn") - 1) % stride == 0)
+        .select("vid")
+    )
+    # r13 fast path: with √N cells under the cap, each Lloyd round is
+    # ONE job — `_lloyd_update_arrow` (in-task assignment + partial
+    # per-cell sums) collected via a k0-row take of its array form —
+    # instead of the broadcast-scored assignment window + the exploded
+    # corpus join + the (cvid, pos) aggregate.  Seeds quantize the
+    # SAME floor(val·1e6) components the exploded path carried; the
+    # byte-identity of every step is argued at each helper and pinned
+    # by the trained-family oracles.
+    if k0 < _SCORER_CENTROID_CAP:
+        cq = (
+            corpus_n.join(F.broadcast(seed_ids), "vid")
+            .select(
+                F.col("vid").alias("cvid"),
+                F.posexplode("vec").alias("pos0", "val"),
+            )
+            .select(
+                "cvid",
+                (F.col("pos0") + 1).alias("pos"),
+                F.floor(F.col("val").cast("double") * DOT_SCALE)
+                .cast("long")
+                .alias("cq"),
+            )
+        )
+        fast = True
+        for _ in range(iters):
+            cent_rows = _centroid_arrays(cq).take(_SCORER_CENTROID_CAP + 1)
+            if len(cent_rows) > _SCORER_CENTROID_CAP:  # pragma: no cover
+                fast = False
+                break
+            if not cent_rows:
+                break
+            cq = _lloyd_update_arrow(corpus_n, cent_rows)
+        if fast:
+            return _centroid_arrays(cq)
     el = corpus_n.select(
         "vid", F.posexplode("vec").alias("pos0", "val")
     ).select("vid", (F.col("pos0") + 1).alias("pos"), F.col("val").cast("double").alias("val"))
@@ -1443,13 +1665,6 @@ def train_ivf_centroids(
         el.select(
             "vid", "pos", F.floor(F.col("val") * DOT_SCALE).cast("long").alias("q")
         )
-    )
-    seed_ids = (
-        elq.select("vid")
-        .distinct()
-        .withColumn("rn", F.row_number().over(W.orderBy("vid")))
-        .filter((F.col("rn") - 1) % stride == 0)
-        .select("vid")
     )
     cq = elq.join(F.broadcast(seed_ids), "vid").select(
         F.col("vid").alias("cvid"), "pos", F.col("q").alias("cq")
@@ -1584,9 +1799,17 @@ def build_ivf_index(
         if centroids_n is not None
         else corpus_n.filter(F.col("vid") % centroid_stride == 0)
     )
-    assign = _nearest_centroids(corpus_n, cents_n, 1)
+    # r13: cap-bounded centroid sets assign IN-TASK — one corpus pass
+    # straight into the partitioned write, instead of the broadcast
+    # scoring + assignment groupBy + corpus re-join (two exchanges)
+    cent_rows = cents_n.take(_SCORER_CENTROID_CAP + 1)
+    if 0 < len(cent_rows) <= _SCORER_CENTROID_CAP:
+        assigned = _assign_cells_arrow(corpus_n, cent_rows)
+    else:
+        assign = _nearest_centroids(corpus_n, cents_n, 1)
+        assigned = corpus_n.join(assign, "vid")
     (
-        corpus_n.join(assign, "vid")
+        assigned
         # `src` labels the LOAD that wrote each row: 'base' for the
         # initial build, one label per append — the second partition
         # level that makes incremental ingest idempotent (see
@@ -1941,10 +2164,16 @@ def ivf_index_append(
 
     cents_n = spark.read.parquet(index_dir + "/centroids")
     batch_n = _normed(new_vectors, id_col, vec_col)
-    assign = _nearest_centroids(batch_n, cents_n, 1)
+    # r13: same in-task assignment as build_ivf_index — one batch pass
+    cent_rows = cents_n.take(_SCORER_CENTROID_CAP + 1)
+    if 0 < len(cent_rows) <= _SCORER_CENTROID_CAP:
+        assigned = _assign_cells_arrow(batch_n, cent_rows)
+    else:
+        assign = _nearest_centroids(batch_n, cents_n, 1)
+        assigned = batch_n.join(assign, "vid")
     label = src if src is not None else _uuid.uuid4().hex[:12]
     (
-        batch_n.join(assign, "vid")
+        assigned
         .withColumn("src", F.lit(label))
         .write.mode("append" if src is None else "overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -2623,7 +2852,18 @@ def semantic_dedup_pairs(
 
     corpus_n = pin(_normed(vectors, id_col, vec_col))
     cents_n = corpus_n.filter(F.col("vid") % centroid_stride == 0)
-    assign = _nearest_centroids(corpus_n, cents_n, 1)
+    # r13: cap-bounded centroid sets assign in-task (one corpus pass,
+    # no broadcast scoring + groupBy); the within-cell pair join below
+    # is unchanged either way
+    cent_rows = cents_n.take(_SCORER_CENTROID_CAP + 1)
+    if 0 < len(cent_rows) <= _SCORER_CENTROID_CAP:
+        # both self-join sides read the SAME exchange of this subtree
+        # (ReuseExchange), so no pin — the measured same-exchange rule
+        assign = _assign_cells_arrow(corpus_n, cent_rows).select(
+            "vid", "cvid"
+        )
+    else:
+        assign = _nearest_centroids(corpus_n, cents_n, 1)
     a, b = assign.alias("a"), assign.alias("b")
     pairs = a.join(
         b,
