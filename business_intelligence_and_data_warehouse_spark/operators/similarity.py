@@ -358,21 +358,21 @@ def brute_force_topk(
 
     Deterministic ranking: cosine DESC, then corpus id ASC as the
     tiebreaker. Self-matches (same id) are excluded.
-    """
+
+    r13: a cap-bounded probe set rides the in-task panel scorer
+    (`_brute_panel_topk`) — one corpus pass, no probe×corpus pair
+    fan-out through the broadcast join + per-pair pandas UDF; larger
+    probe sets keep the join form."""
+    probes_n = _normed(probes, id_col, vec_col)
+    panel = probes_n.take(_PANEL_CAP + 1)
+    if 0 < len(panel) <= _PANEL_CAP:
+        return _brute_panel_topk(
+            _normed(vectors, id_col, vec_col), panel, k
+        )
     pairs = cosine_pairs(probes, vectors, id_col, vec_col).filter(
         F.col("qid") != F.col("cid")
     )
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("cid").alias("neighbor_id"),
-            "rank",
-            "cosine",
-        )
-    )
+    return _pairs_topk_window(pairs, k)
 
 
 def matryoshka_topk(
@@ -1202,6 +1202,45 @@ def _panel_candidates_arrow(
     return corpus_n.select("vid", "vec", "norm").mapInArrow(
         gen, "qid long, cid long"
     )
+
+
+def _brute_panel_topk(corpus_n: DataFrame, panel_rows, k: int) -> DataFrame:
+    """Exact panel top-k in ONE corpus pass: every scanned row scores
+    ALL in-task panel probes (self-matches excluded), per-batch top-k
+    survivors flow to the final exact rank — the `brute_force_topk`
+    semantics without the probe×corpus pair fan-out through the
+    broadcast join + per-pair pandas UDF."""
+    qids, qmat, qnorms = _rows_matrix(panel_rows)
+
+    def score(batches):
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            cid = batch.column("vid").to_numpy(zero_copy_only=False)
+            cm = _batch_vec_matrix(batch, "vec", n_rows)
+            cn = batch.column("norm").to_numpy(zero_copy_only=False)
+            oq, oc, ocos, onull = [], [], [], []
+            for i in range(len(qids)):
+                cos, isnull = _snapped_cos_block(qmat[i], qnorms[i], cm, cn)
+                m = cid != qids[i]
+                oq.append(np.full(int(m.sum()), qids[i], dtype=np.int64))
+                oc.append(cid[m])
+                ocos.append(cos[m])
+                onull.append(isnull[m])
+            if oq and sum(len(a) for a in oq):
+                yield _emit_pairs_topk(
+                    np.concatenate(oq),
+                    np.concatenate(oc),
+                    np.concatenate(ocos),
+                    np.concatenate(onull),
+                    k,
+                )
+
+    pairs = corpus_n.select("vid", "vec", "norm").mapInArrow(
+        score, "qid long, cid long, cosine double"
+    )
+    return _pairs_topk_window(pairs, k)
 
 
 def _pairs_topk_window(pairs: DataFrame, k: int) -> DataFrame:
@@ -2710,6 +2749,12 @@ def lsh_ann_probe(
         .distinct()
     )
     corpus_n = pin(_normed(vectors, id_col, vec_col))
+    # r13 measured-NEGATIVE (do not re-try): scoring these candidates
+    # with an in-task panel (`_pairs_panel_score`, since removed) ran
+    # 1.09-1.12x SLOWER co-measured at sf0.1 with flat controls — the
+    # sized-key contract bounds candidates to O(panel·occupancy), so
+    # the per-pair bytes saved are CONSTANT and never amortize the
+    # extra panel-collect job, at any scale.  The join verify stays.
     pairs = _cosine_for_pairs_normed(candidates, corpus_n)
     return _pairs_topk_window(pairs, k)
 
