@@ -1315,3 +1315,48 @@ def test_ivf_cells_stay_vid_disjoint_across_append(spark, tmp_path):
         .collect()
     )
     assert dup == [], f"vids in more than one cell row: {dup}"
+
+
+def test_simhash_arrow_matches_jvm_form(spark):
+    """r13: the in-task Arrow signature pass must replicate the
+    retired exploded-JVM form bit for bit — md5 high-nibble vote
+    bits, tf-weighted votes, strict >0 sign, empty-token-array docs
+    absent — on unicode, repeated-token and single-token docs, at
+    32 and narrower widths."""
+    from business_intelligence_and_data_warehouse_spark.operators.dedup import (
+        _simhash_from_tokens_jvm,
+        simhash_from_tokens,
+        token_table,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content entirely here"),
+            (4, "répétition naïve café über straße 日本語 のテキスト"),
+            (5, "same same same same same same"),
+            (6, "x"),
+            (7, ""),  # empty text
+        ],
+    )
+    toks = token_table(docs)
+    # force a truly EMPTY token array alongside the real ones: both
+    # forms must drop it (the exploded form produced no row for it)
+    toks = toks.withColumn(
+        "toks",
+        F.when(F.col("doc_id") == 7, F.array().cast("array<string>"))
+        .otherwise(F.col("toks")),
+    )
+    for bits in (32, 16, 9):
+        got = {
+            r.doc_id: r.simhash
+            for r in simhash_from_tokens(toks, bits).collect()
+        }
+        want = {
+            r.doc_id: r.simhash
+            for r in _simhash_from_tokens_jvm(toks, bits).collect()
+        }
+        assert got == want, (bits, got, want)
+    assert 7 not in got  # empty token array stays absent

@@ -70,10 +70,21 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_brute_force_topk_broadcasts_probes(spark):
+def test_brute_force_topk_broadcasts_probes(spark, monkeypatch):
+    # r13 fast path: a panel probe set scores in-task — ONE MapInArrow
+    # corpus pass, no join of any kind
     plan = plan_of(spark, "sim_embedding_topk")
-    # probe × corpus is a broadcast nested-loop on the tiny probe set;
-    # an unbroadcast CartesianProduct would shuffle the corpus
+    assert "MapInArrow" in plan, plan
+    assert "Join" not in plan, plan
+    # over-cap fallback: probe × corpus stays a broadcast nested-loop
+    # on the probe set; an unbroadcast CartesianProduct would shuffle
+    # the corpus
+    from business_intelligence_and_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    monkeypatch.setattr(sim, "_PANEL_CAP", 0)
+    plan = plan_of(spark, "sim_embedding_topk")
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
