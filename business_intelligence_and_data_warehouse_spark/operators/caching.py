@@ -40,6 +40,24 @@ def pin(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
     return df
 
 
+def eager_pin(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
+    """``pin`` plus an immediate materialization of the cached blocks.
+
+    For a pinned table whose first consumers are CONCURRENT — e.g. the
+    k ALIASED broadcast builds of a sketch probe, which AQE submits in
+    parallel — a lazy pin does not help the first materialization: all
+    k builds find the cache unpopulated and each re-executes the full
+    build lineage (measured on contamination_bloom: the bloom-build
+    aggregate ran 4×, one per probe join, racing).  Materializing the
+    blocks with one bounded job before handing the table out turns the
+    k builds into cache reads.  Only worth it for tables that are
+    BOUNDED by construction (sketch grids, panels) — corpus-sized pins
+    should stay lazy and let their first real consumer pay the pass."""
+    out = pin(df, level)
+    out.count()
+    return out
+
+
 def release_pinned() -> int:
     """Unpersist every ledgered DataFrame; returns how many."""
     n = len(_PINNED)

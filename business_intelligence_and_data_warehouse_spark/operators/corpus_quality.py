@@ -255,10 +255,15 @@ def contamination_bloom_report(
     # broadcasts its own ALIASED copy (renamed columns -> non-identical
     # plans -> no broadcast-exchange reuse), so without a pin the
     # bloom-build aggregate executes once PER PROBE JOIN per probed
-    # materialization — the kilobyte table is always pinned
-    from .caching import pin
+    # materialization — the kilobyte table is always pinned, and
+    # EAGERLY (r13): AQE submits the k broadcast builds concurrently,
+    # so a lazy pin raced — all four builds found the cache cold and
+    # each re-ran the full eval-side build aggregate (4× the eval
+    # corpus scan at 100 TB); one bounded materialization job turns
+    # them into cache reads
+    from .caching import eager_pin
 
-    bloom = pin(bloom_build(eval_set, "s", m_bits, n_hashes))
+    bloom = eager_pin(bloom_build(eval_set, "s", m_bits, n_hashes))
     probed = bloom_probe(
         sh.filter(~is_eval), "s", bloom, m_bits, n_hashes, "bloom_hit"
     )

@@ -391,7 +391,7 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports. Estimation is depth broadcast joins off the staged md5
     slices; no shuffle of the key table beyond its own count.
     """
-    from ..operators.caching import pin
+    from ..operators.caching import eager_pin
 
     events = load_table(spark, sf_dir, "events")
     # cms_estimate broadcasts one ALIASED (per-depth-filtered) copy of
@@ -399,8 +399,12 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full-stream build aggregate executes depth times (the
     # aliased-broadcast rule, SCALE.md). A wash at sf0.1 (pinned 1.09s
     # vs unpinned 1.15s best-of-3 — events are small here) but the
-    # saved d-1 corpus scans are the point at scale.
-    cms = pin(cms_build(events, "user_id", _CMS_D, _CMS_W))
+    # saved d-1 corpus scans are the point at scale.  EAGER (r13):
+    # AQE submits the depth broadcast builds concurrently, so a lazy
+    # pin raced — every build found the cache cold and re-ran the
+    # full-stream aggregate anyway; one bounded (≤ d×w rows)
+    # materialization job turns them into cache reads.
+    cms = eager_pin(cms_build(events, "user_id", _CMS_D, _CMS_W))
     return _cms_topk_report(events, cms)
 
 
